@@ -1,0 +1,63 @@
+package graft.chschema
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Schema utilities: the reference's one real capability — Parquet footer
+ * schema → ClickHouse DDL — as a pure metadata transformation.
+ *
+ * `spark.read.parquet(path).schema` performs driver-side file listing +
+ * footer reads only; no Spark job runs until an action, so this preserves
+ * the reference's metadata-only I/O property (reference:
+ * src/parquetutils.rs:28-30) at any table size: cost is O(footers), not
+ * O(rows).
+ */
+object SchemaUtils {
+  def parquetSchema(spark: SparkSession, path: String) =
+    spark.read.parquet(path).schema
+
+  /** End-to-end equivalent of the reference's library entry point
+   * `parquet_schema_to_clickhouse` (src/parquetutils.rs:17-61). */
+  def parquetSchemaToClickHouse(spark: SparkSession, parquetPath: String,
+                                outPath: String, table: String, pk: String,
+                                mode: ClickHouseType.Mode = ClickHouseType.Legacy): Unit = {
+    val ddl = DdlRenderer.render(parquetSchema(spark, parquetPath), table, pk, mode)
+    Files.writeString(Paths.get(outPath), ddl)
+    ()
+  }
+}
+
+/**
+ * CLI entry point matching the reference's `schemagen` binary flag-for-flag
+ * (reference: src/bin/schemagen.rs:4-34): four required `--flags`, no
+ * external arg-parsing dependency (offline build).
+ *
+ * Usage:
+ *   runMain graft.chschema.SchemaGen --parquet-path IN.parquet \
+ *     --clickhouse-schema-path OUT.sql --table-name T --primary-key K
+ */
+object SchemaGen {
+  def main(args: Array[String]): Unit = {
+    val kv = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    def req(k: String): String =
+      kv.getOrElse(k, sys.error(s"missing required flag --$k"))
+    val parquetPath = req("parquet-path")
+    val outPath = req("clickhouse-schema-path")
+    val table = req("table-name")
+    val pk = req("primary-key")
+    val mode =
+      if (kv.get("mode").contains("extended")) ClickHouseType.Extended
+      else ClickHouseType.Legacy
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[2]"))
+      .appName("graft-schemagen")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try SchemaUtils.parquetSchemaToClickHouse(spark, parquetPath, outPath, table, pk, mode)
+    finally spark.stop()
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.chschema.{ClickHouseType, DdlRenderer}
+
+/**
+ * Golden tests for the DDL renderer, byte-for-byte against the reference's
+ * expected outputs:
+ *  - fixture 1: the reference's only test (src/parquetutils.rs:296-418,
+ *    golden at :399-412)
+ *  - fixture 2: the map case from resources/arrow.py:7-32 (traced through
+ *    visit_map, src/parquetutils.rs:223-261)
+ *  - fixture 3: the README worked example (README.md:32-78) where the pk
+ *    IS a column
+ */
+class DdlRendererSpec extends AnyFunSuite {
+
+  private val fixture1 = StructType(Seq(
+    StructField("a", IntegerType),
+    StructField("b", StringType),
+    StructField("c", StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))),
+    StructField("d", ArrayType(StructType(Seq(StructField("a", StringType)))))
+  ))
+
+  test("reference golden: nested struct + list<struct> (src/parquetutils.rs:399-412)") {
+    val expected =
+      """drop table if exists T;
+        |create table T (
+        |    a Nullable(Int32)
+        |    , b Nullable(String)
+        |    , c Tuple(
+        |        a Nullable(String)
+        |        , b Nullable(String)
+        |    )
+        |    , d Nested (
+        |        a Nullable(String)
+        |    )
+        |) engine = MergeTree() primary key (foo);
+        |""".stripMargin
+    assert(DdlRenderer.render(fixture1, "T", "foo") == expected)
+  }
+
+  test("map golden: map<string, struct> (resources/arrow.py:7-32 fixture)") {
+    val schema = StructType(fixture1.fields :+
+      StructField("e", MapType(StringType, StructType(Seq(
+        StructField("a", StringType), StructField("b", StringType))))))
+    val expected =
+      """drop table if exists T;
+        |create table T (
+        |    a Nullable(Int32)
+        |    , b Nullable(String)
+        |    , c Tuple(
+        |        a Nullable(String)
+        |        , b Nullable(String)
+        |    )
+        |    , d Nested (
+        |        a Nullable(String)
+        |    )
+        |    , e Map (
+        |        String
+        |        , Tuple(
+        |            a Nullable(String)
+        |            , b Nullable(String)
+        |        )
+        |    )
+        |) engine = MergeTree() primary key (foo);
+        |""".stripMargin
+    assert(DdlRenderer.render(schema, "T", "foo") == expected)
+  }
+
+  test("README golden: primary key is a real column → bare type (README.md:32-78)") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType)))
+    val expected =
+      """drop table if exists people;
+        |create table people (
+        |    id Int32
+        |    , name Nullable(String)
+        |) engine = MergeTree() primary key (id);
+        |""".stripMargin
+    assert(DdlRenderer.render(schema, "people", "id") == expected)
+  }
+
+  test("primitive list element renders as `element Nullable(T)` (src/parquetutils.rs:163-168)") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val expected =
+      """drop table if exists embeddings;
+        |create table embeddings (
+        |    vec_id Int64
+        |    , embedding Nested (
+        |        element Nullable(Float32)
+        |    )
+        |    , label Nullable(Int32)
+        |) engine = MergeTree() primary key (vec_id);
+        |""".stripMargin
+    assert(DdlRenderer.render(schema, "embeddings", "vec_id") == expected)
+  }
+
+  test("legacy lossy date/timestamp mapping (src/parquetutils.rs:94-95)") {
+    val schema = StructType(Seq(
+      StructField("d", DateType), StructField("t", TimestampType)))
+    val out = DdlRenderer.render(schema, "x", "d")
+    assert(out.contains("    d Int32\n"))
+    assert(out.contains("    , t Nullable(Int64)\n"))
+  }
+
+  test("extended mode maps losslessly; legacy raises typed error (SURVEY §1.4.4)") {
+    val schema = StructType(Seq(
+      StructField("d", DateType), StructField("t", TimestampType),
+      StructField("m", DecimalType(12, 2)), StructField("s", ShortType)))
+    val out = DdlRenderer.render(schema, "x", "d", ClickHouseType.Extended)
+    assert(out.contains("d Date\n"))
+    assert(out.contains(", t Nullable(DateTime64(6))\n"))
+    assert(out.contains(", m Nullable(Decimal(12, 2))\n"))
+    assert(out.contains(", s Nullable(Int16)\n"))
+    assertThrows[ClickHouseType.UnsupportedType](
+      DdlRenderer.render(StructType(Seq(StructField("m", DecimalType(12, 2)))), "x", "m"))
+  }
+
+  test("deep nesting: map value tuple containing a list") {
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("m", MapType(IntegerType, StructType(Seq(
+        StructField("tags", ArrayType(StringType)),
+        StructField("n", DoubleType)))))))
+    val expected =
+      """drop table if exists deep;
+        |create table deep (
+        |    k Int64
+        |    , m Map (
+        |        Int32
+        |        , Tuple(
+        |            tags Nested (
+        |                element Nullable(String)
+        |            )
+        |            , n Nullable(Float64)
+        |        )
+        |    )
+        |) engine = MergeTree() primary key (k);
+        |""".stripMargin
+    assert(DdlRenderer.render(schema, "deep", "k") == expected)
+  }
+}
