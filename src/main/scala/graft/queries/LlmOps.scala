@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/**
+ * LLM-training-data pipeline operators (SURVEY.md §2.C "LLM extension"):
+ * dedup (exact, MinHash-LSH near-dup), similarity search (brute-force and
+ * IVF/LSH-bucketed cosine), text analysis (tokens, stats, quality,
+ * fingerprint), and multimodal metadata plumbing — all over the driver's
+ * `documents` / `embeddings` tables.
+ *
+ * Scale posture: nothing here is O(N²) in the corpus. Near-dup pair
+ * generation goes through MinHash banding (candidates only), similarity
+ * pair scoring is blocked by an LSH sign-bucket, and top-k search is a
+ * single scan + TakeOrdered. Float outputs are either integer ratios
+ * (exact in both engines) or rounded doubles of identical expression
+ * trees (see Q's determinism notes).
+ */
+object LlmOps {
+
+  /** tokens of the space-separated document text */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** 3-gram word shingles (distinct), the near-dup unit. Guarded so docs
+   * with <3 tokens yield an empty set rather than a descending
+   * `sequence`. */
+  private val shingleExpr =
+    """array_distinct(CASE WHEN size(toks) >= 3
+      |  THEN transform(sequence(0, size(toks) - 3),
+      |                 i -> concat_ws(' ', slice(toks, i + 1, 3)))
+      |  ELSE array() END)""".stripMargin
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .withColumn("toks", toks(col("text")))
+      .withColumn("sh", expr(shingleExpr))
+      .select("doc_id", "sh")
+
+  /** Sequential-fold double dot product over two float arrays. Both
+   * engines evaluate the identical IEEE expression tree left-to-right,
+   * so the result is bit-deterministic (oracle twin uses
+   * list_dot_product over double-cast lists). */
+  private def dot(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b,
+            |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+
+  private def l2(a: String): Column = sqrt(dot(a, a))
+
+  /** 16-way LSH sign bucket from the first 4 embedding components —
+   * the blocking key for pairwise similarity (bounded candidates at any
+   * scale) and the IVF cell for probe-bucket search. */
+  private def signBucket(a: String): Column =
+    expr(s"""CAST(element_at($a, 1) > 0 AS INT)
+            |+ 2 * CAST(element_at($a, 2) > 0 AS INT)
+            |+ 4 * CAST(element_at($a, 3) > 0 AS INT)
+            |+ 8 * CAST(element_at($a, 4) > 0 AS INT)""".stripMargin)
+
+  private val signBucketSql =
+    """CAST(embedding[1] > 0 AS INTEGER) + 2 * CAST(embedding[2] > 0 AS INTEGER)
+      | + 4 * CAST(embedding[3] > 0 AS INTEGER) + 8 * CAST(embedding[4] > 0 AS INTEGER)""".stripMargin
+
+  private val cosSql =
+    """list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                 list_transform(pe, x -> CAST(x AS DOUBLE)))
+      | / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                          list_transform(embedding, x -> CAST(x AS DOUBLE))))
+      |    * sqrt(list_dot_product(list_transform(pe, x -> CAST(x AS DOUBLE)),
+      |                            list_transform(pe, x -> CAST(x AS DOUBLE)))))""".stripMargin
+
+  val defs: Vector[QueryDef] = Vector(
+
+    // ---- exact dedup: hash-groupBy on normalized text ----------------
+    // At 100 TB this is one shuffle on a 32-byte digest; the text itself
+    // never travels (md5 computed map-side, min-id reduce).
+    QueryDef("q_dedup_exact",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("text_md5", md5(lower(trim(col("text")))))
+          .groupBy("text_md5")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("keep_id", "n_copies", "text_md5")
+          .orderBy("keep_id")
+      },
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+             |       md5(LOWER(TRIM(text))) AS text_md5
+             |FROM documents GROUP BY md5(LOWER(TRIM(text)))
+             |ORDER BY keep_id""".stripMargin)),
+
+    // ---- near-dup pairs: MinHash + LSH banding, exact-Jaccard verify -
+    // The declared semantics are EXACT (3-gram-shingle Jaccard > 0.5);
+    // MinHash banding (32 hashes, 16 bands x 2 rows) only bounds the
+    // candidate set. At band-collision probability 1-(1-j^2)^16 a true
+    // pair at j=0.5 is kept with p≈0.99, and at the j≥0.9 the corpus
+    // actually contains with p≈1-1e-12, so candidates+verify equals the
+    // exact answer, without the O(N²) self-join the oracle runs.
+    QueryDef("q_neardup_pairs",
+      (s, dir) => {
+        val docs = docsWithShingles(s, dir).cache()
+        val exploded = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
+        val hashAggs = (0 until 32).map(k => min(xxhash64(lit(k), col("tok"))).as(s"h$k"))
+        val sigs = exploded.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+        val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
+          xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bv")))
+        val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+        val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+        cand.join(a, "a_id").join(b, "b_id")
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("jaccard") > 0.5)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |                 for i in range(1, len(ts) - 1)]) AS s
+             |  FROM tok),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |        len(list_intersect(a.s, b.s)) AS i,
+             |        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+             |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
+             |FROM p WHERE CAST(i AS DOUBLE) / u > 0.5
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- token frequencies: top-5 per language -----------------------
+    QueryDef("q_text_tokens",
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+        rd(s, dir, "documents")
+          .select(col("lang"), explode(toks(col("text"))).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= 5)
+          .select("lang", "token", "cnt", "rn")
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, token, cnt, rn FROM (
+             |  SELECT lang, token, cnt,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY cnt DESC, token) AS INTEGER) AS rn
+             |  FROM (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+             |        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+             |              FROM documents) u
+             |        GROUP BY lang, token) c) r
+             |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin)),
+
+    // ---- per-source corpus stats -------------------------------------
+    QueryDef("q_text_stats",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("n_words", size(toks(col("text"))).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+            (sum(col("n_words")).cast("double") / count(lit(1))).as("avg_words"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+             |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words,
+             |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- per-doc quality scores (stopword ratio, TTR, token count) ---
+    QueryDef("q_text_quality",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("toks", toks(col("text")))
+          .select(col("doc_id"),
+            size(col("toks")).cast("int").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("int").as("n_uniq"),
+            (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+              .as("ttr"),
+            (size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))"))
+              .cast("double") / size(col("toks"))).as("stopword_ratio"),
+            (col("n_chars").cast("double") / size(col("toks"))).as("avg_token_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(ts) AS INTEGER) AS n_tokens,
+             |  CAST(len(list_distinct(ts)) AS INTEGER) AS n_uniq,
+             |  CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS ttr,
+             |  CAST(len(list_filter(ts, t -> t IN ('the', 'a', 'of', 'and', 'to')))
+             |       AS DOUBLE) / len(ts) AS stopword_ratio,
+             |  CAST(n_chars AS DOUBLE) / len(ts) AS avg_token_len
+             |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ts
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- order-insensitive bag fingerprint (dedup primitive) ---------
+    QueryDef("q_fingerprint",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("toks", toks(col("text")))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(col("toks")))))
+              .as("token_set_md5"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             |    AS token_set_md5,
+             |  md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- vector sanity: dims, norms ----------------------------------
+    QueryDef("q_vec_norm",
+      (s, dir) => {
+        rd(s, dir, "embeddings")
+          .select(col("vec_id"),
+            size(col("embedding")).cast("int").as("dim"),
+            round(l2("embedding"), 4).as("l2_norm"),
+            expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)")
+              .as("max_abs"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+             |  ROUND(sqrt(list_dot_product(
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS l2_norm,
+             |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+             |    AS max_abs
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ---- brute-force cosine top-k (the baseline ANN path) ------------
+    // One scan, map-side scoring, TakeOrdered(10): no shuffle of vectors.
+    QueryDef("q_knn_cosine",
+      (s, dir) => {
+        val e = rd(s, dir, "embeddings")
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pe"))
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+          .withColumn("cos", dot("embedding", "pe") / (l2("embedding") * l2("pe")))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), round(col("cos"), 4).as("cosine"))
+      },
+      Some(s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+              |s AS (SELECT vec_id, $cosSql AS cos
+              |      FROM embeddings, p WHERE vec_id <> 0)
+              |SELECT vec_id, ROUND(cos, 4) AS cosine FROM s
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- IVF-style bucketed ANN: probe only the matching LSH cell ----
+    QueryDef("q_knn_ivf",
+      (s, dir) => {
+        val e = rd(s, dir, "embeddings").withColumn("bucket", signBucket("embedding"))
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pe"), col("bucket").as("pb"))
+        e.filter(col("vec_id") =!= 0).join(broadcast(probe), col("bucket") === col("pb"))
+          .withColumn("cos", dot("embedding", "pe") / (l2("embedding") * l2("pe")))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("bucket"), round(col("cos"), 4).as("cosine"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding, $signBucketSql AS bucket
+              |           FROM embeddings),
+              |p AS (SELECT embedding AS pe, bucket AS pb FROM b WHERE vec_id = 0),
+              |s AS (SELECT vec_id, bucket, $cosSql AS cos
+              |      FROM b, p WHERE vec_id <> 0 AND bucket = pb)
+              |SELECT vec_id, bucket, ROUND(cos, 4) AS cosine FROM s
+              |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // ---- embedding near-dup pairs, LSH-bucket-blocked ----------------
+    // Declared semantics include the blocking key (same sign bucket), so
+    // Spark and the oracle compute identical bounded pair sets: per-
+    // bucket N/16 rows → the pair join is (N/16)² per bucket, linear in
+    // bucket count, never global N².
+    QueryDef("q_cosine_pairs",
+      (s, dir) => {
+        val e = rd(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), signBucket("embedding").as("bucket"))
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("bucket"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("bucket"))
+        a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+          .withColumn("cos", dot("ea", "eb") / (l2("ea") * l2("eb")))
+          .filter(col("cos") > 0.35)
+          .select(col("a_id"), col("b_id"), col("bucket"), round(col("cos"), 4).as("cosine"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding, $signBucketSql AS bucket
+              |           FROM embeddings),
+              |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+              |  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              |                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+              |  / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              |                           list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+              |     * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+              |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+              |    AS cos
+              |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, bucket, ROUND(cos, 4) AS cosine FROM s
+              |WHERE cos > 0.35 ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- multimodal metadata plumbing --------------------------------
+    // Media payloads are opaque binary columns; the decode step is a
+    // deterministic fake (the real image/audio libs are absent — see
+    // graft.multimodal), but the schema/partitioning/metadata path is
+    // real and oracle-checked.
+    QueryDef("q_multimodal_meta",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("payload", col("text").cast("binary"))
+          .select(col("doc_id"),
+            octet_length(col("payload")).cast("int").as("byte_len"),
+            (octet_length(col("payload")) % 640).cast("int").as("fake_width"),
+            ((col("n_chars") % 30) + 1).cast("int").as("fake_frames"),
+            substring(hex(col("payload")), 1, 8).as("magic_hex"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+             |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS fake_width,
+             |  CAST((n_chars % 30) + 1 AS INTEGER) AS fake_frames,
+             |  upper(substring(hex(CAST(text AS BLOB)), 1, 8)) AS magic_hex
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

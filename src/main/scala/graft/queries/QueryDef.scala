@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * One declared engine query (SURVEY.md §2.C): a Spark implementation plus,
+ * where SQL-expressible, an equivalent DuckDB oracle the driver
+ * hash-compares row-for-row. Column names/aliases must match between the
+ * two exactly (the driver sorts columns by name before hashing).
+ */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/**
+ * Shared helpers. The float-determinism rules (SURVEY.md §5.3, §7 "oracle
+ * determinism" risk) are enforced here:
+ *
+ *  - Money/measure sums go through exact decimal arithmetic
+ *    ([[Q.dsum]]) so Spark's partial-aggregation order (which differs
+ *    from DuckDB's single-threaded order) cannot change the result; the
+ *    final value is cast back to double, a single well-defined rounding.
+ *  - Averages are expressed as exact-decimal-sum / count in BOTH engines
+ *    (identical IEEE division of identical inputs), never as the engine's
+ *    own AVG over doubles.
+ *  - Every query ends in a total ORDER BY.
+ */
+object Q {
+  def rd(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** The events table carries a NANOS parquet timestamp, which Spark 4
+   * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Sessions set
+   * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), the
+   * column arrives as ns-since-epoch LongType, and this helper truncates
+   * to microseconds — the same floor DuckDB applies when casting its ns
+   * read to its µs timestamp, so oracle comparisons line up. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = rd(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => df
+    }
+  }
+
+  /** Exact sum of a 2-decimal-place double column: decimal(18,2) per-row
+   * cast (exact for the testdata's 2dp money values), exact decimal sum,
+   * one final cast to double. Oracle twin: [[dsumSql]]. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact sum of a derived per-row double expression with up to `s`
+   * true decimal places: the per-row double is bit-identical in both
+   * engines (same IEEE expression tree over the same inputs), the
+   * decimal(18,s) cast rounds it to the grid it already sits on, and the
+   * sum is exact. */
+  def dsumS(c: Column, s: Int): Column = sum(c.cast(DecimalType(18, s))).cast("double")
+
+  def dsumSql(col: String): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+  def dsumSqlS(expr: String, s: Int): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$s))) AS DOUBLE)"
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/**
+ * Structured Streaming trio (SURVEY.md §2.C streaming): tumbling window,
+ * sliding window, session window over the events table, each driven
+ * through a real `readStream` file source → windowed aggregation →
+ * memory sink, then returned as a batch DataFrame for the harness.
+ *
+ * Verification is batch-equivalence (SURVEY.md §5.4): the DuckDB oracles
+ * are the batch window semantics. Complete output mode is used so final
+ * (watermark-open) windows are emitted — with a bounded input in append
+ * mode the last windows would stay in state forever, which is a
+ * watermark property, not a bug.
+ */
+object StreamingOps {
+
+  private def streamEvents(s: SparkSession, dir: String): DataFrame = {
+    // file stream source needs an explicit schema: read it from the same
+    // footer (metadata-only, like the batch path). ts arrives as an
+    // ns-since-epoch long (nanosAsLong, see Q.events) and is truncated
+    // to a µs timestamp before any windowing.
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source wants a directory; glob-filter to the one table
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
+
+  /** Run a (bounded) streaming aggregation to completion into a memory
+   * sink and hand back the result table. */
+  private def runToBatch(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+  }
+
+  val defs: Vector[QueryDef] = Vector(
+
+    // ---- 1h tumbling counts with a 10-min watermark ------------------
+    QueryDef("s_tumbling_counts",
+      (s, dir) => {
+        val agg = streamEvents(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        runToBatch(s, agg, "s_tumbling_counts")
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n_events"), col("sum_value"))
+          .orderBy("window_start", "event_type")
+      },
+      Some(s"""SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+              |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2
+              |ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- 1h / 15m sliding average ------------------------------------
+    QueryDef("s_sliding_value",
+      (s, dir) => {
+        val agg = streamEvents(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+              .as("avg_value"))
+        runToBatch(s, agg, "s_sliding_value")
+          .select(col("window.start").as("window_start"), col("n_events"), col("avg_value"))
+          .orderBy("window_start")
+      },
+      // batch twin: each event belongs to the 4 slide-aligned windows
+      // ending after it; time_bucket(15 min) is epoch-aligned like
+      // Spark's window()
+      Some(s"""SELECT time_bucket(INTERVAL '15 minutes', ts)
+              |         - k.k * INTERVAL '15 minutes' AS window_start,
+              |  COUNT(*) AS n_events,
+              |  ${dsumSql("value")} / COUNT(*) AS avg_value
+              |FROM events
+              |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+              |GROUP BY 1 ORDER BY window_start""".stripMargin)),
+
+    // ---- 30-min-gap session windows per user -------------------------
+    QueryDef("s_session",
+      (s, dir) => {
+        val agg = streamEvents(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        runToBatch(s, agg, "s_session")
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      // batch twin: gaps-and-islands; a new session starts when the gap
+      // is >= 30 min (session windows are half-open [start, last+gap))
+      Some("""WITH x AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN LAG(ts) OVER w IS NULL
+             |           OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |y AS (SELECT user_id, ts,
+             |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |          ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM x)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             |  COUNT(*) AS n_events
+             |FROM y GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
+  )
+}
