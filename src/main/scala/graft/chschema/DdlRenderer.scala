@@ -102,6 +102,11 @@ object DdlRenderer {
           renderStructBody(sb, st, body + Ind, pk, mode)
           sb ++= " " * body
           sb ++= ")\n"
+        case nested @ (_: ArrayType | _: MapType) =>
+          // a list/map map-value re-enters the visitor with the Parquet
+          // field name `value` (dispatch from visit_map's loop,
+          // src/parquetutils.rs:242-252 → visit_list_with_item/visit_map)
+          renderField(sb, "value", nested, body, pk, mode)
         case other =>
           // primitive map value is emitted bare, like the key
           // (visit_primitive field_name=="Map" branch,

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * One spec per declared operator (SURVEY.md §2.C): every SparkEntry query
+ * must build, execute, and produce a sane result at sf0.001. Value-level
+ * correctness is the DuckDB oracle's job (driver t2 /
+ * tools/oracle_check.py); these specs pin the structural contract —
+ * runnable plan, expected columns, plausible row counts — so `sbt test`
+ * catches breakage without the oracle loop.
+ */
+class QueryBatterySpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sf}
+
+  // queries expected to return rows even at the smallest sf
+  private val nonEmpty = Set(
+    "q_scan_filter", "q_agg_pricing", "q_join_cust_orders", "q_join_5way",
+    "q_broadcast_part", "q_semi_has_big_order", "q_window_rank",
+    "q_window_running", "q_window_lag", "q_topk", "q_distinct", "q_rollup",
+    "q_cube", "q_scalar_fns", "q_json_props", "q_time_bucket",
+    "q_dedup_exact", "q_neardup_pairs", "q_text_tokens", "q_text_stats",
+    "q_text_quality", "q_fingerprint", "q_vec_norm", "q_knn_cosine",
+    "q_knn_ivf", "q_multimodal_meta", "s_tumbling_counts",
+    "s_sliding_value", "s_session", "schema_columns", "ddl_lineitem")
+
+  SparkEntry.allDefs.foreach { d =>
+    test(s"${d.name} runs at sf0.001") {
+      val df = d.run(spark, sf)
+      val n = df.count()
+      assert(n >= 0)
+      if (nonEmpty(d.name)) assert(n > 0, s"${d.name} returned no rows")
+    }
+  }
+
+  test("entry (driver t1 smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query and aliases stay aligned") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle without query: $k")
+    }
+  }
+
+  test("q_topk returns exactly 10 descending prices") {
+    val rows = SparkEntry.queries("q_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_neardup_pairs finds the planted >0.9-Jaccard duplicates") {
+    val rows = SparkEntry.queries("q_neardup_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("jaccard") > 0.5))
+  }
+
+  test("q_knn_cosine scores are a descending top-10 in [-1, 1]") {
+    val rows = SparkEntry.queries("q_knn_cosine")(spark, sf).collect()
+    assert(rows.length == 10)
+    val cos = rows.map(_.getAs[Double]("cosine"))
+    assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  }
+}
