@@ -18,7 +18,8 @@ import graft.queries._
  */
 object SparkEntry {
   val allDefs: Vector[QueryDef] =
-    Relational.defs ++ LlmOps.defs ++ StreamingOps.defs ++ SchemaQueries.defs
+    Relational.defs ++ LlmOps.defs ++ Advanced.defs ++ StreamingOps.defs ++
+      SchemaQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/**
+ * Second operator wave: as-of join, scalable range join, approximate
+ * distinct, SimHash dedup, language-ID, rolling-hash fingerprinting, and
+ * the multimodal decode pipeline.
+ *
+ * Scale notes per operator are inline; the common theme is that every
+ * pairwise operation is bounded by an equi-join key (user, time bucket,
+ * hash band) before any non-equi predicate runs, so nothing degenerates
+ * to a cross product at 100 TB.
+ */
+object Advanced {
+
+  val defs: Vector[QueryDef] = Vector(
+
+    // ---- as-of join: latest prior signup per purchase ----------------
+    // The classic time-series as-of join expressed as a running window:
+    // one shuffle on user_id, one sort — exactly the plan a dedicated
+    // AsOfJoinExec would produce, with no custom operator needed.
+    QueryDef("q_asof_last_signup",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        events(s, dir)
+          .withColumn("last_signup_ts",
+            last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "last_signup_ts")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts,
+             |  LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS last_signup_ts
+             |FROM events QUALIFY event_type = 'purchase'
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- range join: same-user event pairs within 5 minutes ----------
+    // Bucketed interval join: each left event is replicated to its three
+    // adjacent 5-min buckets, the join is EQUI on (user, bucket), and the
+    // range predicate only filters — O(N) replication instead of the
+    // O(N²)-per-user theta join the oracle runs.
+    QueryDef("q_range_join_events",
+      (s, dir) => {
+        val e = events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"))
+        val window = 300000000L // 5 min in µs
+        val a = e.select(col("event_id").as("a_id"), col("user_id"),
+            col("us").as("a_us"),
+            explode(array((-1 to 1).map(d => col("us").divide(window).cast("long") + d): _*))
+              .as("bk"))
+        val b = e.select(col("event_id").as("b_id"), col("user_id"),
+            col("us").as("b_us"), (col("us") / window).cast("long").as("bk"))
+        a.join(b, Seq("user_id", "bk"))
+          .filter(col("a_id") < col("b_id") &&
+            abs(col("b_us") - col("a_us")) <= window)
+          .select(col("a_id"), col("b_id"), col("user_id"),
+            (col("b_us") - col("a_us")).as("dt_us"))
+          .distinct()
+          .orderBy("a_id", "b_id")
+      },
+      Some("""SELECT a.event_id AS a_id, b.event_id AS b_id,
+             |       a.user_id AS user_id,
+             |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+             | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- approximate distinct (HLL++) --------------------------------
+    // No oracle: HLL estimates are engine-specific; the battery spec
+    // checks the estimate lands within tolerance of the exact count.
+    QueryDef("q_approx_distinct",
+      (s, dir) => {
+        rd(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+            countDistinct(col("o_custkey")).as("exact_customers"))
+          .orderBy("o_orderstatus")
+      },
+      None),
+
+    // ---- SimHash document fingerprint (dedup primitive) --------------
+    // 32-bit simhash over distinct tokens, each bit voted by an
+    // md5-nibble of the token — md5 is the one hash both engines share,
+    // so even this is oracle-checkable. One explode + two aggregations;
+    // at scale this is a map-side-combinable shuffle on doc_id.
+    QueryDef("q_simhash",
+      (s, dir) => {
+        val toks = rd(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val bits = toks
+          .select(col("doc_id"), col("tok"),
+            explode(expr("sequence(0, 31)")).as("b"))
+          .withColumn("nib",
+            expr("instr('0123456789abcdef', substring(md5(tok), b + 1, 1)) - 1"))
+          .groupBy("doc_id", "b")
+          .agg(sum(when(col("nib") >= 8, 1).otherwise(-1)).as("sgn"))
+        bits.groupBy("doc_id")
+          .agg(sum(when(col("sgn") > 0,
+            expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash32"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             |           FROM documents),
+             |n AS (SELECT doc_id, tok, g.b,
+             |        strpos('0123456789abcdef', substring(md5(tok), g.b + 1, 1)) - 1 AS nib
+             |      FROM t CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) g),
+             |s AS (SELECT doc_id, b,
+             |        SUM(CASE WHEN nib >= 8 THEN 1 ELSE -1 END) AS sgn
+             |      FROM n GROUP BY doc_id, b)
+             |SELECT doc_id,
+             |  CAST(SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+             |    AS simhash32
+             |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- language ID: marker-token argmax heuristic ------------------
+    // The n-gram-profile shape with a synthetic 5-profile marker set
+    // (the corpus vocabulary is language-independent word soup, so real
+    // per-language profiles would be inert here; swap the marker sets
+    // for real trigram profiles on a natural corpus).
+    QueryDef("q_lang_id",
+      (s, dir) => {
+        val markers = Seq(
+          "en" -> Seq("the", "data", "row"), "es" -> Seq("join", "merge", "sort"),
+          "de" -> Seq("query", "filter", "scan"), "fr" -> Seq("stream", "batch", "window"),
+          "zh" -> Seq("hash", "key", "value"))
+        val scored = rd(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        val withScores = markers.zipWithIndex.foldLeft(scored) {
+          case (df, ((_, ws), i)) =>
+            df.withColumn(s"s$i",
+              expr(s"size(filter(toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"))
+        }
+        val names = markers.map(_._1)
+        val pred = (0 until 5).foldRight(lit(names.last)) { (i, elseCol) =>
+          if (i == 4) elseCol
+          else when((i + 1 until 5).map(j => col(s"s$i") >= col(s"s$j"))
+            .reduce(_ && _), names(i)).otherwise(elseCol)
+        }
+        withScores
+          .withColumn("lang_pred", pred)
+          .withColumn("confidence",
+            greatest((0 until 5).map(i => col(s"s$i")): _*).cast("double") /
+              size(col("toks")))
+          .select("doc_id", "lang", "lang_pred", "confidence")
+          .orderBy("doc_id")
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS ts,
+             |    len(list_filter(string_split(text, ' '), t -> t IN ('the','data','row'))) AS s0,
+             |    len(list_filter(string_split(text, ' '), t -> t IN ('join','merge','sort'))) AS s1,
+             |    len(list_filter(string_split(text, ' '), t -> t IN ('query','filter','scan'))) AS s2,
+             |    len(list_filter(string_split(text, ' '), t -> t IN ('stream','batch','window'))) AS s3,
+             |    len(list_filter(string_split(text, ' '), t -> t IN ('hash','key','value'))) AS s4
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |  CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 >= s4 THEN 'en'
+             |       WHEN s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 'es'
+             |       WHEN s2 >= s3 AND s2 >= s4 THEN 'de'
+             |       WHEN s3 >= s4 THEN 'fr'
+             |       ELSE 'zh' END AS lang_pred,
+             |  CAST(greatest(s0, s1, s2, s3, s4) AS DOUBLE) / len(ts) AS confidence
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // ---- rolling-hash fingerprint (order-sensitive) ------------------
+    // Polynomial fold over the token stream — the order-SENSITIVE
+    // complement of q_fingerprint's order-insensitive set hash. Both
+    // engines fold sequentially over identical per-token values, so the
+    // result is exact.
+    QueryDef("q_rolling_hash",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("""aggregate(
+                   |  transform(split(text, ' '),
+                   |            t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)),
+                   |  CAST(0 AS BIGINT),
+                   |  (acc, v) -> (acc * 31 + v) % 1000000007)""".stripMargin)
+              .as("roll_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_concat([0::BIGINT],
+             |      list_transform(string_split(text, ' '),
+             |                     t -> (ascii(t) * 131 + length(t))::BIGINT)),
+             |    (acc, v) -> (acc * 31 + v) % 1000000007) AS roll_fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- multimodal decode pipeline (typed Dataset, mapPartitions) ---
+    // Exercises graft.multimodal end-to-end: binary payload column →
+    // partition-local stub decode → SQL aggregation over the decoded
+    // metadata. Rows-only check (mapPartitions is not SQL-expressible;
+    // the stub's determinism is spec-tested).
+    QueryDef("q_media_pipeline",
+      (s, dir) => {
+        val meta = graft.multimodal.MediaPipeline
+          .decode(graft.multimodal.MediaPipeline.itemsFromDocuments(s, dir))
+        meta.toDF()
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("byte_len")).cast("long").as("total_bytes"),
+            (sum(col("width")).cast("double") / count(lit(1))).as("avg_width"),
+            max(col("n_frames")).as("max_frames"))
+          .orderBy("kind")
+      },
+      None)
+  )
+}

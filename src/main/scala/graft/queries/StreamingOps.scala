@@ -115,6 +115,35 @@ object StreamingOps {
              |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
              |  COUNT(*) AS n_events
              |FROM y GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- custom state: per-user event counter ------------------------
+    // flatMapGroupsWithState with an explicit GroupState — the escape
+    // hatch for state machines windowed aggs can't express. With one
+    // input batch the final state equals the batch group-by, which is
+    // the oracle.
+    QueryDef("s_stateful_counts",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val agg = streamEvents(s, dir)
+          .select(col("user_id"), col("event_type"))
+          .as[(Long, String)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[Long, (Long, Long)](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (uid: Long, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+              val n = state.getOption.getOrElse(0L) + rows.size
+              state.update(n)
+              Iterator((uid, n))
+          }
+          .toDF("user_id", "n_events")
+        val qn = "s_stateful_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = agg.writeStream.outputMode("update").format("memory").queryName(qn).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn).orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
