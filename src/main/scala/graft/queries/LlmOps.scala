@@ -103,8 +103,13 @@ object LlmOps {
     QueryDef("q_neardup_pairs",
       (s, dir) => {
         val docs = docsWithShingles(s, dir).cache()
+        // hash each shingle string ONCE, then derive the 32 minhash
+        // permutations by rehashing the resulting 64-bit value with the
+        // permutation index — fixed-width long hashing instead of 32
+        // string hashes per shingle (ANSI mode bars wrapping multiply-add)
         val exploded = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
-        val hashAggs = (0 until 32).map(k => min(xxhash64(lit(k), col("tok"))).as(s"h$k"))
+          .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        val hashAggs = (0 until 32).map(k => min(xxhash64(col("h"), lit(k))).as(s"h$k"))
         val sigs = exploded.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
         val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
           xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bv")))
