@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.chschema.{ClickHouseType, DdlRenderer}
+
+/** Source/sink coverage beyond parquet (csv, json) and the extended-mode
+ * DDL round-trip through a real decimal/date parquet file. */
+class SourcesSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sf}
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv sink/source round-trip preserves events rows") {
+    val e = graft.queries.Q.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    val dir = tmp("graft-csv")
+    e.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(e.schema).csv(dir)
+    assert(back.count() == e.count())
+    assert(back.agg(sum("event_id")).head.getLong(0) ==
+      e.agg(sum("event_id")).head.getLong(0))
+  }
+
+  test("json sink/source round-trip preserves documents") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = tmp("graft-json")
+    d.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(d.schema).json(dir)
+    assert(back.count() == d.count())
+    assert(back.agg(sum("n_chars")).head.getLong(0) ==
+      d.agg(sum("n_chars")).head.getLong(0))
+  }
+
+  test("extended-mode DDL round-trips decimal/date through a real footer") {
+    import spark.implicits._
+    val dir = tmp("graft-dec")
+    Seq((1L, BigDecimal("12345.67"), java.sql.Date.valueOf("2024-02-29")))
+      .toDF("id", "amount", "day")
+      .withColumn("amount", col("amount").cast("decimal(12,2)"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val ddl = DdlRenderer.render(schema, "money", "id", ClickHouseType.Extended)
+    assert(ddl.contains("id Int64"))
+    assert(ddl.contains(", amount Nullable(Decimal(12, 2))"))
+    assert(ddl.contains(", day Nullable(Date)"))
+  }
+}
