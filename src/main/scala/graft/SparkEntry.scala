@@ -17,9 +17,14 @@ import graft.queries._
  *  - [[SchemaQueries]]: the reference's own schema→DDL capability
  */
 object SparkEntry {
-  val allDefs: Vector[QueryDef] =
-    Relational.defs ++ LlmOps.defs ++ Advanced.defs ++ StreamingOps.defs ++
-      SchemaQueries.defs
+  val allDefs: Vector[QueryDef] = {
+    val defs = Relational.defs ++ LlmOps.defs ++ Advanced.defs ++
+      StreamingOps.defs ++ SchemaQueries.defs
+    // a duplicate name would silently drop an operator in the toMap below
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -56,6 +56,10 @@ object SchemaGen {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[2]"))
       .appName("graft-schemagen")
       .config("spark.ui.enabled", "false")
+      // NANOS parquet timestamps (events table) otherwise fail the read
+      // with PARQUET_TYPE_ILLEGAL; as a long they map to Int64, which is
+      // also the reference's timestamp mapping
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     try SchemaUtils.parquetSchemaToClickHouse(spark, parquetPath, outPath, table, pk, mode)
     finally spark.stop()

@@ -46,9 +46,12 @@ object Joins {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // a previous JVM may have left the managed location behind after the
-    // in-memory catalog forgot the table — clear it or CTAS refuses
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    // in-memory catalog forgot the table — clear it or CTAS refuses.
+    // Ask the catalog for the would-be location (handles case folding
+    // and non-default databases) instead of guessing $warehouse/$table.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

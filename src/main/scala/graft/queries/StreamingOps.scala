@@ -141,7 +141,12 @@ object StreamingOps {
         val qn = "s_stateful_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val q = agg.writeStream.outputMode("update").format("memory").queryName(qn).start()
         try q.processAllAvailable() finally q.stop()
-        s.table(qn).orderBy("user_id")
+        // the update-mode memory sink appends one row per (user, batch);
+        // counts are monotone per user, so max = final state even if the
+        // source ever splits into multiple micro-batches
+        s.table(qn).groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"))
+          .orderBy("user_id")
       },
       Some("""SELECT user_id, COUNT(*) AS n_events
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))

@@ -58,6 +58,22 @@ class QueryBatterySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("jaccard") > 0.5))
   }
 
+  test("query names are unique (toMap must not drop an operator)") {
+    val names = SparkEntry.allDefs.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+
+  test("q_approx_distinct estimates land within 10% of exact") {
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"approx $approx vs exact $exact off by more than 10%")
+    }
+  }
+
   test("q_knn_cosine scores are a descending top-10 in [-1, 1]") {
     val rows = SparkEntry.queries("q_knn_cosine")(spark, sf).collect()
     assert(rows.length == 10)

@@ -12,9 +12,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
-    if isinstance(v, float):
-        # surface the value at full precision so true mismatches show
-        return repr(v)
+    # repr keeps floats at full precision so true mismatches surface
     return repr(v)
 
 def main(out_dir, sf_dir):
