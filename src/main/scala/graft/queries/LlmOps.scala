@@ -106,16 +106,16 @@ object LlmOps {
     QueryDef("q_neardup_pairs",
       (s, dir) => {
         val docs = docsWithShingles(s, dir).cache()
-        // hash each shingle string ONCE, then derive the 32 minhash
-        // permutations by rehashing the resulting 64-bit value with the
-        // permutation index — fixed-width long hashing instead of 32
-        // string hashes per shingle (ANSI mode bars wrapping multiply-add)
+        // hash each shingle string ONCE; the single-pass MinHashAgg
+        // aggregator (graft.functions) folds all 32 permutations into one
+        // k-long signature state — one shuffle of 32 longs per doc
         val exploded = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
           .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-        val hashAggs = (0 until 32).map(k => min(xxhash64(col("h"), lit(k))).as(s"h$k"))
-        val sigs = exploded.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+        val sigs = exploded.groupBy("doc_id")
+          .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
         val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
-          xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("bv")))
+          xxhash64(element_at(col("sig"), 2 * b + 1),
+            element_at(col("sig"), 2 * b + 2)).as("bv")))
         val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
         val cand = bands.as("x").join(bands.as("y"),
