@@ -19,6 +19,11 @@ import Q._
  */
 object Relational {
 
+  /** typed row for the q_typed_count Dataset pipeline (top-level so the
+   * case-class Encoder can be derived) */
+  final case class Ord(o_orderkey: Long, o_orderstatus: String,
+                       o_totalprice: Double)
+
   val defs: Vector[QueryDef] = Vector(
 
     // ---- scan / filter / project -------------------------------------
@@ -268,6 +273,51 @@ object Relational {
              |EXCEPT
              |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- intersect ---------------------------------------------------
+    QueryDef("q_intersect",
+      (s, dir) => {
+        val c = rd(s, dir, "customer")
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .intersect(c.filter(col("c_acctbal") > 5000.0).select("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |INTERSECT
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- explicit grouping sets (SQL surface) ------------------------
+    QueryDef("q_grouping_sets",
+      (s, dir) => {
+        rd(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+                 |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS revenue
+                 |FROM orders
+                 |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                 |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority,
+              |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS revenue
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // ---- typed Dataset surface (case-class pipeline) -----------------
+    QueryDef("q_typed_count",
+      (s, dir) => {
+        import s.implicits._
+        rd(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice").as[Ord]
+          .filter(_.o_totalprice > 100000.0)
+          .groupByKey(_.o_orderstatus)
+          .count()
+          .toDF("o_orderstatus", "n_big")
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_big FROM orders
+             |WHERE o_totalprice > 100000.0
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // ---- exact distinct ----------------------------------------------
     QueryDef("q_distinct",

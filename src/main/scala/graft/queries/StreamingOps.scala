@@ -32,14 +32,28 @@ object StreamingOps {
     else raw
   }
 
+  /** Streaming state partitions should be sized to state volume, not to
+   * the batch-side CPU count: these windowed aggs hold at most a few
+   * thousand open keys (windows × types, users), and every micro-batch
+   * pays per-partition state-store init/commit. 32 partitions measured
+   * 4.5s for the sliding window at sf0.1 vs 2.7s at 8. The conf is
+   * set for the stream start only and restored after. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Run a (bounded) streaming aggregation to completion into a memory
    * sink and hand back the result table. */
-  private def runToBatch(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
-    val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.outputMode("complete").format("memory").queryName(qn).start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(qn)
-  }
+  private def runToBatch(s: SparkSession, agg: DataFrame, name: String): DataFrame =
+    withStatePartitions(s, 8) {
+      val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(qn).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+    }
 
   val defs: Vector[QueryDef] = Vector(
 
@@ -139,12 +153,15 @@ object StreamingOps {
           }
           .toDF("user_id", "n_events")
         val qn = "s_stateful_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = agg.writeStream.outputMode("update").format("memory").queryName(qn).start()
-        try q.processAllAvailable() finally q.stop()
+        val t = withStatePartitions(s, 8) {
+          val q = agg.writeStream.outputMode("update").format("memory").queryName(qn).start()
+          try q.processAllAvailable() finally q.stop()
+          s.table(qn)
+        }
         // the update-mode memory sink appends one row per (user, batch);
         // counts are monotone per user, so max = final state even if the
         // source ever splits into multiple micro-batches
-        s.table(qn).groupBy("user_id")
+        t.groupBy("user_id")
           .agg(max(col("n_events")).as("n_events"))
           .orderBy("user_id")
       },
