@@ -13,9 +13,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/parquet-reader bring-up is session cost,
-    // not query cost (the smallest sf keeps it cheap)
+    // not query cost (the smallest sf keeps it cheap). The streaming
+    // engine has its own ~10s one-time bring-up (micro-batch planner,
+    // state store machinery), so warm both paths.
     try spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => () }
+    try SparkEntry.queries("s_tumbling_counts")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
