@@ -33,16 +33,29 @@ object DdlRenderer {
   private val Ind = 4
 
   /** Full script: `drop table` + `create table`, matching the frame at
-   * reference src/parquetutils.rs:33-56. */
+   * reference src/parquetutils.rs:33-56.
+   *
+   * `lowCardinality` names top-level String columns to wrap as
+   * `LowCardinality(String)` (ClickHouse dictionary encoding — the
+   * extended-mode M5 item from SURVEY.md §7). Ignored in Legacy mode and
+   * for non-String/nested columns; candidates can be mined from data
+   * with [[SchemaUtils.suggestLowCardinality]]. */
   def render(schema: StructType, table: String, primaryKey: String,
-             mode: Mode = Legacy): String = {
+             mode: Mode = Legacy,
+             lowCardinality: Set[String] = Set.empty): String = {
     val sb = new StringBuilder
     sb ++= s"drop table if exists $table;\n"
     sb ++= s"create table $table (\n"
+    val lc = if (mode == Legacy) Set.empty[String] else lowCardinality
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       sb ++= " " * Ind
       if (i > 0) sb ++= ", "
-      renderField(sb, f.name, f.dataType, indent = Ind, primaryKey, mode)
+      // ClickHouse nests Nullable INSIDE LowCardinality
+      if (lc(f.name) && f.dataType == StringType)
+        sb ++= (if (f.name == primaryKey) s"${f.name} LowCardinality(String)\n"
+                else s"${f.name} LowCardinality(Nullable(String))\n")
+      else
+        renderField(sb, f.name, f.dataType, indent = Ind, primaryKey, mode)
     }
     sb ++= s") engine = MergeTree() primary key ($primaryKey);\n"
     sb.toString

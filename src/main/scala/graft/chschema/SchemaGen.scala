@@ -17,12 +17,35 @@ object SchemaUtils {
   def parquetSchema(spark: SparkSession, path: String) =
     spark.read.parquet(path).schema
 
+  /** Data-driven LowCardinality candidates: top-level String columns
+   * whose approximate distinct count is below `maxDistinct`. NOTE: this
+   * is the one schema utility that scans row data (one distributed
+   * aggregate over the string columns) — unlike the footer-only DDL
+   * path, its cost is O(rows), which is why it is a separate opt-in
+   * tool rather than part of render(). */
+  def suggestLowCardinality(spark: SparkSession, path: String,
+                            maxDistinct: Long = 1000L): Set[String] = {
+    import org.apache.spark.sql.functions.approx_count_distinct
+    val df = spark.read.parquet(path)
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }
+    if (stringCols.isEmpty) Set.empty
+    else {
+      val aggs = stringCols.map(c => approx_count_distinct(df(c)).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      stringCols.filter(c => row.getAs[Long](c) <= maxDistinct).toSet
+    }
+  }
+
   /** End-to-end equivalent of the reference's library entry point
    * `parquet_schema_to_clickhouse` (src/parquetutils.rs:17-61). */
   def parquetSchemaToClickHouse(spark: SparkSession, parquetPath: String,
                                 outPath: String, table: String, pk: String,
-                                mode: ClickHouseType.Mode = ClickHouseType.Legacy): Unit = {
-    val ddl = DdlRenderer.render(parquetSchema(spark, parquetPath), table, pk, mode)
+                                mode: ClickHouseType.Mode = ClickHouseType.Legacy,
+                                lowCardinality: Set[String] = Set.empty): Unit = {
+    val ddl = DdlRenderer.render(parquetSchema(spark, parquetPath), table, pk,
+      mode, lowCardinality)
     Files.writeString(Paths.get(outPath), ddl)
     ()
   }
@@ -51,6 +74,9 @@ object SchemaGen {
     val mode =
       if (kv.get("mode").contains("extended")) ClickHouseType.Extended
       else ClickHouseType.Legacy
+    // --low-cardinality a,b,c  (explicit) or --low-cardinality auto
+    // (data-driven via SchemaUtils.suggestLowCardinality; scans rows)
+    val lcArg = kv.get("low-cardinality")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[2]"))
@@ -61,7 +87,14 @@ object SchemaGen {
       // also the reference's timestamp mapping
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    try SchemaUtils.parquetSchemaToClickHouse(spark, parquetPath, outPath, table, pk, mode)
-    finally spark.stop()
+    try {
+      val lc: Set[String] = lcArg match {
+        case Some("auto") => SchemaUtils.suggestLowCardinality(spark, parquetPath)
+        case Some(cols) => cols.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        case None => Set.empty
+      }
+      SchemaUtils.parquetSchemaToClickHouse(spark, parquetPath, outPath, table,
+        pk, mode, lc)
+    } finally spark.stop()
   }
 }

@@ -123,6 +123,23 @@ class DdlRendererSpec extends AnyFunSuite {
       DdlRenderer.render(StructType(Seq(StructField("m", DecimalType(12, 2)))), "x", "m"))
   }
 
+  test("LowCardinality wraps nominated String columns in extended mode only") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("note", StringType), StructField("n", IntegerType)))
+    val ext = DdlRenderer.render(schema, "t", "id", ClickHouseType.Extended,
+      lowCardinality = Set("status", "n"))
+    assert(ext.contains(", status LowCardinality(Nullable(String))\n"))
+    assert(ext.contains(", note Nullable(String)\n"))  // not nominated
+    assert(ext.contains(", n Nullable(Int32)\n"))      // nominated but not String
+    val legacy = DdlRenderer.render(schema, "t", "id", ClickHouseType.Legacy,
+      lowCardinality = Set("status"))
+    assert(!legacy.contains("LowCardinality"))         // legacy byte-compat wins
+    val extPk = DdlRenderer.render(schema, "t", "status", ClickHouseType.Extended,
+      lowCardinality = Set("status"))
+    assert(extPk.contains(", status LowCardinality(String)\n")) // pk non-null
+  }
+
   test("deep nesting: map value tuple containing a list") {
     val schema = StructType(Seq(
       StructField("k", LongType),
