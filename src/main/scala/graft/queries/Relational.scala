@@ -204,6 +204,26 @@ object Relational {
              |  FROM orders) t
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    // ---- group-wise top-k via the custom TopKPerKey operator ---------
+    // Same semantics as q_window_rank minus the rank column, but planned
+    // as partial-prune → exchange → final emit (graft.plans.TopKPerKey)
+    // instead of WindowExec + Filter — the map-side prune bounds what
+    // the shuffle carries.
+    QueryDef("q_topk_per_key",
+      (s, dir) => {
+        val o = rd(s, dir, "orders")
+        graft.plans.TopK.perKey(o, Seq("o_custkey"),
+            Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ---- analytic window with frame (running sum, exact decimal) -----
     QueryDef("q_window_running",
       (s, dir) => {
