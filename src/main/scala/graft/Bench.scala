@@ -13,14 +13,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/parquet-reader bring-up is session cost,
-    // not query cost (the smallest sf keeps it cheap). The streaming
-    // engine has its own ~10s one-time bring-up (micro-batch planner,
-    // state store machinery), so warm both paths.
-    try spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // not query cost. The streaming engine has its own ~10s one-time
+    // bring-up (micro-batch planner, state store machinery), so warm both
+    // paths — against the bench's own data dir so the warmup cannot
+    // silently miss when the default testdata path doesn't exist.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
-    catch { case _: Throwable => () }
-    try SparkEntry.queries("s_tumbling_counts")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    catch { case e: Throwable => System.err.println(s"[bench] batch warmup skipped: ${e.getMessage}") }
+    try SparkEntry.queries("s_tumbling_counts")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] stream warmup skipped: ${e.getMessage}") }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -89,6 +89,11 @@ object SchemaGen {
       .getOrCreate()
     try {
       val lc: Set[String] = lcArg match {
+        case Some(_) if mode == ClickHouseType.Legacy =>
+          // don't pay the auto row scan for a flag Legacy mode ignores
+          System.err.println(
+            "[schemagen] --low-cardinality has no effect without --mode extended; ignoring")
+          Set.empty
         case Some("auto") => SchemaUtils.suggestLowCardinality(spark, parquetPath)
         case Some(cols) => cols.split(",").map(_.trim).filter(_.nonEmpty).toSet
         case None => Set.empty

@@ -64,13 +64,19 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     val kLocal = k
     val keysLocal = keys
     val childOutput = child.output
+    val keyTypes = keys.map(_.dataType)
     GraftSqlBridge.mapPartitionsInternal(child.execute()) { iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
+      // group boundaries must use the SAME logical ordering as the sort
+      // (byte equality would split sort-equal keys with distinct binary
+      // encodings, e.g. case-insensitive collated strings)
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(keyTypes)
       var currentKey: UnsafeRow = null
       var seen = 0
       iter.filter { row =>
         val key = keyProj(row)
-        if (currentKey == null || key != currentKey) {
+        if (currentKey == null || keyOrd.compare(key, currentKey) != 0) {
           currentKey = key.copy()
           seen = 0
         }

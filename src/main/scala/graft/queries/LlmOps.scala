@@ -108,7 +108,9 @@ object LlmOps {
         val docs = docsWithShingles(s, dir).cache()
         // hash each shingle string ONCE; the single-pass MinHashAgg
         // aggregator (graft.functions) folds all 32 permutations into one
-        // k-long signature state — one shuffle of 32 longs per doc
+        // signature state — one aggregation state/pass instead of 32 agg
+        // expressions (the shuffle already carried 32 partial-min longs
+        // per doc either way; the win is plan width and per-row CPU)
         val exploded = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
           .select(col("doc_id"), xxhash64(col("tok")).as("h"))
         val sigs = exploded.groupBy("doc_id")

@@ -36,8 +36,11 @@ object StreamingOps {
    * the batch-side CPU count: these windowed aggs hold at most a few
    * thousand open keys (windows × types, users), and every micro-batch
    * pays per-partition state-store init/commit. 32 partitions measured
-   * 4.5s for the sliding window at sf0.1 vs 2.7s at 8. The conf is
-   * set for the stream start only and restored after. */
+   * 4.5s for the sliding window at sf0.1 vs 2.7s at 8.
+   *
+   * INVARIANT: the conf is session-global while the stream runs, so
+   * callers must not plan other queries on this session concurrently
+   * (Verify/Bench are strictly sequential). Restored on all exits. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -47,10 +50,11 @@ object StreamingOps {
 
   /** Run a (bounded) streaming aggregation to completion into a memory
    * sink and hand back the result table. */
-  private def runToBatch(s: SparkSession, agg: DataFrame, name: String): DataFrame =
+  private def runToBatch(s: SparkSession, agg: DataFrame, name: String,
+                         mode: String = "complete"): DataFrame =
     withStatePartitions(s, 8) {
       val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.outputMode("complete").format("memory").queryName(qn).start()
+      val q = agg.writeStream.outputMode(mode).format("memory").queryName(qn).start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn)
     }
@@ -152,16 +156,11 @@ object StreamingOps {
               Iterator((uid, n))
           }
           .toDF("user_id", "n_events")
-        val qn = "s_stateful_counts_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val t = withStatePartitions(s, 8) {
-          val q = agg.writeStream.outputMode("update").format("memory").queryName(qn).start()
-          try q.processAllAvailable() finally q.stop()
-          s.table(qn)
-        }
         // the update-mode memory sink appends one row per (user, batch);
         // counts are monotone per user, so max = final state even if the
         // source ever splits into multiple micro-batches
-        t.groupBy("user_id")
+        runToBatch(s, agg, "s_stateful_counts", mode = "update")
+          .groupBy("user_id")
           .agg(max(col("n_events")).as("n_events"))
           .orderBy("user_id")
       },
