@@ -215,6 +215,31 @@ object LlmOps {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- array-function battery (size/sort/slice/contains/distinct) --
+    QueryDef("q_array_fns",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("toks", toks(col("text")))
+          .select(col("doc_id"),
+            expr("element_at(toks, 1)").as("first_tok"),
+            expr("element_at(toks, -1)").as("last_tok"),
+            concat_ws(",", slice(array_sort(array_distinct(col("toks"))), 1, 3))
+              .as("first3_sorted"),
+            array_contains(col("toks"), "spark").as("has_spark"),
+            expr("size(array_intersect(toks, array('join', 'merge', 'sort')))")
+              .cast("int").as("n_verbs"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  ts[1] AS first_tok,
+             |  ts[-1] AS last_tok,
+             |  array_to_string(list_sort(list_distinct(ts))[1:3], ',') AS first3_sorted,
+             |  list_contains(ts, 'spark') AS has_spark,
+             |  CAST(len(list_intersect(ts, ['join', 'merge', 'sort'])) AS INTEGER)
+             |    AS n_verbs
+             |FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- order-insensitive bag fingerprint (dedup primitive) ---------
     QueryDef("q_fingerprint",
       (s, dir) => {

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Map-typed column surface (SURVEY.md §2.B "array / map fns" row):
+ * construction, key/value extraction, transformation. Spec-level rather
+ * than oracle-level because DuckDB's MAP extraction semantics differ
+ * across versions. */
+class MapFunctionsSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sf}
+
+  test("map construction, extraction, keys/values, transform") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("meta", map(lit("lang"), col("lang"), lit("source"), col("source")))
+    val row = d.select(
+        expr("element_at(meta, 'lang')").as("l"),
+        map_keys(col("meta")).as("ks"),
+        map_values(col("meta")).as("vs"),
+        expr("map_entries(meta)[0].key").as("k0"),
+        expr("transform_values(meta, (k, v) -> upper(v))['lang']").as("ul"),
+        col("lang"))
+      .head()
+    assert(row.getAs[String]("l") == row.getAs[String]("lang"))
+    assert(row.getSeq[String](1) == Seq("lang", "source"))
+    assert(row.getAs[String]("k0") == "lang")
+    assert(row.getAs[String]("ul") == row.getAs[String]("lang").toUpperCase)
+  }
+
+  test("map round-trips through parquet (CH Map DDL twin)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-map").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), map(lit("n_chars"), col("n_chars")).as("stats"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.select(expr("element_at(stats, 'n_chars')")).count() > 0)
+    val ddl = graft.chschema.DdlRenderer.render(back.schema, "m", "doc_id")
+    assert(ddl.contains("stats Map (\n        String\n        , Int64\n    )"))
+  }
+}
