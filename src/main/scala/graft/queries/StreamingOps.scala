@@ -135,6 +135,45 @@ object StreamingOps {
              |FROM y GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ---- stream-stream interval join ---------------------------------
+    // Two live streams (signups, purchases of the same user) joined on a
+    // time-range condition; the watermarks bound both sides' join state,
+    // which is what makes this viable on unbounded streams. Append mode:
+    // inner-join matches emit as soon as both rows are in state.
+    QueryDef("s_stream_join",
+      (s, dir) => {
+        val base = streamEvents(s, dir)
+        val signups = base.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("signup_ts"),
+            col("event_id").as("signup_id"))
+          .withWatermark("signup_ts", "10 minutes")
+        val purchases = base.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("purchase_ts", "10 minutes")
+        val joined = signups.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("signup_ts") &&
+            col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 30 MINUTES"))
+        val qn = "s_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val t = withStatePartitions(s, 8) {
+          val q = joined.writeStream.outputMode("append").format("memory")
+            .queryName(qn).start()
+          try q.processAllAvailable() finally q.stop()
+          s.table(qn)
+        }
+        t.select("user_id", "signup_id", "purchase_id", "signup_ts", "purchase_ts")
+          .orderBy("user_id", "signup_id", "purchase_id")
+      },
+      Some("""SELECT a.user_id AS user_id, a.event_id AS signup_id,
+             |       b.event_id AS purchase_id,
+             |       a.ts AS signup_ts, b.ts AS purchase_ts
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND a.event_type = 'signup' AND b.event_type = 'purchase'
+             | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+             |ORDER BY a.user_id, signup_id, purchase_id""".stripMargin)),
+
     // ---- custom state: per-user event counter ------------------------
     // flatMapGroupsWithState with an explicit GroupState — the escape
     // hatch for state machines windowed aggs can't express. With one

@@ -22,7 +22,7 @@ class QueryBatterySpec extends AnyFunSuite {
     "q_dedup_exact", "q_neardup_pairs", "q_text_tokens", "q_text_stats",
     "q_text_quality", "q_fingerprint", "q_vec_norm", "q_knn_cosine",
     "q_knn_ivf", "q_multimodal_meta", "s_tumbling_counts",
-    "s_sliding_value", "s_session", "s_stateful_counts", "schema_columns",
+    "s_sliding_value", "s_session", "s_stateful_counts", "s_stream_join", "schema_columns",
     "ddl_lineitem", "q_asof_last_signup", "q_approx_distinct", "q_simhash",
     "q_intersect", "q_grouping_sets", "q_typed_count", "q_topk_per_key", "q_array_fns",
     "q_lang_id", "q_rolling_hash", "q_media_pipeline")
