@@ -155,14 +155,10 @@ object StreamingOps {
           col("user_id") === col("p_user_id") &&
             col("purchase_ts") >= col("signup_ts") &&
             col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 30 MINUTES"))
-        val qn = "s_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val t = withStatePartitions(s, 8) {
-          val q = joined.writeStream.outputMode("append").format("memory")
-            .queryName(qn).start()
-          try q.processAllAvailable() finally q.stop()
-          s.table(qn)
-        }
-        t.select("user_id", "signup_id", "purchase_id", "signup_ts", "purchase_ts")
+        // append mode: inner stream-stream joins emit complete results for
+        // a bounded input (unlike windowed aggs, which need complete mode)
+        runToBatch(s, joined, "s_stream_join", mode = "append")
+          .select("user_id", "signup_id", "purchase_id", "signup_ts", "purchase_ts")
           .orderBy("user_id", "signup_id", "purchase_id")
       },
       Some("""SELECT a.user_id AS user_id, a.event_id AS signup_id,

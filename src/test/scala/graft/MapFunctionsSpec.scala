@@ -28,13 +28,25 @@ class MapFunctionsSpec extends AnyFunSuite {
   }
 
   test("map round-trips through parquet (CH Map DDL twin)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-map").toString
-    spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), map(lit("n_chars"), col("n_chars")).as("stats"))
-      .write.mode("overwrite").parquet(dir)
-    val back = spark.read.parquet(dir)
-    assert(back.select(expr("element_at(stats, 'n_chars')")).count() > 0)
-    val ddl = graft.chschema.DdlRenderer.render(back.schema, "m", "doc_id")
-    assert(ddl.contains("stats Map (\n        String\n        , Int64\n    )"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-map")
+    try {
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("n_chars"),
+          map(lit("n_chars"), col("n_chars")).as("stats"))
+        .write.mode("overwrite").parquet(dir.toString)
+      val back = spark.read.parquet(dir.toString)
+      // values must survive the round trip, not just the row count
+      val broken = back
+        .filter(not(expr("element_at(stats, 'n_chars')") <=> col("n_chars")))
+        .count()
+      assert(broken == 0 && back.count() > 0)
+      val ddl = graft.chschema.DdlRenderer.render(
+        org.apache.spark.sql.types.StructType(
+          Seq(back.schema("doc_id"), back.schema("stats"))), "m", "doc_id")
+      assert(ddl.contains("stats Map (\n        String\n        , Int64\n    )"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
   }
 }
