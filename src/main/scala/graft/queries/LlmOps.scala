@@ -39,6 +39,40 @@ object LlmOps {
       .withColumn("sh", expr(shingleExpr))
       .select("doc_id", "sh")
 
+  /** MinHash-LSH candidate generation + exact-Jaccard scoring over a
+   * (doc_id, sh) frame — shared by q_neardup_pairs and the corpus
+   * pipeline. Returns (a_id, b_id, jaccard) for pairs above `threshold`
+   * with a_id < b_id. */
+  private[queries] def neardupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // hash each shingle string ONCE; the single-pass MinHashAgg
+    // aggregator (graft.functions) folds all 32 permutations into one
+    // signature state — one aggregation state/pass instead of 32 agg
+    // expressions (the shuffle already carried 32 partial-min longs
+    // per doc either way; the win is plan width and per-row CPU)
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val sigs = exploded.groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
+    val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
+      xxhash64(element_at(col("sig"), 2 * b + 1),
+        element_at(col("sig"), 2 * b + 2)).as("bv")))
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") > threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Sequential-fold double dot product over two float arrays, via the
    * codegen [[graft.functions.FloatVecDot]] kernel (bit-identical to the
    * zip_with/aggregate HOF fold and to the oracle's list_dot_product
@@ -106,32 +140,7 @@ object LlmOps {
     QueryDef("q_neardup_pairs",
       (s, dir) => {
         val docs = docsWithShingles(s, dir).cache()
-        // hash each shingle string ONCE; the single-pass MinHashAgg
-        // aggregator (graft.functions) folds all 32 permutations into one
-        // signature state — one aggregation state/pass instead of 32 agg
-        // expressions (the shuffle already carried 32 partial-min longs
-        // per doc either way; the win is plan width and per-row CPU)
-        val exploded = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
-          .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-        val sigs = exploded.groupBy("doc_id")
-          .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
-        val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
-          xxhash64(element_at(col("sig"), 2 * b + 1),
-            element_at(col("sig"), 2 * b + 2)).as("bv")))
-        val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
-        val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
-        cand.join(a, "a_id").join(b, "b_id")
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-          .withColumn("jaccard",
-            col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
-          .filter(col("jaccard") > 0.5)
+        neardupPairs(docs, threshold = 0.5)
           .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy("a_id", "b_id")
       },
@@ -349,6 +358,55 @@ object LlmOps {
               |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |SELECT a_id, b_id, bucket, ROUND(cos, 4) AS cosine FROM s
               |WHERE cos > 0.35 ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- corpus cleaning pipeline (composition capstone) -------------
+    // The canonical training-data flow in ONE declarative plan: quality
+    // filter → exact dedup (keep min id) → near-dup removal (drop the
+    // larger member of each >0.5-Jaccard pair). Every stage is one of
+    // the operators above; Catalyst fuses the lot. Deduping drops the
+    // larger id in a single pass (no transitive chasing) — declared
+    // semantics, identical in the oracle.
+    QueryDef("q_corpus_pipeline",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+          .withColumn("toks", toks(col("text")))
+          .filter(size(col("toks")) >= 20)
+        val exactKeep = docs
+          .withColumn("text_md5", md5(lower(trim(col("text")))))
+          .withColumn("keep_id", min(col("doc_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("text_md5")))
+          .filter(col("doc_id") === col("keep_id"))
+        val shingled = exactKeep
+          .withColumn("sh", expr(shingleExpr))
+          .select("doc_id", "sh")
+        val dropB = neardupPairs(shingled, threshold = 0.5)
+          .select(col("b_id").as("doc_id")).distinct()
+        exactKeep.join(dropB, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"),
+            size(col("toks")).cast("int").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (SELECT doc_id, lang, source, text,
+             |             string_split(text, ' ') AS ts
+             |           FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 20),
+             |e AS (SELECT * FROM (
+             |        SELECT q.*, MIN(doc_id) OVER (PARTITION BY md5(LOWER(TRIM(text))))
+             |          AS keep_id FROM q) t
+             |      WHERE doc_id = keep_id),
+             |sh AS (SELECT doc_id,
+             |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |                        for i in range(1, len(ts) - 1)]) AS s
+             |       FROM e),
+             |drop_b AS (SELECT DISTINCT b.doc_id
+             |           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0.5)
+             |SELECT e.doc_id, e.lang, e.source,
+             |       CAST(len(e.ts) AS INTEGER) AS n_tokens
+             |FROM e LEFT JOIN drop_b ON e.doc_id = drop_b.doc_id
+             |WHERE drop_b.doc_id IS NULL
+             |ORDER BY e.doc_id""".stripMargin)),
 
     // ---- multimodal metadata plumbing --------------------------------
     // Media payloads are opaque binary columns; the decode step is a

@@ -19,7 +19,7 @@ class QueryBatterySpec extends AnyFunSuite {
     "q_broadcast_part", "q_semi_has_big_order", "q_window_rank",
     "q_window_running", "q_window_lag", "q_topk", "q_distinct", "q_rollup",
     "q_cube", "q_scalar_fns", "q_json_props", "q_time_bucket",
-    "q_dedup_exact", "q_neardup_pairs", "q_text_tokens", "q_text_stats",
+    "q_dedup_exact", "q_neardup_pairs", "q_corpus_pipeline", "q_text_tokens", "q_text_stats",
     "q_text_quality", "q_fingerprint", "q_vec_norm", "q_knn_cosine",
     "q_knn_ivf", "q_multimodal_meta", "s_tumbling_counts",
     "s_sliding_value", "s_session", "s_stateful_counts", "s_stream_join", "schema_columns",
