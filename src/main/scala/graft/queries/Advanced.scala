@@ -198,6 +198,36 @@ object Advanced {
              |    (acc, v) -> (acc * 31 + v) % 1000000007) AS roll_fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- trained IVF ANN: KMeans centroids as the coarse quantizer ---
+    // The production-shape IVF: cells come from trained centroids
+    // (Spark MLlib KMeans, fixed seed) instead of sign bits, so cell
+    // populations are balanced by construction. Probe search touches one
+    // cell. Rows-only check (KMeans training is engine-specific); the
+    // battery spec asserts shape and score sanity.
+    QueryDef("q_knn_ivf_kmeans",
+      (s, dir) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        graft.functions.VectorFunctions.register(s)
+        val e = rd(s, dir, "embeddings")
+          .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .withColumn("features", array_to_vector(col("emb_d")))
+          .cache()
+        val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5).fit(e)
+        val cells = model.transform(e).withColumnRenamed("prediction", "cell")
+        val probe = cells.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pe"), col("cell").as("pc"))
+        val dot = graft.functions.VectorFunctions.vecDot _
+        cells.filter(col("vec_id") =!= 0)
+          .join(broadcast(probe), col("cell") === col("pc"))
+          .withColumn("cos", dot(col("embedding"), col("pe")) /
+            (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("pe"), col("pe")))))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("cell"), round(col("cos"), 4).as("cosine"))
+      },
+      None),
+
     // ---- multimodal decode pipeline (typed Dataset, mapPartitions) ---
     // Exercises graft.multimodal end-to-end: binary payload column →
     // partition-local stub decode → SQL aggregation over the decoded

@@ -25,7 +25,7 @@ class QueryBatterySpec extends AnyFunSuite {
     "s_sliding_value", "s_session", "s_stateful_counts", "s_stream_join", "schema_columns",
     "ddl_lineitem", "q_asof_last_signup", "q_approx_distinct", "q_simhash",
     "q_intersect", "q_grouping_sets", "q_typed_count", "q_topk_per_key", "q_array_fns",
-    "q_lang_id", "q_rolling_hash", "q_media_pipeline")
+    "q_lang_id", "q_rolling_hash", "q_media_pipeline", "q_knn_ivf_kmeans")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
