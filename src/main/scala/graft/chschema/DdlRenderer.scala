@@ -75,6 +75,14 @@ object DdlRenderer {
       sb ++= " " * indent
       sb ++= ")\n"
 
+    case ArrayType(et, _) if mode == ClickHouseType.Extended &&
+        !et.isInstanceOf[StructType] && !et.isInstanceOf[ArrayType] &&
+        !et.isInstanceOf[MapType] =>
+      // extended mode renders primitive lists as the native ClickHouse
+      // Array(T) (SURVEY.md §2.A R10) instead of the reference's
+      // Nested-with-element form
+      sb ++= s"$name Array(Nullable(${ClickHouseType.fromSpark(et, mode).name}))\n"
+
     case ArrayType(et, _) =>
       // visit_list_with_item (src/parquetutils.rs:263-291): `Nested (`
       // header; the 3-level `list`/`element` wrappers are transparent.

@@ -140,6 +140,19 @@ class DdlRendererSpec extends AnyFunSuite {
     assert(extPk.contains(", status LowCardinality(String)\n")) // pk non-null
   }
 
+  test("extended mode renders primitive lists as Array(T) (SURVEY §2.A R10)") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("tags", ArrayType(StructType(Seq(StructField("t", StringType)))))))
+    val ext = DdlRenderer.render(schema, "e", "vec_id", ClickHouseType.Extended)
+    assert(ext.contains(", embedding Array(Nullable(Float32))\n"))
+    // struct lists keep the Nested form in both modes
+    assert(ext.contains(", tags Nested (\n"))
+    val legacy = DdlRenderer.render(schema, "e", "vec_id")
+    assert(legacy.contains("embedding Nested (\n        element Nullable(Float32)\n    )"))
+  }
+
   test("deep nesting: map value tuple containing a list") {
     val schema = StructType(Seq(
       StructField("k", LongType),
