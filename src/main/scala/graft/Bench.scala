@@ -30,6 +30,9 @@ object Bench {
         failed ::= name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      // drop builder-cached intermediates so blocks don't leak across
+      // the bench session (cache population is timed with its query)
+      finally spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -37,7 +40,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // a failed query must not masquerade as a fast success
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout goes through sbt's [info] prefixer, which broke the driver's
+    // machine-parse in round 1 — persist the same line to a file as well.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Single-pass 32-bit SimHash aggregator, the companion to [[MinHashAgg]].
+ *
+ * Input is the md5 hex digest of one (distinct) token; bit b of the
+ * fingerprint is voted by hex nibble b of that digest (+1 when the
+ * nibble is >= 8, else -1), and a bit is set when its vote total is
+ * strictly positive — exactly the semantics of the expression-based
+ * formulation (`instr('0123456789abcdef', substring(md5(tok), b+1, 1))`)
+ * and of the DuckDB oracle, so results are bit-identical.
+ *
+ * The round-1 plan exploded every (doc, token) row 32 times via
+ * `sequence(0, 31)` and ran two aggregations (VERDICT r1 finding 3);
+ * this aggregator folds all 32 bit-votes into one Array[Int] state per
+ * document in a single pass. Merge is element-wise add, so the aggregate
+ * is map-side combinable and shuffles 32 ints per document regardless of
+ * document length.
+ */
+class SimHashAgg extends Aggregator[String, Array[Int], Long] {
+
+  override def zero: Array[Int] = new Array[Int](32)
+
+  override def reduce(buf: Array[Int], md5Hex: String): Array[Int] = {
+    var b = 0
+    while (b < 32) {
+      val c = md5Hex.charAt(b)
+      val nib = if (c >= 'a') c - 'a' + 10 else c - '0'
+      buf(b) += (if (nib >= 8) 1 else -1)
+      b += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 32) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Int]): Long = {
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (buf(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
+  override def outputEncoder: Encoder[Long] = ExpressionEncoder[Long]()
+}
+
+object SimHashAgg {
+  /** Column function: `simhash(md5HexCol)` → long fingerprint. */
+  val simhash: Column => Column = {
+    val fn = udaf(new SimHashAgg)
+    (c: Column) => fn(c)
+  }
+}

@@ -62,9 +62,13 @@ object Advanced {
         a.join(b, Seq("user_id", "bk"))
           .filter(col("a_id") < col("b_id") &&
             abs(col("b_us") - col("a_us")) <= window)
+          // no distinct needed: b keeps its single home bucket and a's
+          // three replicas are distinct bucket values, so each (a, b)
+          // pair can satisfy the bk equality in exactly one replica —
+          // a distinct here was a wasted full-pair-set shuffle
+          // (VERDICT r1 finding 4)
           .select(col("a_id"), col("b_id"), col("user_id"),
             (col("b_us") - col("a_us")).as("dt_us"))
-          .distinct()
           .orderBy("a_id", "b_id")
       },
       Some("""SELECT a.event_id AS a_id, b.event_id AS b_id,
@@ -92,23 +96,18 @@ object Advanced {
     // ---- SimHash document fingerprint (dedup primitive) --------------
     // 32-bit simhash over distinct tokens, each bit voted by an
     // md5-nibble of the token — md5 is the one hash both engines share,
-    // so even this is oracle-checkable. One explode + two aggregations;
-    // at scale this is a map-side-combinable shuffle on doc_id.
+    // so even this is oracle-checkable. ONE explode + ONE single-pass
+    // aggregation: graft.functions.SimHashAgg folds all 32 bit-votes
+    // into one Array[Int] state per doc (map-side combinable, 32 ints
+    // per doc on the shuffle), replacing round 1's ×32 row blowup via
+    // explode(sequence(0, 31)) + double aggregation.
     QueryDef("q_simhash",
       (s, dir) => {
-        val toks = rd(s, dir, "documents")
+        rd(s, dir, "documents")
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val bits = toks
-          .select(col("doc_id"), col("tok"),
-            explode(expr("sequence(0, 31)")).as("b"))
-          .withColumn("nib",
-            expr("instr('0123456789abcdef', substring(md5(tok), b + 1, 1)) - 1"))
-          .groupBy("doc_id", "b")
-          .agg(sum(when(col("nib") >= 8, 1).otherwise(-1)).as("sgn"))
-        bits.groupBy("doc_id")
-          .agg(sum(when(col("sgn") > 0,
-            expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash32"))
+          .groupBy("doc_id")
+          .agg(graft.functions.SimHashAgg.simhash(md5(col("tok"))).as("simhash32"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -214,6 +213,10 @@ object Advanced {
           .withColumn("features", array_to_vector(col("emb_d")))
           .cache()
         val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5).fit(e)
+        // the cache earned its keep during the 5 training iterations;
+        // drop it now so blocks don't leak across the bench session —
+        // the two scans below recompute e once each, which is cheap
+        e.unpersist()
         val cells = model.transform(e).withColumnRenamed("prediction", "cell")
         val probe = cells.filter(col("vec_id") === 0)
           .select(col("embedding").as("pe"), col("cell").as("pc"))

@@ -371,14 +371,23 @@ object LlmOps {
         val docs = rd(s, dir, "documents")
           .withColumn("toks", toks(col("text")))
           .filter(size(col("toks")) >= 20)
+        // cached: referenced by the shingle build below AND the final
+        // anti-join — uncached, the scan + dedup window ran twice
         val exactKeep = docs
           .withColumn("text_md5", md5(lower(trim(col("text")))))
           .withColumn("keep_id", min(col("doc_id"))
             .over(org.apache.spark.sql.expressions.Window.partitionBy("text_md5")))
           .filter(col("doc_id") === col("keep_id"))
+          .cache()
+        // neardupPairs references its input three times (signature build
+        // + both sides of the exact verify join); without the cache the
+        // whole quality-filter → dedup-window → shingle prefix ran three
+        // times (VERDICT r1 finding 6). The harness clears caches after
+        // each query, so this does not leak across the bench session.
         val shingled = exactKeep
           .withColumn("sh", expr(shingleExpr))
           .select("doc_id", "sh")
+          .cache()
         val dropB = neardupPairs(shingled, threshold = 0.5)
           .select(col("b_id").as("doc_id")).distinct()
         exactKeep.join(dropB, Seq("doc_id"), "left_anti")

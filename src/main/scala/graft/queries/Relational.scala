@@ -141,15 +141,25 @@ object Relational {
               |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin)),
 
     // ---- anti join ---------------------------------------------------
+    // Anti-join against a filtered subset (orders placed in 1997) so the
+    // result is non-empty at every sf — an unfiltered anti-join returned 0
+    // rows on both engines (every customer has an order), which verified
+    // nothing (VERDICT r1 finding 1).
     QueryDef("q_anti_no_orders",
       (s, dir) => {
-        val c = rd(s, dir, "customer"); val o = rd(s, dir, "orders")
+        val c = rd(s, dir, "customer")
+        val o = rd(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderdate >= TIMESTAMP '1997-01-01'
+             |                    AND o_orderdate < TIMESTAMP '1998-01-01')
              |ORDER BY c_custkey""".stripMargin)),
 
     // ---- semi join ---------------------------------------------------
