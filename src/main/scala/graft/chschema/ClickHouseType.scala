@@ -40,8 +40,16 @@ object ClickHouseType {
   case object Extended extends Mode
 
   final case class UnsupportedType(dt: DataType, mode: Mode)
-      extends IllegalArgumentException(
-        s"no ClickHouse mapping for Spark type ${dt.simpleString} in $mode mode")
+      extends IllegalArgumentException({
+        val base = s"no ClickHouse mapping for Spark type ${dt.simpleString} in $mode mode"
+        // a Legacy-mode user hitting a Decimal/Byte/Short/… column should
+        // learn the escape hatch, not just the failure
+        val extendedHasIt = mode == Legacy &&
+          (try { fromSpark(dt, Extended); true }
+           catch { case _: IllegalArgumentException => false })
+        if (extendedHasIt) s"$base (this type maps losslessly in extended mode: pass --mode extended)"
+        else base
+      })
 
   /**
    * Scalar mapping from Spark's logical DataType. Spark has already

@@ -39,10 +39,21 @@ object DdlRenderer {
    * `LowCardinality(String)` (ClickHouse dictionary encoding — the
    * extended-mode M5 item from SURVEY.md §7). Ignored in Legacy mode and
    * for non-String/nested columns; candidates can be mined from data
-   * with [[SchemaUtils.suggestLowCardinality]]. */
+   * with [[SchemaUtils.suggestLowCardinality]].
+   *
+   * `partitionBy` (a raw ClickHouse expression, e.g. `toYYYYMM(d)`) and
+   * `orderBy` (sorting-key columns) extend the MergeTree clause — the
+   * first hand-edit a real ClickHouse user makes to the reference's
+   * output (it emits only `primary key (…)`, src/parquetutils.rs:54-56).
+   * Extended-mode-only, like LowCardinality; like the reference's pk,
+   * they are NOT validated against the schema (SURVEY.md §1.4.3), and
+   * ClickHouse itself enforces that the primary key prefixes the sorting
+   * key. */
   def render(schema: StructType, table: String, primaryKey: String,
              mode: Mode = Legacy,
-             lowCardinality: Set[String] = Set.empty): String = {
+             lowCardinality: Set[String] = Set.empty,
+             partitionBy: Option[String] = None,
+             orderBy: Seq[String] = Nil): String = {
     val sb = new StringBuilder
     sb ++= s"drop table if exists $table;\n"
     sb ++= s"create table $table (\n"
@@ -57,7 +68,12 @@ object DdlRenderer {
       else
         renderField(sb, f.name, f.dataType, indent = Ind, primaryKey, mode)
     }
-    sb ++= s") engine = MergeTree() primary key ($primaryKey);\n"
+    val extras = new StringBuilder
+    if (mode != Legacy) {
+      partitionBy.foreach(p => extras ++= s" partition by ($p)")
+      if (orderBy.nonEmpty) extras ++= s" order by (${orderBy.mkString(", ")})"
+    }
+    sb ++= s") engine = MergeTree()$extras primary key ($primaryKey);\n"
     sb.toString
   }
 

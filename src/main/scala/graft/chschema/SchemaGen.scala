@@ -43,9 +43,11 @@ object SchemaUtils {
   def parquetSchemaToClickHouse(spark: SparkSession, parquetPath: String,
                                 outPath: String, table: String, pk: String,
                                 mode: ClickHouseType.Mode = ClickHouseType.Legacy,
-                                lowCardinality: Set[String] = Set.empty): Unit = {
+                                lowCardinality: Set[String] = Set.empty,
+                                partitionBy: Option[String] = None,
+                                orderBy: Seq[String] = Nil): Unit = {
     val ddl = DdlRenderer.render(parquetSchema(spark, parquetPath), table, pk,
-      mode, lowCardinality)
+      mode, lowCardinality, partitionBy, orderBy)
     Files.writeString(Paths.get(outPath), ddl)
     ()
   }
@@ -77,6 +79,13 @@ object SchemaGen {
     // --low-cardinality a,b,c  (explicit) or --low-cardinality auto
     // (data-driven via SchemaUtils.suggestLowCardinality; scans rows)
     val lcArg = kv.get("low-cardinality")
+    // --partition-by <raw CH expr>, --order-by a,b,c (extended mode only)
+    val partitionBy = kv.get("partition-by")
+    val orderBy = kv.get("order-by")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (mode == ClickHouseType.Legacy && (partitionBy.nonEmpty || orderBy.nonEmpty))
+      System.err.println(
+        "[schemagen] --partition-by/--order-by have no effect without --mode extended; ignoring")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[2]"))
@@ -99,7 +108,7 @@ object SchemaGen {
         case None => Set.empty
       }
       SchemaUtils.parquetSchemaToClickHouse(spark, parquetPath, outPath, table,
-        pk, mode, lc)
+        pk, mode, lc, partitionBy, orderBy)
     } finally spark.stop()
   }
 }

@@ -200,9 +200,15 @@ object Advanced {
     // ---- trained IVF ANN: KMeans centroids as the coarse quantizer ---
     // The production-shape IVF: cells come from trained centroids
     // (Spark MLlib KMeans, fixed seed) instead of sign bits, so cell
-    // populations are balanced by construction. Probe search touches one
-    // cell. Rows-only check (KMeans training is engine-specific); the
-    // battery spec asserts shape and score sanity.
+    // populations are balanced by construction. Probe search is
+    // MULTI-probe (nprobe=2): the 2 cells whose centroids are nearest
+    // the probe vector are scanned — the standard IVF recall/cost knob
+    // (single-cell recall@5 measured 0.6 on this corpus; nprobe=2 lifts
+    // it, pinned by AnnRecallSpec). Cell selection is driver-side over
+    // the k=8 trained centroids (O(k·dim), independent of corpus size);
+    // the scan itself stays fully distributed. Rows-only harness check
+    // (KMeans training is engine-specific); AnnRecallSpec verifies by
+    // value against the oracle-checked brute-force ranking.
     QueryDef("q_knn_ivf_kmeans",
       (s, dir) => {
         import org.apache.spark.ml.clustering.KMeans
@@ -215,14 +221,26 @@ object Advanced {
         val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5).fit(e)
         // the cache earned its keep during the 5 training iterations;
         // drop it now so blocks don't leak across the bench session —
-        // the two scans below recompute e once each, which is cheap
+        // the scans below recompute e once each, which is cheap
         e.unpersist()
+        // nprobe=2 cell selection: nearest centroids to the probe vector
+        // (one-row collect of the probe + k tiny centroid vectors)
+        val probeVec = e.filter(col("vec_id") === 0)
+          .select("emb_d").head().getSeq[Double](0).toArray
+        val probeCells = model.clusterCenters.zipWithIndex
+          .map { case (c, i) =>
+            var d = 0.0; var j = 0
+            while (j < probeVec.length) {
+              val diff = c(j) - probeVec(j); d += diff * diff; j += 1 }
+            (d, i) }
+          .sortBy(_._1).take(2).map(_._2)
         val cells = model.transform(e).withColumnRenamed("prediction", "cell")
         val probe = cells.filter(col("vec_id") === 0)
-          .select(col("embedding").as("pe"), col("cell").as("pc"))
+          .select(col("embedding").as("pe"))
         val dot = graft.functions.VectorFunctions.vecDot _
         cells.filter(col("vec_id") =!= 0)
-          .join(broadcast(probe), col("cell") === col("pc"))
+          .filter(col("cell").isin(probeCells.toSeq: _*))
+          .crossJoin(broadcast(probe))
           .withColumn("cos", dot(col("embedding"), col("pe")) /
             (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("pe"), col("pe")))))
           .orderBy(col("cos").desc, col("vec_id"))
@@ -234,8 +252,11 @@ object Advanced {
     // ---- multimodal decode pipeline (typed Dataset, mapPartitions) ---
     // Exercises graft.multimodal end-to-end: binary payload column →
     // partition-local stub decode → SQL aggregation over the decoded
-    // metadata. Rows-only check (mapPartitions is not SQL-expressible;
-    // the stub's determinism is spec-tested).
+    // metadata. Oracle-checked since round 2: the stub's wrapping-64-bit
+    // polynomial checksum is replicated in DuckDB with HUGEINT mod-2^64
+    // arithmetic (payloads are ASCII text bytes, so ascii(char) == byte),
+    // which pins the whole decode → aggregate path by value, not just
+    // row count.
     QueryDef("q_media_pipeline",
       (s, dir) => {
         val meta = graft.multimodal.MediaPipeline
@@ -248,6 +269,24 @@ object Advanced {
             max(col("n_frames")).as("max_frames"))
           .orderBy("kind")
       },
-      None)
+      Some("""WITH d AS (
+             |  SELECT CASE WHEN lang IN ('en','es') THEN 'image'
+             |              WHEN lang IN ('de','fr') THEN 'audio'
+             |              ELSE 'video' END AS kind,
+             |    octet_length(CAST(text AS BLOB)) AS byte_len,
+             |    list_reduce(list_prepend(0::HUGEINT,
+             |        list_transform(string_split(text, ''), c -> ascii(c)::HUGEINT)),
+             |      (acc, b) -> (acc * 131 + b) % 18446744073709551616::HUGEINT)
+             |      % 9223372036854775808 AS cs
+             |  FROM documents),
+             |m AS (SELECT kind, byte_len,
+             |        CAST(64 + (cs % 1216) AS BIGINT) AS width,
+             |        CAST(1 + ((cs // 4294967296) % 240) AS INTEGER) AS n_frames
+             |      FROM d)
+             |SELECT kind, COUNT(*) AS n_items,
+             |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+             |  CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_width,
+             |  MAX(n_frames) AS max_frames
+             |FROM m GROUP BY kind ORDER BY kind""".stripMargin))
   )
 }

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Q._
+
+/**
+ * Non-parquet source coverage promoted into the oracle gate (VERDICT r1
+ * item 9; previously only spec-pinned in SourcesSpec): each query routes
+ * a table parquet → text format → Spark's distributed reader → aggregate,
+ * and the oracle computes the same aggregate straight from the parquet
+ * table, so a value lost or mangled anywhere in the write/read round-trip
+ * hash-fails.
+ *
+ * Columns are restricted to integers and strings: those round-trip
+ * text formats exactly (doubles would re-enter via a parse), keeping
+ * the comparison about the SOURCE path, not float formatting.
+ *
+ * Scale posture: both readers are ordinary distributed file scans
+ * (CSV/JSON split by line), and the aggregation shuffles only the group
+ * keys. The local temp dir stands in for any shared filesystem/object
+ * store. Explicit schemas — never runtime inference — so the read is a
+ * single pass and types are pinned (inference is a second full scan at
+ * 100 TB and can widen types under dirty data).
+ */
+object SourceOps {
+
+  /** per-(session, sfDir) temp round-trip dir, written once */
+  private def roundTripDir(fmt: String, dir: String): java.nio.file.Path = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_src_$fmt$tag")
+  }
+
+  val defs: Vector[QueryDef] = Vector(
+
+    // ---- CSV source: customer keys/segments through csv ---------------
+    QueryDef("q_csv_source",
+      (s, dir) => {
+        val out = roundTripDir("csv", dir)
+        if (!java.nio.file.Files.exists(out))
+          rd(s, dir, "customer")
+            .select("c_custkey", "c_nationkey", "c_mktsegment")
+            .write.mode("overwrite").option("header", "true")
+            .csv(out.toString)
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_nationkey", LongType),
+          StructField("c_mktsegment", StringType)))
+        s.read.schema(schema).option("header", "true").csv(out.toString)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("c_custkey")).as("sum_key"),
+            countDistinct(col("c_nationkey")).as("n_nations"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_cust,
+             |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+             |  COUNT(DISTINCT c_nationkey) AS n_nations
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- JSON-lines source: order keys/status through json -------------
+    QueryDef("q_json_source",
+      (s, dir) => {
+        val out = roundTripDir("json", dir)
+        if (!java.nio.file.Files.exists(out))
+          rd(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+            .write.mode("overwrite").json(out.toString)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_orderpriority", StringType)))
+        s.read.schema(schema).json(out.toString)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_custkey")).as("max_cust"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             |  MIN(o_orderkey) AS min_key, MAX(o_custkey) AS max_cust
+             |FROM orders GROUP BY o_orderstatus, o_orderpriority
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
+  )
+}

@@ -176,4 +176,32 @@ class DdlRendererSpec extends AnyFunSuite {
         |""".stripMargin
     assert(DdlRenderer.render(schema, "deep", "k") == expected)
   }
+
+  test("Legacy-mode unsupported-type error suggests --mode extended when it applies") {
+    val ex = intercept[ClickHouseType.UnsupportedType](
+      DdlRenderer.render(StructType(Seq(StructField("d", DecimalType(12, 2)))), "x", "d"))
+    assert(ex.getMessage.contains("pass --mode extended"), ex.getMessage)
+    // a type neither mode supports must NOT advertise the escape hatch
+    val ex2 = intercept[ClickHouseType.UnsupportedType](
+      ClickHouseType.fromSpark(CalendarIntervalType, ClickHouseType.Legacy))
+    assert(!ex2.getMessage.contains("--mode extended"), ex2.getMessage)
+  }
+
+  test("extended mode emits partition by / multi-column order by in the MergeTree clause") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType),
+      StructField("v", DoubleType)))
+    val ext = DdlRenderer.render(schema, "t", "id", ClickHouseType.Extended,
+      partitionBy = Some("toYYYYMM(d)"), orderBy = Seq("id", "d"))
+    assert(ext.endsWith(
+      ") engine = MergeTree() partition by (toYYYYMM(d)) order by (id, d) primary key (id);\n"),
+      ext)
+    // absent flags leave the frame byte-identical to the reference form
+    val plain = DdlRenderer.render(schema, "t", "id", ClickHouseType.Extended)
+    assert(plain.endsWith(") engine = MergeTree() primary key (id);\n"), plain)
+    // Legacy mode ignores them: byte-compat with the reference golden wins
+    val legacy = DdlRenderer.render(schema, "t", "id", ClickHouseType.Legacy,
+      partitionBy = Some("toYYYYMM(d)"), orderBy = Seq("id"))
+    assert(legacy.endsWith(") engine = MergeTree() primary key (id);\n"), legacy)
+  }
 }
