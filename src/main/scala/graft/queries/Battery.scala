@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/**
+ * Third operator wave: pivot, exact percentiles, ntile/frame windows,
+ * date arithmetic, null-handling semantics, correlated scalar subquery,
+ * and a regex (BPE-ish) tokenizer — rounding out the §2.B categories
+ * with the remaining everyday surfaces a reference user would reach for.
+ *
+ * Determinism: sums ride the shared decimal-grid rules (see Q); exact
+ * percentiles interpolate integer-valued doubles at binary-exact
+ * fractions (0.25/0.5/0.75), so both engines produce identical doubles.
+ */
+object Battery {
+
+  val defs: Vector[QueryDef] = Vector(
+
+    // ---- pivot (conditional aggregation) ------------------------------
+    // Spark's pivot() plans one pass with per-value conditional
+    // aggregates — same shape as the oracle's FILTER clauses. Explicit
+    // value list (F/O/N), so no extra distinct-values job at scale.
+    QueryDef("q_pivot",
+      (s, dir) => {
+        rd(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity")))
+          .select(col("l_returnflag"),
+            coalesce(col("F"), lit(0.0)).as("qty_f"),
+            coalesce(col("O"), lit(0.0)).as("qty_o"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 0.0) AS qty_f,
+             |  COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             |    FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 0.0) AS qty_o
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- exact percentiles (sort-based, per group) --------------------
+    // Spark's percentile() is the exact sort-based aggregate; the
+    // approx sketch path is q_approx_distinct's cousin
+    // percentile_approx, deliberately NOT used here so the oracle can
+    // hash-match. At scale the exact form costs a per-group sort —
+    // the declared tradeoff vs percentile_approx's mergeable sketch.
+    QueryDef("q_percentiles",
+      (s, dir) => {
+        rd(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+            expr("percentile(l_quantity, 0.5)").as("q50"),
+            expr("percentile(l_quantity, 0.75)").as("q75"),
+            min(col("l_quantity")).as("q_min"),
+            max(col("l_quantity")).as("q_max"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS q25,
+             |  quantile_cont(l_quantity, 0.5) AS q50,
+             |  quantile_cont(l_quantity, 0.75) AS q75,
+             |  MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- ntile + first_value frame windows ----------------------------
+    QueryDef("q_ntile_frames",
+      (s, dir) => {
+        val byPrice = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val byDate = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            ntile(4).over(byPrice).as("price_quartile"),
+            first_value(col("o_orderkey")).over(byDate).as("first_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(NTILE(4) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_quartile,
+             |  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate, o_orderkey) AS first_order
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- date arithmetic battery --------------------------------------
+    // Both engines clamp month-add to month end and share ISO weekday
+    // numbering (Spark weekday()+1 == DuckDB isodow).
+    QueryDef("q_date_math",
+      (s, dir) => {
+        rd(s, dir, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            quarter(col("o_orderdate")).as("q"),
+            month(col("o_orderdate")).as("m"),
+            (weekday(col("o_orderdate")) + 1).as("isodow"),
+            datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+              .as("days_since"),
+            add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+            last_day(col("o_orderdate")).as("month_end"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INTEGER) AS y,
+             |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             |  CAST(month(o_orderdate) AS INTEGER) AS m,
+             |  CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+             |  CAST(date_diff('day', DATE '1995-01-01',
+             |                 CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+             |  CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus3m,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- null semantics battery ---------------------------------------
+    // The fixtures carry no physical NULLs, so nulls are manufactured
+    // with nullif and then pushed through coalesce, null-safe equality,
+    // count(col) vs count(*), and a null group key. Spark asc sorts
+    // nulls first; DuckDB's default is nulls last → explicit NULLS FIRST.
+    QueryDef("q_null_handling",
+      (s, dir) => {
+        rd(s, dir, "customer")
+          .withColumn("seg_n", nullif(col("c_mktsegment"), lit("BUILDING")))
+          .groupBy(col("seg_n"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("seg_n")).as("n_nonnull"),
+            count_distinct(col("seg_n")).as("n_distinct"),
+            sum(when(col("seg_n").isNull, 1L).otherwise(0L)).as("n_null_flags"),
+            max(coalesce(col("seg_n"), lit("(none)"))).as("seg_filled"))
+          .withColumn("seg_is_building", col("seg_n") <=> lit(null))
+          .orderBy(col("seg_n").asc_nulls_first)
+      },
+      Some("""SELECT nullif(c_mktsegment, 'BUILDING') AS seg_n,
+             |  COUNT(*) AS n_rows,
+             |  COUNT(nullif(c_mktsegment, 'BUILDING')) AS n_nonnull,
+             |  CAST(COUNT(DISTINCT nullif(c_mktsegment, 'BUILDING')) AS BIGINT)
+             |    AS n_distinct,
+             |  CAST(SUM(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_null_flags,
+             |  MAX(COALESCE(nullif(c_mktsegment, 'BUILDING'), '(none)')) AS seg_filled,
+             |  (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL)
+             |    AS seg_is_building
+             |FROM customer GROUP BY 1
+             |ORDER BY seg_n NULLS FIRST""".stripMargin)),
+
+    // ---- correlated scalar subquery ------------------------------------
+    // Catalyst decorrelates this into a join against the per-nation
+    // aggregate (one shuffle on nationkey + broadcast of 25 rows) —
+    // exactly the rewrite you'd hand-write at scale.
+    QueryDef("q_subquery_scalar",
+      (s, dir) => {
+        rd(s, dir, "customer").createOrReplaceTempView("graft_cust_sq")
+        s.sql("""SELECT c_custkey, c_nationkey, c_acctbal
+                |FROM graft_cust_sq c
+                |WHERE c_acctbal > (
+                |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                |           / COUNT(*)
+                |  FROM graft_cust_sq c2
+                |  WHERE c2.c_nationkey = c.c_nationkey)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some(s"""SELECT c_custkey, c_nationkey, c_acctbal
+              |FROM customer c
+              |WHERE c_acctbal > (
+              |  SELECT ${dsumSql("c_acctbal")} / COUNT(*)
+              |  FROM customer c2
+              |  WHERE c2.c_nationkey = c.c_nationkey)
+              |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- regex (BPE-ish) tokenizer vs whitespace tokenizer ------------
+    // The "token counting: whitespace + a BPE-ish regex" north-star
+    // item: a word/punctuation-class regex (the GPT-2 pre-tokenizer
+    // shape, minus unicode categories both engines lack) counted against
+    // the whitespace split. Pure map-side per row; shuffles only the
+    // per-source aggregate.
+    QueryDef("q_token_bpe",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_ws"),
+            size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+              .cast("long").as("n_bpe"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_ws")).as("ws_tokens"),
+            sum(col("n_bpe")).as("bpe_tokens"),
+            (sum(col("n_bpe")).cast("double") / sum(col("n_ws"))).as("bpe_per_ws"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+             |  CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')))
+             |    AS BIGINT) AS bpe_tokens,
+             |  CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')))
+             |    AS DOUBLE) / SUM(len(string_split(text, ' '))) AS bpe_per_ws
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+  )
+}
