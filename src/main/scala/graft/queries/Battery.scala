@@ -169,6 +169,30 @@ object Battery {
               |  WHERE c2.c_nationkey = c.c_nationkey)
               |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- skew-salted join, promoted into the oracle gate ---------------
+    // graft.operators.Joins.salted spreads each (hot) left key over 8
+    // deterministic sub-keys and replicates the right side 8x, so no
+    // single reducer owns a whole hot key — the explicit remedy when AQE
+    // skew-splitting can't apply (here the join feeds an aggregation on
+    // the same key). The oracle is the PLAIN join: salting must be
+    // result-invariant, and a hash mismatch here means the salt leaked
+    // into the semantics.
+    QueryDef("q_salted_join",
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_quantity"))
+        val p = rd(s, dir, "part")
+          .select(col("p_partkey").as("pk"), col("p_brand"))
+        graft.operators.Joins.salted(li, p, "pk", saltFactor = 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n_items,
+              |  ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // ---- regex (BPE-ish) tokenizer vs whitespace tokenizer ------------
     // The "token counting: whitespace + a BPE-ish regex" north-star
     // item: a word/punctuation-class regex (the GPT-2 pre-tokenizer

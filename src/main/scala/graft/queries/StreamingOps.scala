@@ -233,6 +233,27 @@ object StreamingOps {
              | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
              |ORDER BY a.user_id, signup_id, purchase_id""".stripMargin)),
 
+    // ---- streaming exact dedup ----------------------------------------
+    // dropDuplicates on a stream: the first arrival of each key emits,
+    // later duplicates are swallowed against the state store — the
+    // standard exactly-once event-dedup stage of an ingest pipeline.
+    // Only the KEY columns are output: which physical row arrives first
+    // is partition-order-dependent (non-deterministic), but the key SET
+    // equals batch DISTINCT, which is the oracle. Unbounded state here;
+    // production bounds it with dropDuplicatesWithinWatermark (pinned in
+    // StreamingDedupSpec) — semantics then depend on arrival time, which
+    // an oracle over sorted parquet can't replay.
+    QueryDef("s_dedup_keys",
+      (s, dir) => {
+        val keys = streamEvents(s, dir)
+          .select(col("user_id"), col("event_type"))
+          .dropDuplicates("user_id", "event_type")
+        runToBatch(s, keys, "s_dedup_keys", mode = "append")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
+
     // ---- custom state: per-user event counter ------------------------
     // flatMapGroupsWithState with an explicit GroupState — the escape
     // hatch for state machines windowed aggs can't express. With one
