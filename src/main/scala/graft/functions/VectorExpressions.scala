@@ -93,10 +93,102 @@ object VectorFunctions {
 
   /** Idempotent per-session registration (temp functions live in the
    * session's FunctionRegistry). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine", exprs => FloatVecCosine(exprs(0), exprs(1)), "scala_udf")
+  }
 
   /** dot(a, b) over array<float> columns — requires [[register]]. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** cosine(a, b) over array<float> columns — requires [[register]]. */
+  def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+}
+
+/**
+ * Single-pass codegen cosine similarity over two float-array columns.
+ *
+ * The composed form `vec_dot(a,b) / (sqrt(vec_dot(a,a)) *
+ * sqrt(vec_dot(b,b)))` traverses both arrays three times; this kernel
+ * folds the three accumulators into ONE loop and then applies exactly
+ * the same final expression, with each accumulator keeping the same
+ * left-to-right double-accumulation order — so the result is
+ * bit-identical to the composed form and to the DuckDB oracle, while
+ * doing a third of the memory traffic on the hot ANN/pair-scoring
+ * paths. Null/length-mismatch semantics and the zero-norm case (IEEE
+ * division, no guard) are identical to the composed form.
+ */
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_cosine expects (array<float>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecCosine =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_cosine"
 }

@@ -237,12 +237,11 @@ object Advanced {
         val cells = model.transform(e).withColumnRenamed("prediction", "cell")
         val probe = cells.filter(col("vec_id") === 0)
           .select(col("embedding").as("pe"))
-        val dot = graft.functions.VectorFunctions.vecDot _
         cells.filter(col("vec_id") =!= 0)
           .filter(col("cell").isin(probeCells.toSeq: _*))
           .crossJoin(broadcast(probe))
-          .withColumn("cos", dot(col("embedding"), col("pe")) /
-            (sqrt(dot(col("embedding"), col("embedding"))) * sqrt(dot(col("pe"), col("pe")))))
+          .withColumn("cos",
+            graft.functions.VectorFunctions.vecCosine(col("embedding"), col("pe")))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(5)
           .select(col("vec_id"), col("cell"), round(col("cos"), 4).as("cosine"))
@@ -287,6 +286,49 @@ object Advanced {
              |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
              |  CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_width,
              |  MAX(n_frames) AS max_frames
-             |FROM m GROUP BY kind ORDER BY kind""".stripMargin))
+             |FROM m GROUP BY kind ORDER BY kind""".stripMargin)),
+
+    // ---- frame sampling over decoded media (typed flatMap) ------------
+    // Exercises MediaPipeline.sampleFrames in a distributed typed
+    // pipeline: decode → flatMap to (doc, frame) rows → aggregate.
+    // Oracle-checked end to end: n_frames comes from the checksum
+    // replica and the k-evenly-spaced sampling rule (floor(i·n/k),
+    // always including frame 0) is mirrored as a DuckDB list
+    // comprehension.
+    QueryDef("q_media_frames",
+      (s, dir) => {
+        import s.implicits._
+        val meta = graft.multimodal.MediaPipeline
+          .decode(graft.multimodal.MediaPipeline.itemsFromDocuments(s, dir))
+        meta.flatMap(m => graft.multimodal.MediaPipeline
+            .sampleFrames(m.n_frames, 4).map(i => (m.doc_id, m.kind, i)))
+          .toDF("doc_id", "kind", "frame_idx")
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("frame_idx")).cast("long").as("sum_idx"),
+            max(col("frame_idx")).as("max_idx"))
+          .orderBy("kind")
+      },
+      Some("""WITH d AS (
+             |  SELECT CASE WHEN lang IN ('en','es') THEN 'image'
+             |              WHEN lang IN ('de','fr') THEN 'audio'
+             |              ELSE 'video' END AS kind,
+             |    list_reduce(list_prepend(0::HUGEINT,
+             |        list_transform(string_split(text, ''), c -> ascii(c)::HUGEINT)),
+             |      (acc, b) -> (acc * 131 + b) % 18446744073709551616::HUGEINT)
+             |      % 9223372036854775808 AS cs
+             |  FROM documents),
+             |m AS (SELECT kind,
+             |        CAST(1 + ((cs // 4294967296) % 240) AS BIGINT) AS n_frames
+             |      FROM d),
+             |f AS (SELECT kind,
+             |        unnest(CASE WHEN n_frames <= 4 THEN range(0, n_frames)
+             |               ELSE [i * n_frames // 4 for i in range(0, 4)]
+             |               END) AS frame_idx
+             |      FROM m)
+             |SELECT kind, COUNT(*) AS n_sampled,
+             |  CAST(SUM(frame_idx) AS BIGINT) AS sum_idx,
+             |  CAST(MAX(frame_idx) AS INTEGER) AS max_idx
+             |FROM f GROUP BY kind ORDER BY kind""".stripMargin))
   )
 }

@@ -83,6 +83,12 @@ object LlmOps {
 
   private def l2(a: String): Column = sqrt(dot(a, a))
 
+  /** Single-pass cosine via [[graft.functions.FloatVecCosine]]:
+   * bit-identical to dot(a,b)/(l2(a)*l2(b)) at a third of the array
+   * traffic (one fused loop instead of three). */
+  private def cosine(a: String, b: String): Column =
+    graft.functions.VectorFunctions.vecCosine(col(a), col(b))
+
   /** register the vec_dot kernel in this session (idempotent) */
   private def vecReady(s: SparkSession): Unit =
     graft.functions.VectorFunctions.register(s)
@@ -295,7 +301,7 @@ object LlmOps {
         val probe = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("pe"))
         e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
-          .withColumn("cos", dot("embedding", "pe") / (l2("embedding") * l2("pe")))
+          .withColumn("cos", cosine("embedding", "pe"))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
           .select(col("vec_id"), round(col("cos"), 4).as("cosine"))
@@ -314,7 +320,7 @@ object LlmOps {
         val probe = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("pe"), col("bucket").as("pb"))
         e.filter(col("vec_id") =!= 0).join(broadcast(probe), col("bucket") === col("pb"))
-          .withColumn("cos", dot("embedding", "pe") / (l2("embedding") * l2("pe")))
+          .withColumn("cos", cosine("embedding", "pe"))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(5)
           .select(col("vec_id"), col("bucket"), round(col("cos"), 4).as("cosine"))
@@ -340,7 +346,7 @@ object LlmOps {
         val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("bucket"))
         val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("bucket"))
         a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-          .withColumn("cos", dot("ea", "eb") / (l2("ea") * l2("eb")))
+          .withColumn("cos", cosine("ea", "eb"))
           .filter(col("cos") > 0.35)
           .select(col("a_id"), col("b_id"), col("bucket"), round(col("cos"), 4).as("cosine"))
           .orderBy("a_id", "b_id")

@@ -51,4 +51,28 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("vec_dot expects"))
   }
+
+  test("vec_cosine is bit-identical to the composed dot/norm form on every pair") {
+    // self-join a small slice so both orders and distinct pairs are hit
+    val a = emb.limit(40).select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = emb.limit(40).select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val composed = VectorFunctions.vecDot(col("ea"), col("eb")) /
+      (sqrt(VectorFunctions.vecDot(col("ea"), col("ea"))) *
+        sqrt(VectorFunctions.vecDot(col("eb"), col("eb"))))
+    val diff = a.crossJoin(b)
+      .select(VectorFunctions.vecCosine(col("ea"), col("eb")).as("k"), composed.as("c"))
+      .filter(col("k") =!= col("c"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("vec_cosine null semantics match vec_dot composition") {
+    val r = spark.sql(
+      """SELECT vec_cosine(array(CAST(1.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c,
+        |       vec_cosine(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS cn""".stripMargin)
+      .head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }
