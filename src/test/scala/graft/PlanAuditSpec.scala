@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape assertions for scale-critical properties (SURVEY.md §4,
+ * SCALING.md): column pruning and filter pushdown must reach the parquet
+ * scans, top-k must plan as TakeOrdered (never a global sort), and the
+ * correlated subquery must decorrelate to a join (never a per-row
+ * subplan). These pin what PlanAudit (the tool) only prints.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sf}
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileSourceScanExec]
+    def walk(n: SparkPlan): Unit = {
+      n match { case f: FileSourceScanExec => buf += f; case _ => }
+      n.children.foreach(walk); n.subqueries.foreach(walk)
+    }
+    walk(p); buf.toSeq
+  }
+
+  private def scanOf(p: SparkPlan, table: String): FileSourceScanExec =
+    scans(p).find(_.relation.location.inputFiles.headOption.exists(
+      _.contains(s"$table.parquet"))).getOrElse(
+      fail(s"no scan of $table in:\n$p"))
+
+  test("q_scan_filter pushes all predicates and prunes columns") {
+    val s = scanOf(plan("q_scan_filter"), "lineitem")
+    val pushed = s.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan") || pushed.contains("ThanOrEqual"),
+      s"no range predicates pushed: $pushed")
+    assert(s.requiredSchema.fieldNames.length < 11,
+      s"no column pruning: ${s.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q_pivot reads exactly the three referenced lineitem columns") {
+    val s = scanOf(plan("q_pivot"), "lineitem")
+    assert(s.requiredSchema.fieldNames.toSet ==
+      Set("l_returnflag", "l_linestatus", "l_quantity"),
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("q_percentiles reads exactly two lineitem columns") {
+    val s = scanOf(plan("q_percentiles"), "lineitem")
+    assert(s.requiredSchema.fieldNames.toSet == Set("l_returnflag", "l_quantity"),
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("q_topk plans TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_topk")
+    assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+  }
+
+  test("q_subquery_scalar decorrelates: aggregate + equi-join, no nested-loop") {
+    val p = plan("q_subquery_scalar").toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated subquery did not decorrelate:\n$p")
+  }
+
+  test("q_dedup_exact shuffles digests, not text") {
+    // exchanges only exist in the executed plan (EnsureRequirements runs
+    // in preparations, and AQE wraps it) — run the query, then walk the
+    // final adaptive plan
+    val df = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    df.count()
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          buf += e
+        case _ =>
+      }
+      unwrap(n).children.map(unwrap).foreach(walk)
+    }
+    walk(unwrap(df.queryExecution.executedPlan))
+    assert(buf.nonEmpty, s"no exchange found:\n${df.queryExecution.executedPlan}")
+    // the aggregation exchange must not carry the text column — only the
+    // map-side md5 digest (32 bytes) and the partial-agg state
+    buf.foreach(e => assert(!e.output.map(_.name).contains("text"),
+      s"text column crosses the shuffle: ${e.output.map(_.name)}"))
+  }
+
+  test("q_media_frames scans only the decode-relevant document columns") {
+    val s = scanOf(plan("q_media_frames"), "documents")
+    assert(s.requiredSchema.fieldNames.toSet.subsetOf(
+      Set("doc_id", "lang", "text")),
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+}
