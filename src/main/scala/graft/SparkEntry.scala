@@ -19,7 +19,8 @@ import graft.queries._
 object SparkEntry {
   val allDefs: Vector[QueryDef] = {
     val defs = Relational.defs ++ LlmOps.defs ++ Advanced.defs ++
-      StreamingOps.defs ++ SchemaQueries.defs ++ SourceOps.defs ++ Battery.defs
+      StreamingOps.defs ++ SchemaQueries.defs ++ SourceOps.defs ++
+      Battery.defs ++ TrainPrep.defs
     // a duplicate name would silently drop an operator in the toMap below
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")

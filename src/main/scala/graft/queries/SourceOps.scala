@@ -83,6 +83,25 @@ object SourceOps {
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
              |  MIN(o_orderkey) AS min_key, MAX(o_custkey) AS max_cust
              |FROM orders GROUP BY o_orderstatus, o_orderpriority
-             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin))
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // ---- DataSource V2 generator source --------------------------------
+    // The graft.sources.DocGen TableProvider: deterministic synthetic
+    // corpus with no input files, split into independent id ranges
+    // (parallel at any executor count), column pruning pushed into the
+    // reader. No oracle (DuckDB cannot open a Spark V2 source);
+    // DocGenSpec pins determinism, pruning, and parallelism by value,
+    // and this entry keeps the source exercised in the bench loop.
+    QueryDef("q_docgen_source",
+      (s, dir) => {
+        s.read.format("graft.sources.DocGen")
+          .option("rows", 20000L).option("partitions", 16).option("seed", 7L)
+          .load()
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("lang")
+      },
+      None)
   )
 }

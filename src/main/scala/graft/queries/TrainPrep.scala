@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Q._
+
+/**
+ * Training-set preparation operators: deterministic dataset splitting
+ * and context-window sequence packing — the two steps between a cleaned
+ * corpus (q_corpus_pipeline) and a tokenizer/training run.
+ *
+ * Both are oracle-checked: the split hash rides on md5 (the one hash
+ * both engines share) and packing is integer window arithmetic.
+ */
+object TrainPrep {
+
+  /** 0..255 from the first two hex nibbles of md5(doc_id) — the
+   * deterministic split hash. Content-independent (id-based) so
+   * re-running after a text fix never migrates documents between
+   * splits. */
+  private val splitByteExpr =
+    """(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16
+      | + instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1"""
+      .stripMargin
+
+  private val splitByteSql =
+    """(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      | + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"""
+      .stripMargin
+
+  val defs: Vector[QueryDef] = Vector(
+
+    // ---- deterministic 80/10/10 train/val/test split -------------------
+    // Hash-based assignment (byte < 204 → train, < 230 → val, else test):
+    // stable under reruns and resharding, no coordination, no sampling
+    // state — the only split mechanism that works at 100 TB. Verified by
+    // value: both engines compute the same md5 nibbles.
+    QueryDef("q_train_split",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("sb", expr(splitByteExpr))
+          .withColumn("split",
+            when(col("sb") < 204, "train")
+              .when(col("sb") < 230, "val").otherwise("test"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("split", "lang")
+      },
+      Some(s"""WITH d AS (SELECT lang, n_chars, $splitByteSql AS sb FROM documents)
+              |SELECT CASE WHEN sb < 204 THEN 'train'
+              |            WHEN sb < 230 THEN 'val' ELSE 'test' END AS split,
+              |  lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              |FROM d GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+
+    // ---- context-window sequence packing -------------------------------
+    // Pack documents into 2048-token context windows, per source shard:
+    // bin = exclusive-prefix-sum of token counts DIV 2048. Packing is
+    // inherently order-sensitive, so the window partitions by source
+    // (pack within shard, shards in parallel) rather than a global
+    // single-partition sort — the declared semantics a distributed
+    // packer would use at scale. Output is per-bin occupancy.
+    QueryDef("q_pack_sequences",
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        rd(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("bin", (col("cum_before") / 2048).cast("long"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT source, n_tokens,
+             |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+             |          ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS cum_before
+             |      FROM t)
+             |SELECT source, CAST(cum_before // 2048 AS BIGINT) AS bin,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+             |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin))
+  )
+}
