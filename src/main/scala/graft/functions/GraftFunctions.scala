@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * One-call SQL surface for every custom graft function, so a pure-SQL
+ * user gets the whole kit:
+ *
+ *   GraftFunctions.registerAll(spark)
+ *   spark.sql("SELECT minhash32(xxhash64(tok)) FROM ... GROUP BY doc_id")
+ *
+ * The scalar kernels (vec_dot, vec_cosine) are also injectable
+ * cluster-wide via [[graft.GraftExtensions]]; the aggregators ride the
+ * session-level udaf registry (SparkSessionExtensions has no UDAF
+ * injection point).
+ */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    VectorFunctions.register(spark)
+    spark.udf.register("minhash32", udaf(new MinHashAgg(32)))
+    spark.udf.register("simhash32", udaf(new SimHashAgg))
+  }
+}

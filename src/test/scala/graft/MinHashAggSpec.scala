@@ -34,4 +34,19 @@ class MinHashAggSpec extends AnyFunSuite {
     assert(agree(sig(1L), sig(2L)) >= 20) // Jaccard 9/11 → most slots agree
     assert(agree(sig(1L), sig(3L)) <= 5)  // disjoint sets → few/no collisions
   }
+
+  test("registerAll exposes the aggregators to pure SQL") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    df.createOrReplaceTempView("gf_docs")
+    val r = spark.sql(
+      """SELECT doc_id,
+        |  minhash32(xxhash64(tok)) AS sig,
+        |  simhash32(md5(tok)) AS sh
+        |FROM (SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok
+        |      FROM gf_docs)
+        |GROUP BY doc_id""".stripMargin).collect()
+    assert(r.length == 20)
+    assert(r.forall(_.getSeq[Long](1).length == 32))
+  }
 }

@@ -99,4 +99,18 @@ class PlanAuditSpec extends AnyFunSuite {
       Set("doc_id", "lang", "text")),
       s.requiredSchema.fieldNames.mkString(","))
   }
+
+  test("AQE coalesces post-shuffle partitions on small data") {
+    // the configured 32 shuffle partitions are a scale setting; on tiny
+    // inputs AQE must shrink the aggregation exchange's read side rather
+    // than schedule 32 near-empty tasks — the mechanism that lets one
+    // partition count serve sf0.001 through 100 TB
+    val df = SparkEntry.queries("q_agg_pricing")(spark, sf)
+    // collect() (unlike count()) runs THIS Dataset's queryExecution, so
+    // the adaptive plan below is the executed, final one
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+    assert(finalPlan.contains("coalesced"), finalPlan)
+  }
 }
