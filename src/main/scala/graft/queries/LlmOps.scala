@@ -312,6 +312,39 @@ object LlmOps {
               |SELECT vec_id, ROUND(cos, 4) AS cosine FROM s
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- batched ANN: many probes, one scan ---------------------------
+    // The serving shape for k-NN at scale: broadcast the (small) probe
+    // set, score every (vector, probe) pair map-side in ONE pass over
+    // the corpus, keep top-3 per probe with a window — corpus is read
+    // once no matter how many probes ride along.
+    QueryDef("q_knn_batch",
+      (s, dir) => {
+        vecReady(s)
+        val e = rd(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        e.filter(col("vec_id") >= 5).crossJoin(broadcast(probes))
+          .withColumn("cos", cosine("embedding", "pe"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= 3)
+          .select(col("probe_id"), col("vec_id"), col("rn"),
+            round(col("cos"), 4).as("cosine"))
+          .orderBy("probe_id", "rn")
+      },
+      Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+              |           FROM embeddings WHERE vec_id < 5),
+              |s AS (SELECT probe_id, vec_id, $cosSql AS cos
+              |      FROM embeddings, p WHERE vec_id >= 5),
+              |r AS (SELECT probe_id, vec_id,
+              |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              |          ORDER BY cos DESC, vec_id) AS INTEGER) AS rn,
+              |        cos
+              |      FROM s)
+              |SELECT probe_id, vec_id, rn, ROUND(cos, 4) AS cosine
+              |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin)),
+
     // ---- IVF-style bucketed ANN: probe only the matching LSH cell ----
     QueryDef("q_knn_ivf",
       (s, dir) => {

@@ -87,6 +87,38 @@ object TrainPrep {
              |      FROM t)
              |SELECT source, CAST(cum_before // 2048 AS BIGINT) AS bin,
              |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-             |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin))
+             |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin)),
+
+    // ---- overlapping document chunking (RAG / context-window prep) ----
+    // Each document becomes ceil(n/24) chunks of up to 32 tokens with an
+    // 8-token overlap (stride 24) — the standard retrieval/training
+    // chunker. One generator expression per row (explode of the stride
+    // sequence), no shuffle until the final harness ORDER BY; chunk
+    // identity is pinned by md5 so the oracle verifies chunk CONTENT,
+    // not just counts.
+    QueryDef("q_chunk_docs",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("start",
+            explode(expr("sequence(0, greatest(size(toks) - 1, 0), 24)")))
+          .select(col("doc_id"),
+            (col("start") / 24).cast("int").as("chunk_idx"),
+            least(lit(32), size(col("toks")) - col("start")).cast("int")
+              .as("chunk_len"),
+            md5(concat_ws(" ", expr("slice(toks, start + 1, 32)")))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |           FROM documents),
+             |c AS (SELECT doc_id, ts,
+             |        unnest(range(0, greatest(len(ts), 1), 24)) AS start
+             |      FROM t)
+             |SELECT doc_id,
+             |  CAST(start // 24 AS INTEGER) AS chunk_idx,
+             |  CAST(least(32, len(ts) - start) AS INTEGER) AS chunk_len,
+             |  md5(array_to_string(ts[start + 1 : start + 32], ' ')) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

@@ -84,36 +84,93 @@ private class DocGenTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_docgen"
   override def schema(): StructType = DocGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new DocGenScanBuilder(
       rows = opts.getLong("rows", 1000L),
       parts = opts.getInt("partitions", 8),
-      seed = opts.getLong("seed", 42L))
+      seed = opts.getLong("seed", 42L),
+      rowsPerBatch = opts.getLong("rowsPerBatch", 100L))
 }
 
-private class DocGenScanBuilder(rows: Long, parts: Int, seed: Long)
+private class DocGenScanBuilder(rows: Long, parts: Int, seed: Long,
+                                rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = DocGen.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DocGenScan(rows, parts, seed, required)
+  override def build(): Scan =
+    new DocGenScan(rows, parts, seed, rowsPerBatch, required)
 }
 
 private class DocGenScan(rows: Long, parts: Int, seed: Long,
-                         required: StructType) extends Scan with Batch {
+                         rowsPerBatch: Long, required: StructType)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + parts - 1) / parts)
-    (0L until rows by per)
-      .map(start => DocGenPartition(start, math.min(start + per, rows)))
-      .toArray[InputPartition]
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    DocGenScan.rangePartitions(0L, rows, parts)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DocGenReaderFactory(seed, required)
+
+  /** Micro-batch flavor: each trigger emits the next `rowsPerBatch` ids
+   * until `rows` is exhausted — the corpus analog of the `rate` source,
+   * for driving streaming operators with no input files. Offsets are
+   * plain row counts, so restart-from-checkpoint replays exactly the
+   * unprocessed id range (deterministic content ⇒ exactly-once output
+   * with an idempotent sink). */
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new DocGenMicroBatchStream(rows, parts, seed, rowsPerBatch, required)
+}
+
+private object DocGenScan {
+  def rangePartitions(from: Long, until: Long, parts: Int): Array[InputPartition] = {
+    val n = until - from
+    if (n <= 0) return Array.empty
+    val per = math.max(1L, (n + parts - 1) / parts)
+    (from until until by per)
+      .map(start => DocGenPartition(start, math.min(start + per, until)))
+      .toArray[InputPartition]
+  }
+}
+
+private case class DocGenOffset(rowId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = rowId.toString
+}
+
+private class DocGenMicroBatchStream(rows: Long, parts: Int, seed: Long,
+                                     rowsPerBatch: Long, required: StructType)
+    extends streaming.MicroBatchStream {
+  // self-clocking like the built-in rate source: each latestOffset()
+  // call makes the next slice available (gating on commit() instead
+  // races with processAllAvailable, which can observe the pre-commit
+  // offset and stop after one batch)
+  @volatile private var available = 0L
+
+  override def initialOffset(): streaming.Offset = DocGenOffset(0L)
+  override def deserializeOffset(json: String): streaming.Offset = {
+    val o = DocGenOffset(json.toLong)
+    available = math.max(available, o.rowId) // restart: resume past the checkpoint
+    o
+  }
+  override def latestOffset(): streaming.Offset = {
+    available = math.min(rows, available + rowsPerBatch)
+    DocGenOffset(available)
+  }
+  override def commit(end: streaming.Offset): Unit = ()
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] =
+    DocGenScan.rangePartitions(start.asInstanceOf[DocGenOffset].rowId,
+      end.asInstanceOf[DocGenOffset].rowId, parts)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(seed, required)
+
+  override def stop(): Unit = ()
 }
 
 private case class DocGenPartition(start: Long, end: Long) extends InputPartition

@@ -51,4 +51,20 @@ class DocGenSpec extends AnyFunSuite {
   test("parallelism: one task per id range") {
     assert(gen(1000, 8).rdd.getNumPartitions == 8)
   }
+
+  test("micro-batch streaming: same corpus arrives in rowsPerBatch slices") {
+    val qn = "docgen_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format("graft.sources.DocGen")
+      .option("rows", 250).option("partitions", 4)
+      .option("seed", 42).option("rowsPerBatch", 100)
+      .load()
+      .groupBy("lang").count()
+      .writeStream.outputMode("complete").format("memory").queryName(qn).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(qn).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = gen(250, 4).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
 }
