@@ -193,6 +193,38 @@ object Battery {
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // ---- cohort retention (two-level aggregation over events) ---------
+    // Users are cohorted by first-seen day (a min-window over the raw
+    // events, one shuffle on user), then activity is counted per
+    // (cohort day, day offset) — the standard retention triangle. At
+    // scale both shuffles are on naturally high-cardinality keys
+    // (user, then cohort×offset with tiny group count).
+    QueryDef("q_cohort_retention",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        events(s, dir)
+          .withColumn("day", date_trunc("day", col("ts")))
+          .withColumn("cohort", min(col("day")).over(w))
+          .groupBy("cohort", "day")
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .withColumn("day_offset",
+            datediff(col("day").cast("date"), col("cohort").cast("date")).cast("int"))
+          .select("cohort", "day_offset", "n_users", "n_events")
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, date_trunc('day', ts) AS day,
+             |    MIN(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS cohort
+             |  FROM events)
+             |SELECT cohort,
+             |  CAST(date_diff('day', CAST(cohort AS DATE), CAST(day AS DATE))
+             |    AS INTEGER) AS day_offset,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  COUNT(*) AS n_events
+             |FROM d GROUP BY cohort, day
+             |ORDER BY cohort, day_offset""".stripMargin)),
+
     // ---- regex (BPE-ish) tokenizer vs whitespace tokenizer ------------
     // The "token counting: whitespace + a BPE-ish regex" north-star
     // item: a word/punctuation-class regex (the GPT-2 pre-tokenizer
