@@ -61,11 +61,17 @@ object DocGen {
     h ^ (h >>> 33)
   }
 
-  /** deterministic doc for (seed, id); independent of partitioning */
-  def docFor(seed: Long, id: Long): (String, String, String, Int) = {
+  /** hash-derived fields, no text materialization */
+  def langFor(seed: Long, id: Long): String = {
     val h = mix(seed, id)
-    val lang = langs(java.lang.Long.remainderUnsigned(h, langs.length.toLong).toInt)
-    val source = "src" + java.lang.Long.remainderUnsigned(h >>> 8, 4L)
+    langs(java.lang.Long.remainderUnsigned(h, langs.length.toLong).toInt)
+  }
+  def sourceFor(seed: Long, id: Long): String =
+    "src" + java.lang.Long.remainderUnsigned(mix(seed, id) >>> 8, 4L)
+
+  /** deterministic text for (seed, id); independent of partitioning */
+  def textFor(seed: Long, id: Long): String = {
+    val h = mix(seed, id)
     val n = 20 + java.lang.Long.remainderUnsigned(h >>> 16, 81L).toInt // 20..100 tokens
     val sb = new StringBuilder
     var i = 0
@@ -74,8 +80,13 @@ object DocGen {
       sb ++= vocab(java.lang.Long.remainderUnsigned(mix(h, i.toLong), vocab.length.toLong).toInt)
       i += 1
     }
-    val text = sb.toString
-    (lang, source, text, text.length)
+    sb.toString
+  }
+
+  /** deterministic doc for (seed, id); independent of partitioning */
+  def docFor(seed: Long, id: Long): (String, String, String, Int) = {
+    val text = textFor(seed, id)
+    (langFor(seed, id), sourceFor(seed, id), text, text.length)
   }
 }
 
@@ -181,18 +192,19 @@ private class DocGenReaderFactory(seed: Long, required: StructType)
     val part = p.asInstanceOf[DocGenPartition]
     new PartitionReader[InternalRow] {
       private var id = part.start - 1
-      // pruned projection: only requested fields are computed/boxed
+      // pruned projection: only requested fields are computed — in
+      // particular, a scan that needs no text-derived column (text,
+      // n_chars) never builds the token string at all
       private val fieldIdx = required.fieldNames
       override def next(): Boolean = { id += 1; id < part.end }
       override def get(): InternalRow = {
-        // generate text lazily: only when some text-derived column is needed
-        lazy val doc = DocGen.docFor(seed, id)
+        lazy val text = DocGen.textFor(seed, id)
         val values = fieldIdx.map {
           case "doc_id" => id
-          case "lang" => UTF8String.fromString(doc._1)
-          case "source" => UTF8String.fromString(doc._2)
-          case "text" => UTF8String.fromString(doc._3)
-          case "n_chars" => doc._4
+          case "lang" => UTF8String.fromString(DocGen.langFor(seed, id))
+          case "source" => UTF8String.fromString(DocGen.sourceFor(seed, id))
+          case "text" => UTF8String.fromString(text)
+          case "n_chars" => text.length
         }
         InternalRow.fromSeq(values.toIndexedSeq)
       }
