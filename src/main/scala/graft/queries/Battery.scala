@@ -193,6 +193,68 @@ object Battery {
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // ---- ordered string aggregation ------------------------------------
+    // listagg-style rollup: collect_list is order-nondeterministic across
+    // partitions, so the declared semantics SORT before joining — the
+    // only portable form (DuckDB's twin uses ORDER BY inside string_agg).
+    QueryDef("q_string_agg",
+      (s, dir) => {
+        rd(s, dir, "nation")
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_nations"),
+            array_join(array_sort(collect_list(col("n_name"))), ",")
+              .as("nations"))
+          .orderBy("n_regionkey")
+      },
+      Some("""SELECT n_regionkey, COUNT(*) AS n_nations,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // ---- histogram via width_bucket ------------------------------------
+    QueryDef("q_histogram",
+      (s, dir) => {
+        rd(s, dir, "orders")
+          .withColumn("bucket",
+            width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12))
+              .cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("bucket")
+      },
+      // DuckDB has no width_bucket: mirror its definition with the same
+      // IEEE division both engines perform (bounds 0..600000, 12 buckets
+      // of width 50000; out-of-range clamps to 0 / 13)
+      Some(s"""SELECT CAST(CASE WHEN o_totalprice < 0.0 THEN 0
+              |            WHEN o_totalprice >= 600000.0 THEN 13
+              |            ELSE FLOOR(o_totalprice / 50000.0) + 1 END AS INTEGER)
+              |    AS bucket,
+              |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ---- outer explode (empty collections keep their parent row) -------
+    QueryDef("q_explode_outer",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("long_toks",
+            expr("filter(split(text, ' '), t -> length(t) > 6)"))
+          .select(col("doc_id"), explode_outer(col("long_toks")).as("tok"))
+          .groupBy("doc_id")
+          .agg(count(col("tok")).as("n_long"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("doc_id")
+      },
+      // DuckDB's unnest drops empty lists; [NULL] restores the
+      // explode_outer parent row
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), t -> length(t) > 6) AS lt
+             |  FROM documents),
+             |e AS (SELECT doc_id,
+             |    unnest(CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END) AS tok
+             |  FROM t)
+             |SELECT doc_id, COUNT(tok) AS n_long, COUNT(*) AS n_rows
+             |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- cohort retention (two-level aggregation over events) ---------
     // Users are cohorted by first-seen day (a min-window over the raw
     // events, one shuffle on user), then activity is counted per

@@ -154,23 +154,40 @@ private case class DocGenOffset(rowId: Long)
 
 private class DocGenMicroBatchStream(rows: Long, parts: Int, seed: Long,
                                      rowsPerBatch: Long, required: StructType)
-    extends streaming.MicroBatchStream {
-  // self-clocking like the built-in rate source: each latestOffset()
-  // call makes the next slice available (gating on commit() instead
-  // races with processAllAvailable, which can observe the pre-commit
-  // offset and stop after one batch)
-  @volatile private var available = 0L
+    extends streaming.MicroBatchStream
+    with streaming.SupportsTriggerAvailableNow {
 
   override def initialOffset(): streaming.Offset = DocGenOffset(0L)
-  override def deserializeOffset(json: String): streaming.Offset = {
-    val o = DocGenOffset(json.toLong)
-    available = math.max(available, o.rowId) // restart: resume past the checkpoint
-    o
+  override def deserializeOffset(json: String): streaming.Offset =
+    DocGenOffset(json.toLong)
+
+  // admission-control API: the engine hands us the last planned offset
+  // and a read limit, so batch slicing is stateless here (progress is
+  // the engine's offset log, which also makes checkpoint restart exact).
+  // Implementing SupportsTriggerAvailableNow additionally lets
+  // Trigger.AvailableNow drain the full id range in bounded batches and
+  // terminate — the backfill/catch-up runner.
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    streaming.ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val from = start.asInstanceOf[DocGenOffset].rowId
+    val step = limit match {
+      case m: streaming.ReadMaxRows => m.maxRows()
+      case _ => rowsPerBatch
+    }
+    DocGenOffset(math.min(rows, from + step))
   }
-  override def latestOffset(): streaming.Offset = {
-    available = math.min(rows, available + rowsPerBatch)
-    DocGenOffset(available)
-  }
+
+  // every id in [0, rows) is always "available"; nothing to snapshot
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): streaming.Offset = DocGenOffset(rows)
+
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "admission-control source: latestOffset(start, limit) is used")
+
   override def commit(end: streaming.Offset): Unit = ()
 
   override def planInputPartitions(start: streaming.Offset,
