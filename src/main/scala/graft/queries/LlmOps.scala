@@ -398,6 +398,99 @@ object LlmOps {
               |SELECT a_id, b_id, bucket, ROUND(cos, 4) AS cosine FROM s
               |WHERE cos > 0.35 ORDER BY a_id, b_id""".stripMargin)),
 
+    // ---- incremental dedup: new batch vs existing corpus ---------------
+    // The ingestion shape: an incoming batch (simulated as doc_id % 10
+    // == 0) is checked for near-duplicates against the EXISTING corpus
+    // only — candidates come from the same MinHash band join but across
+    // the two sets, so daily ingest cost scales with the batch, not the
+    // corpus². Declared semantics (exact cross-set Jaccard > 0.5) are
+    // what the oracle computes.
+    QueryDef("q_incr_dedup",
+      (s, dir) => {
+        val docs = docsWithShingles(s, dir).cache()
+        val fresh = docs.filter(col("doc_id") % 10 === 0)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val sig = (d: DataFrame) => {
+          val ex = d.select(col("doc_id"), explode(col("sh")).as("tok"))
+            .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+          val sg = ex.groupBy("doc_id")
+            .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
+          val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
+            xxhash64(element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2)).as("bv")))
+          sg.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+            .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+        }
+        val cand = sig(fresh).as("x").join(sig(corpus).as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
+          .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("old_id"))
+          .distinct()
+        val a = docs.select(col("doc_id").as("new_id"), col("sh").as("sa"))
+        val b = docs.select(col("doc_id").as("old_id"), col("sh").as("sb"))
+        cand.join(a, "new_id").join(b, "old_id")
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("jaccard") > 0.5)
+          .select(col("new_id"), col("old_id"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("new_id", "old_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |                 for i in range(1, len(ts) - 1)]) AS s
+             |  FROM tok),
+             |p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+             |        len(list_intersect(a.s, b.s)) AS i,
+             |        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+             |      FROM sh a JOIN sh b
+             |        ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+             |SELECT new_id, old_id, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
+             |FROM p WHERE CAST(i AS DOUBLE) / u > 0.5
+             |ORDER BY new_id, old_id""".stripMargin)),
+
+    // ---- TF-IDF: top term per document ---------------------------------
+    // Classic relevance scoring kept oracle-exact by avoiding log():
+    // score = tf · (N / df) — tf·N is an exact integer in double range
+    // and the single division is the same IEEE op in both engines, so
+    // ranking and the rounded score hash-match. (A production scorer
+    // would use log-idf; the plan shape — tf agg, df agg, broadcast N,
+    // per-doc window — is identical.)
+    QueryDef("q_tfidf",
+      (s, dir) => {
+        val toksAll = rd(s, dir, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        val tf = toksAll.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = toksAll.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = rd(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("tok"))
+        tf.join(df, "tok").crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf").cast("double") * col("n_docs") / col("df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("tok").as("top_term"),
+            round(col("score"), 4).as("tfidf"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT tok, COUNT(*) AS df
+             |       FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY tok),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |s AS (SELECT doc_id, tok,
+             |        CAST(tf AS DOUBLE) * n_docs / df AS score
+             |      FROM tf JOIN df USING (tok) CROSS JOIN n),
+             |r AS (SELECT doc_id, tok, score,
+             |        ROW_NUMBER() OVER (PARTITION BY doc_id
+             |          ORDER BY score DESC, tok) AS rn
+             |      FROM s)
+             |SELECT doc_id, tok AS top_term, ROUND(score, 4) AS tfidf
+             |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // ---- corpus cleaning pipeline (composition capstone) -------------
     // The canonical training-data flow in ONE declarative plan: quality
     // filter → exact dedup (keep min id) → near-dup removal (drop the
