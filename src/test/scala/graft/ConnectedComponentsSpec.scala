@@ -1,0 +1,22 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ConnectedComponents
+
+/** Min-label propagation must find transitive components — chains force
+ * multiple iterations, which a single pairwise pass would get wrong. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+
+  test("chain, pair, and triangle resolve to min-id components") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(got == want)
+  }
+}
