@@ -85,6 +85,31 @@ object SourceOps {
              |FROM orders GROUP BY o_orderstatus, o_orderpriority
              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
 
+    // ---- ORC source: supplier through the columnar sibling -------------
+    // Same round-trip contract as CSV/JSON, through Spark's built-in ORC
+    // reader/writer — the other columnar format a lakehouse ingests.
+    // Doubles survive ORC exactly (binary format, no text parse), so
+    // acctbal can ride along here.
+    QueryDef("q_orc_source",
+      (s, dir) => {
+        val out = roundTripDir("orc", dir)
+        if (!java.nio.file.Files.exists(out))
+          rd(s, dir, "supplier")
+            .select("s_suppkey", "s_nationkey", "s_acctbal")
+            .write.mode("overwrite").orc(out.toString)
+        s.read.orc(out.toString)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_supp"),
+            dsum(col("s_acctbal")).as("sum_bal"),
+            max(col("s_suppkey")).as("max_key"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey, COUNT(*) AS n_supp,
+              |  ${dsumSql("s_acctbal")} AS sum_bal,
+              |  MAX(s_suppkey) AS max_key
+              |FROM supplier GROUP BY s_nationkey
+              |ORDER BY s_nationkey""".stripMargin)),
+
     // ---- DataSource V2 generator source --------------------------------
     // The graft.sources.DocGen TableProvider: deterministic synthetic
     // corpus with no input files, split into independent id ranges
