@@ -63,29 +63,55 @@ object SchemaUtils {
  *     --clickhouse-schema-path OUT.sql --table-name T --primary-key K
  */
 object SchemaGen {
-  def main(args: Array[String]): Unit = {
+
+  /** Parsed CLI configuration (pure; unit-testable without a session). */
+  final case class Config(parquetPath: String, outPath: String, table: String,
+                          pk: String, mode: ClickHouseType.Mode,
+                          lowCardinality: Option[String],
+                          partitionBy: Option[String], orderBy: Seq[String],
+                          warnings: Seq[String])
+
+  /** Flag-for-flag parse of the reference CLI plus the extended-mode
+   * extras. Fails fast (sys.error) on a missing required flag, matching
+   * the reference's clap `required = true` behavior
+   * (reference: src/bin/schemagen.rs:6-21). */
+  def parseArgs(args: Array[String]): Config = {
     val kv = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
     def req(k: String): String =
       kv.getOrElse(k, sys.error(s"missing required flag --$k"))
-    val parquetPath = req("parquet-path")
-    val outPath = req("clickhouse-schema-path")
-    val table = req("table-name")
-    val pk = req("primary-key")
     val mode =
       if (kv.get("mode").contains("extended")) ClickHouseType.Extended
       else ClickHouseType.Legacy
-    // --low-cardinality a,b,c  (explicit) or --low-cardinality auto
-    // (data-driven via SchemaUtils.suggestLowCardinality; scans rows)
-    val lcArg = kv.get("low-cardinality")
-    // --partition-by <raw CH expr>, --order-by a,b,c (extended mode only)
     val partitionBy = kv.get("partition-by")
     val orderBy = kv.get("order-by")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    if (mode == ClickHouseType.Legacy && (partitionBy.nonEmpty || orderBy.nonEmpty))
-      System.err.println(
-        "[schemagen] --partition-by/--order-by have no effect without --mode extended; ignoring")
+    val warnings = Seq(
+      if (mode == ClickHouseType.Legacy && (partitionBy.nonEmpty || orderBy.nonEmpty))
+        Some("--partition-by/--order-by have no effect without --mode extended; ignoring")
+      else None,
+      if (mode == ClickHouseType.Legacy && kv.contains("low-cardinality"))
+        Some("--low-cardinality has no effect without --mode extended; ignoring")
+      else None).flatten
+    Config(req("parquet-path"), req("clickhouse-schema-path"),
+      req("table-name"), req("primary-key"), mode,
+      kv.get("low-cardinality"), partitionBy, orderBy, warnings)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
+    cfg.warnings.foreach(w => System.err.println(s"[schemagen] $w"))
+    val parquetPath = cfg.parquetPath
+    val outPath = cfg.outPath
+    val table = cfg.table
+    val pk = cfg.pk
+    val mode = cfg.mode
+    // --low-cardinality a,b,c  (explicit) or --low-cardinality auto
+    // (data-driven via SchemaUtils.suggestLowCardinality; scans rows)
+    val lcArg = if (mode == ClickHouseType.Legacy) None else cfg.lowCardinality
+    val partitionBy = cfg.partitionBy
+    val orderBy = cfg.orderBy
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[2]"))
@@ -97,12 +123,9 @@ object SchemaGen {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     try {
+      // lcArg is already None in Legacy mode (parseArgs warns; don't pay
+      // the auto row scan for a flag Legacy mode ignores)
       val lc: Set[String] = lcArg match {
-        case Some(_) if mode == ClickHouseType.Legacy =>
-          // don't pay the auto row scan for a flag Legacy mode ignores
-          System.err.println(
-            "[schemagen] --low-cardinality has no effect without --mode extended; ignoring")
-          Set.empty
         case Some("auto") => SchemaUtils.suggestLowCardinality(spark, parquetPath)
         case Some(cols) => cols.split(",").map(_.trim).filter(_.nonEmpty).toSet
         case None => Set.empty

@@ -204,4 +204,30 @@ class DdlRendererSpec extends AnyFunSuite {
       partitionBy = Some("toYYYYMM(d)"), orderBy = Seq("id"))
     assert(legacy.endsWith(") engine = MergeTree() primary key (id);\n"), legacy)
   }
+
+  test("SchemaGen CLI parse: required flags, modes, extras, warnings") {
+    import graft.chschema.SchemaGen
+    val base = Array("--parquet-path", "in.parquet",
+      "--clickhouse-schema-path", "out.sql",
+      "--table-name", "t", "--primary-key", "k")
+    val c = SchemaGen.parseArgs(base)
+    assert(c.parquetPath == "in.parquet" && c.table == "t" && c.pk == "k")
+    assert(c.mode == ClickHouseType.Legacy && c.warnings.isEmpty)
+
+    val ext = SchemaGen.parseArgs(base ++ Array("--mode", "extended",
+      "--partition-by", "toYYYYMM(d)", "--order-by", "a, b,", "--low-cardinality", "auto"))
+    assert(ext.mode == ClickHouseType.Extended)
+    assert(ext.partitionBy.contains("toYYYYMM(d)"))
+    assert(ext.orderBy == Seq("a", "b"))
+    assert(ext.warnings.isEmpty)
+
+    // extended-only flags in Legacy mode warn instead of silently applying
+    val warned = SchemaGen.parseArgs(base ++ Array("--order-by", "a",
+      "--low-cardinality", "x"))
+    assert(warned.warnings.size == 2, warned.warnings.toString)
+
+    val thrown = intercept[RuntimeException](
+      SchemaGen.parseArgs(Array("--table-name", "t")))
+    assert(thrown.getMessage.contains("missing required flag"))
+  }
 }
