@@ -38,13 +38,22 @@ object ConnectedComponents {
       m / 50000L + 1L)).toInt
     val sym = symAll.repartition(parts, col("a")).cache()
     symAll.unpersist()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    // initialization fuses the first propagation step: comp0(n) =
+    // min(n, neighbors(n)) in ONE aggregation — for near-clique
+    // duplicate clusters (diameter 1) this is already the fixpoint and
+    // the loop only runs the confirming pass, saving a full
+    // join+aggregate+codegen round
+    var labels = sym
+      .select(col("a").as("id"), least(col("a"), col("b")).as("comp"))
+      .groupBy("id").agg(min(col("comp")).as("comp"))
+      .cache()
     // convergence via the label-sum invariant: labels only ever
     // decrease, so the (exact, decimal) sum of labels is strictly
-    // monotone and stabilizes exactly at the fixpoint — one cheap
-    // aggregate per iteration instead of a join-and-count
+    // monotone and stabilizes exactly at the fixpoint. The sum is ALSO
+    // the action that materializes each iteration's cache, so one job
+    // per iteration covers both persistence and the convergence check
+    // (a localCheckpoint would cost a second action per iteration;
+    // lineage depth is bounded by maxIter, which planning absorbs).
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
         .getDecimal(0)
@@ -57,10 +66,11 @@ object ConnectedComponents {
         .select(col("b").as("id"), col("comp"))
         .union(labels)
         .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .cache()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      labels.unpersist()
       labels = next
       i += 1
     }
