@@ -193,6 +193,71 @@ object Battery {
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // ---- time-range window frame (trailing 30-day revenue) -------------
+    // RANGE frames bound by a time interval, not row counts: each order
+    // sums the customer's revenue over the PRECEDING 30 days including
+    // itself. Spark expresses interval ranges on the epoch-seconds
+    // ordering key; DuckDB on the timestamp directly — same frame.
+    QueryDef("q_window_range",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+          .rangeBetween(-30L * 86400, 0)
+        rd(s, dir, "orders")
+          .withColumn("trail_30d",
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .over(w).cast("double"))
+          .select("o_orderkey", "o_custkey", "o_totalprice", "trail_30d")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate
+             |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) AS trail_30d
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- statistical moments, deterministically ------------------------
+    // stddev/variance aggregates are float-accumulation-order-dependent
+    // across partitions, so the declared semantics derive them from
+    // EXACT decimal sums (n, Σx, Σx²) — the 2dp inputs square exactly at
+    // 4dp — followed by identical double arithmetic in both engines.
+    // This is also the mergeable form you'd use at scale (3 numbers of
+    // combinable state per group, like a t-digest-free welford).
+    QueryDef("q_stats_moments",
+      (s, dir) => {
+        rd(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("sum_q"),
+            sum((col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+              col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+              .cast("double").as("sumsq_q"))
+          .withColumn("mean_q", col("sum_q") / col("n"))
+          .withColumn("var_q",
+            (col("sumsq_q") - col("sum_q") * col("sum_q") / col("n")) / col("n"))
+          .withColumn("stddev_q", sqrt(col("var_q")))
+          .select(col("l_returnflag"), col("n"),
+            round(col("mean_q"), 4).as("mean_q"),
+            round(col("var_q"), 4).as("var_q"),
+            round(col("stddev_q"), 4).as("stddev_q"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+             |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+             |                  * CAST(l_quantity AS DECIMAL(18,2))
+             |             AS DECIMAL(28,4))) AS DOUBLE) AS sumsq_q
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  ROUND(sum_q / n, 4) AS mean_q,
+             |  ROUND((sumsq_q - sum_q * sum_q / n) / n, 4) AS var_q,
+             |  ROUND(sqrt((sumsq_q - sum_q * sum_q / n) / n), 4) AS stddev_q
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // ---- ordered string aggregation ------------------------------------
     // listagg-style rollup: collect_list is order-nondeterministic across
     // partitions, so the declared semantics SORT before joining — the
