@@ -193,6 +193,47 @@ object Battery {
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
+    // ---- batch merge/upsert (full-outer join + coalesce) ---------------
+    // The portable MERGE: a changes batch (simulated: every 100th order
+    // re-priced +10%, keys shifted by 7 as inserts) applied to the base
+    // table — matched rows take the change, unmatched keep the base,
+    // change-only keys insert. One shuffle on the merge key; at scale
+    // this is the compaction job a format with MERGE sugar (Delta/
+    // Iceberg) runs underneath. Result verified as the merged table's
+    // per-status aggregate.
+    QueryDef("q_merge_upsert",
+      (s, dir) => {
+        val orders = rd(s, dir, "orders")
+        val base = orders.filter(col("o_orderkey") % 100 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            col("o_totalprice").as("price"))
+        val changes = orders.filter(col("o_orderkey") % 100 === 0)
+          .select((col("o_orderkey") + 7).as("k"),
+            col("o_orderstatus").as("c_st"),
+            (col("o_totalprice") * 1.1).as("c_price"))
+        base.join(changes, Seq("k"), "full_outer")
+          .select(col("k"),
+            coalesce(col("c_st"), col("st")).as("status"),
+            coalesce(col("c_price"), col("price")).as("price"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_rows"), dsumS(col("price"), 3).as("sum_price"))
+          .orderBy("status")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+              |  FROM orders WHERE o_orderkey % 100 <> 0),
+              |changes AS (
+              |  SELECT o_orderkey + 7 AS k, o_orderstatus AS c_st,
+              |    o_totalprice * 1.1 AS c_price
+              |  FROM orders WHERE o_orderkey % 100 = 0),
+              |m AS (SELECT COALESCE(c.k, b.k) AS k,
+              |        COALESCE(c_st, st) AS status,
+              |        COALESCE(c_price, price) AS price
+              |      FROM base b FULL OUTER JOIN changes c ON b.k = c.k)
+              |SELECT status, COUNT(*) AS n_rows,
+              |  ${dsumSqlS("price", 3)} AS sum_price
+              |FROM m GROUP BY status ORDER BY status""".stripMargin)),
+
     // ---- time-range window frame (trailing 30-day revenue) -------------
     // RANGE frames bound by a time interval, not row counts: each order
     // sums the customer's revenue over the PRECEDING 30 days including
