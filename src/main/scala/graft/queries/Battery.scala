@@ -41,6 +41,36 @@ object Battery {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- unpivot/melt (wide measures → long rows) ----------------------
+    // The inverse of q_pivot, via the first-class unpivot API (plans a
+    // single Expand, one pass — not a self-union of 4 scans, which is
+    // what the portable oracle writes).
+    QueryDef("q_unpivot",
+      (s, dir) => {
+        rd(s, dir, "lineitem")
+          .unpivot(
+            ids = Array(col("l_returnflag")),
+            values = Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            variableColumnName = "measure",
+            valueColumnName = "value")
+          .groupBy("l_returnflag", "measure")
+          .agg(count(lit(1)).as("n"), dsumS(col("value"), 2).as("sum_value"))
+          .orderBy("l_returnflag", "measure")
+      },
+      Some(s"""WITH long AS (
+              |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+              |  UNION ALL
+              |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+              |  UNION ALL
+              |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+              |  UNION ALL
+              |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+              |SELECT l_returnflag, measure, COUNT(*) AS n,
+              |  ${dsumSqlS("value", 2)} AS sum_value
+              |FROM long GROUP BY l_returnflag, measure
+              |ORDER BY l_returnflag, measure""".stripMargin)),
+
     // ---- exact percentiles (sort-based, per group) --------------------
     // Spark's percentile() is the exact sort-based aggregate; the
     // approx sketch path is q_approx_distinct's cousin
