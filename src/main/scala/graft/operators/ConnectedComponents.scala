@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  /** GraphX-backed variant — the default. GraphX's Pregel connected
+   * components is the Spark-native graph engine for exactly this shape:
+   * RDD-based, so the fixpoint loop pays NO per-iteration plan/codegen
+   * compilation (the dominant cost of the DataFrame loop on small
+   * graphs: each iteration is a fresh whole-stage-codegen unit), and
+   * its label IS the min vertex id, matching the declared semantics.
+   * [[run]] remains as the pure-DataFrame formulation (useful where
+   * GraphX isn't shipped and as executable documentation of the
+   * algorithm); both are spec-pinned to identical output. */
+  def runGraphX(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val edgeRdd = edges.toDF("a", "b").rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edgeRdd, 1)
+    graph.connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }
+      .toDF("id", "comp")
+  }
+
   /** @param edges two-column DataFrame of undirected edges (a, b)
    * @return (id, comp) — comp is the min node id of the component;
    *         isolated nodes absent from `edges` are absent here too */

@@ -408,7 +408,7 @@ object LlmOps {
       (s, dir) => {
         val docs = docsWithShingles(s, dir).cache()
         val pairs = neardupPairs(docs, threshold = 0.5).select("a_id", "b_id")
-        graft.operators.ConnectedComponents.run(pairs)
+        graft.operators.ConnectedComponents.runGraphX(pairs)
           .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
           .orderBy("cluster_id", "doc_id")
       },

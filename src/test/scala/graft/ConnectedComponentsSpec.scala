@@ -19,4 +19,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
     assert(got == want)
   }
+
+  test("GraphX variant produces identical components") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val df = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = ConnectedComponents.runGraphX(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gx == df)
+  }
 }
