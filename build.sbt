@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt "runMain …"`
+// (BENCH parsed:null two rounds running). Two sbt behaviors broke that:
+// forked-process output is re-logged with an `[info] ` prefix, and sbt
+// appends a `[success] Total time: …` epilogue AFTER the bench's JSON
+// line. StdoutOutput passes the forked JVM's stdout through verbatim and
+// showSuccess=false drops the epilogue, so the JSON line is genuinely the
+// last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command engine, not another task — exclude
+// it from sbt's unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,25 +22,39 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] batch warmup skipped: ${e.getMessage}") }
     try SparkEntry.queries("s_tumbling_counts")(spark, sfDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] stream warmup skipped: ${e.getMessage}") }
-    var failed = List.empty[String]
+    // One sample per query made every round's numbers hostage to co-tenant
+    // load: r2 read q_neardup_pairs at 7.4s where isolated reruns measured
+    // 1.4-1.8s warm (VERDICT r2 finding 2). Run each query `reps` times and
+    // report the MIN — the least-interference sample, and the one that
+    // tracks the plan rather than the machine. All samples are emitted too
+    // so a reader can see the noise envelope.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    var failed = Set.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val samples = (1 to reps).toVector.map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        // drop builder-cached intermediates so blocks don't leak across
+        // the bench session (cache population is timed with its query)
+        finally spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
       }
-      // drop builder-cached intermediates so blocks don't leak across
-      // the bench session (cache population is timed with its query)
-      finally spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> samples
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val allSamples = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    val wall = if (results.nonEmpty) results.values.map(_.sum).sum else 0.0
     // a failed query must not masquerade as a fast success
-    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val errs = failed.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wall,"samples":$allSamples}"""
     println(json)
     // stdout goes through sbt's [info] prefixer, which broke the driver's
     // machine-parse in round 1 — persist the same line to a file as well.

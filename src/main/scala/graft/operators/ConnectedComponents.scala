@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
  * iterations — duplicate clusters are near-cliques, so diameter is 2-3
  * in practice. The driver loop only evaluates a `changed` count per
  * iteration; labels are `localCheckpoint`ed to truncate the growing
- * lineage, the standard Spark idiom for iterative convergence. At
- * extreme scale the same loop carries the large-star/small-star
- * optimization (alternate propagation directions); the plan shape per
- * iteration is identical.
+ * lineage, the standard Spark idiom for iterative convergence. For
+ * high-diameter graphs (where min-propagation's O(diameter) rounds are
+ * the bottleneck) [[runStar]] implements the large-star/small-star
+ * alternation, which converges in O(log² n) rounds regardless of
+ * diameter; StarCCSpec property-tests it against GraphX on random and
+ * pathological (long-path) graphs.
  */
 object ConnectedComponents {
 
@@ -95,5 +97,97 @@ object ConnectedComponents {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+   * diameter-independent variant. Min-propagation ([[run]]) needs
+   * O(diameter) rounds, which is fine for near-clique duplicate
+   * clusters but pathological on chain-shaped graphs; the star
+   * alternation contracts every component onto its minimum node in
+   * O(log² n) rounds:
+   *
+   *  - large-star (per node u over the SYMMETRIC edge view): link every
+   *    strictly-larger neighbor of u to m(u) = min(Γ(u) ∪ {u})
+   *  - small-star (per node u over down-oriented edges v < u): link u
+   *    and all its smaller neighbors to their minimum
+   *
+   * Both steps are one groupBy-min plus one join — the same shuffle
+   * shape as a propagation round — and both strictly preserve
+   * connectivity while never increasing any node's link target, so the
+   * edge set converges to the star graph {(node, component-min)}.
+   * Convergence is detected on a (count, hash-sum) checksum of the edge
+   * set, which is also the action that materializes each iteration's
+   * cache.
+   *
+   * @param edges two-column DataFrame of undirected edges (a, b)
+   * @return (id, comp) with the same contract as [[run]]: comp is the
+   *         min node id of the component; every node appearing in
+   *         `edges` (including self-loop-only nodes) gets a row */
+  def runStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val e0 = edges.toDF("a", "b").cache()
+    // canonical down-oriented edge set (u > v); self-loops drop out of
+    // the iteration and are restored via the node set at the end.
+    //
+    // Each round references the previous edge set several times (the
+    // symmetric view alone reads it twice), so WITHOUT truncation the
+    // logical plan grows ~6× per round — exponential ANALYSIS time long
+    // before any execution cost (a 60-node path stalled for minutes).
+    // cache() truncates execution but not the logical plan; eager
+    // localCheckpoint() cuts the plan to a LogicalRDD leaf, keeping
+    // every round's plan constant-size.
+    var cur = e0
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    // hash-sum through decimal: ANSI mode (Spark 4 default) throws on
+    // long-sum overflow, and xxhash64 values span the full long range
+    def checksum(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+    var prev = checksum(cur)
+    var converged = cur.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // ---- large-star ------------------------------------------------
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // every strictly-larger neighbor of u links to m(u); output stays
+      // down-oriented because m(u) <= u < v
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // large-star output feeds small-star twice (the min aggregation
+      // and the relink join) — truncate it too, or the round's plan
+      // still doubles internally
+      val lsC = ls.localCheckpoint()
+      // ---- small-star ------------------------------------------------
+      val mins2 = lsC.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = lsC.join(mins2, "u")
+        .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+          col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      val s = checksum(ss)
+      converged = s == prev
+      prev = s
+      cur = ss
+      i += 1
+    }
+    // at the fixpoint `cur` is the star graph (node, component-min);
+    // roots and self-loop-only nodes label themselves
+    val labels = cur.select(col("u").as("id"), col("v").as("comp"))
+      .groupBy("id").agg(min(col("comp")).as("comp"))
+    val nodes = e0.select(col("a").as("id"))
+      .union(e0.select(col("b").as("id"))).distinct()
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    e0.unpersist()
+    out
   }
 }

@@ -218,7 +218,17 @@ object Advanced {
           .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
           .withColumn("features", array_to_vector(col("emb_d")))
           .cache()
-        val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5).fit(e)
+        // the quantizer trains on a bounded SAMPLE, not the full corpus
+        // (VERDICT r2 finding 4: 5 full passes over every embedding at
+        // 100 TB). The row count is a parquet metadata read (O(footers)),
+        // and ~4k vectors is ample to place k=8 centroids; at the test
+        // SFs the sample is the whole table, so AnnRecallSpec's recall
+        // pin is unchanged by construction.
+        val total = rd(s, dir, "embeddings").count()
+        val fitInput =
+          if (total <= 4096L) e
+          else e.sample(withReplacement = false, 4096.0 / total, seed = 42L)
+        val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5).fit(fitInput)
         // the cache earned its keep during the 5 training iterations;
         // drop it now so blocks don't leak across the bench session —
         // the scans below recompute e once each, which is cheap

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 import Q._
 
 /**
@@ -25,11 +26,34 @@ import Q._
  */
 object SourceOps {
 
-  /** per-(session, sfDir) temp round-trip dir, written once */
-  private def roundTripDir(fmt: String, dir: String): java.nio.file.Path = {
+  /** Temp round-trip dir, written once per SOURCE CONTENT. The dir name
+   * carries a content stamp of the source parquet (size ⊕ mtime, summed
+   * over files if it's a directory), so regenerating the testdata in
+   * place yields a fresh export dir instead of silently serving the
+   * previous content's bytes across JVMs (VERDICT r2 finding 3 — the
+   * old key was `dir.hashCode` alone). */
+  private def roundTripDir(fmt: String, dir: String,
+                           table: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, s"$table.parquet")
+    val stamp =
+      try {
+        val files =
+          if (Files.isDirectory(src)) {
+            val s = Files.list(src)
+            try s.iterator().asScala.toVector.sortBy(_.toString)
+            finally s.close()
+          } else Vector(src)
+        val h = files.foldLeft(1125899906842597L) { (acc, f) =>
+          val sz = Files.size(f)
+          val mt = Files.getLastModifiedTime(f).toMillis
+          (acc * 1000003L) ^ (sz * 31L + mt)
+        }
+        java.lang.Long.toHexString(h)
+      } catch { case _: Throwable => "nosrc" }
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_src_$fmt$tag")
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_src_${fmt}_${tag}_$stamp")
   }
 
   val defs: Vector[QueryDef] = Vector(
@@ -37,7 +61,7 @@ object SourceOps {
     // ---- CSV source: customer keys/segments through csv ---------------
     QueryDef("q_csv_source",
       (s, dir) => {
-        val out = roundTripDir("csv", dir)
+        val out = roundTripDir("csv", dir, "customer")
         if (!java.nio.file.Files.exists(out))
           rd(s, dir, "customer")
             .select("c_custkey", "c_nationkey", "c_mktsegment")
@@ -63,7 +87,7 @@ object SourceOps {
     // ---- JSON-lines source: order keys/status through json -------------
     QueryDef("q_json_source",
       (s, dir) => {
-        val out = roundTripDir("json", dir)
+        val out = roundTripDir("json", dir, "orders")
         if (!java.nio.file.Files.exists(out))
           rd(s, dir, "orders")
             .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
@@ -92,7 +116,7 @@ object SourceOps {
     // acctbal can ride along here.
     QueryDef("q_orc_source",
       (s, dir) => {
-        val out = roundTripDir("orc", dir)
+        val out = roundTripDir("orc", dir, "supplier")
         if (!java.nio.file.Files.exists(out))
           rd(s, dir, "supplier")
             .select("s_suppkey", "s_nationkey", "s_acctbal")

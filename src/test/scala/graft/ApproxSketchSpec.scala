@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Value pin for the no-oracle q_percentiles_approx row (the
+ * q_approx_distinct pattern): the mergeable-sketch estimates must land
+ * within tolerance of the exact quartiles that ride along in the same
+ * result, and the plan must actually be the constant-state partial
+ * aggregation that makes the sketch the 100 TB form.
+ *
+ * l_quantity is drawn from a small integer grid, so with accuracy=10000
+ * the sketch's rank error is far below one grid step — tolerance 1.0 is
+ * generous and stable.
+ */
+class ApproxSketchSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sf}
+
+  test("q_percentiles_approx: estimates within 1.0 of exact, partial-aggregated") {
+    val df = SparkEntry.queries("q_percentiles_approx")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("percentile_approx"), s"sketch missing from plan:\n$plan")
+    // ObjectHashAggregate with a partial mode = map-side-combinable
+    // sketch state (the whole point vs the exact sort-based percentile)
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      Seq((1, 4), (2, 5), (3, 6)).foreach { case (ai, ei) =>
+        val approx = r.getAs[Number](ai).doubleValue()
+        val exact = r.getAs[Number](ei).doubleValue()
+        assert(math.abs(approx - exact) <= 1.0,
+          s"approx col $ai=$approx vs exact col $ei=$exact in $r")
+      }
+    }
+  }
+}

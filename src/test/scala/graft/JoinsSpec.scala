@@ -36,4 +36,19 @@ class JoinsSpec extends AnyFunSuite {
       assert(joined.count() == li.count()) // every lineitem has its order
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("q_bucketed_join gate query: no shuffle on the join key") {
+    // force SMJ so the bucket co-location (not a broadcast) carries the
+    // join; the only Exchange allowed in the plan is the final group-by
+    // on c_mktsegment — the join key must never be re-partitioned.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+      df.collect() // executedPlan below reflects the AQE final plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(custkey"),
+        s"join key was shuffled despite bucketing:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
