@@ -407,6 +407,36 @@ object Battery {
              |  string_agg(n_name, ',' ORDER BY n_name) AS nations
              |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 
+    // ---- salted two-stage aggregation (hot-key remedy) -----------------
+    // When one group key owns a disproportionate share of rows, a plain
+    // groupBy sends the whole hot key to one reducer. The salted form
+    // aggregates on (key, salt) first — spreading the hot key over
+    // `salt` sub-groups — then combines the sub-aggregates per key.
+    // Counts and decimal sums re-aggregate losslessly (both stages are
+    // the same associative monoid), so the result is identical to the
+    // plain groupBy, which is exactly what the oracle checks. The cost
+    // is one extra (tiny: #keys × salt rows) shuffle — the trade a
+    // 100 TB pipeline makes when AQE can't split a skewed aggregation.
+    QueryDef("q_salted_agg",
+      (s, dir) => {
+        val salt = 8
+        rd(s, dir, "lineitem")
+          .withColumn("__salt",
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salt)))
+          .groupBy(col("l_returnflag"), col("__salt"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .as("pq"))
+          .groupBy("l_returnflag")
+          .agg(sum(col("pn")).as("n_items"),
+            sum(col("pq")).cast("double").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_items,
+              |  ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)),
+
     // ---- histogram via width_bucket ------------------------------------
     QueryDef("q_histogram",
       (s, dir) => {

@@ -432,6 +432,40 @@ object LlmOps {
              |FROM reach GROUP BY src
              |ORDER BY cluster_id, doc_id""".stripMargin)),
 
+    // ---- transitive clusters via large-star/small-star -----------------
+    // Same declared result as q_dedup_clusters (same recursive-CTE
+    // oracle), computed by ConnectedComponents.runStar — the
+    // diameter-independent alternation. Keeping both in the gate pins
+    // the two implementations to each other through the oracle, and the
+    // bench shows the star variant's constant-rounds cost profile.
+    QueryDef("q_dedup_clusters_star",
+      (s, dir) => {
+        val docs = docsWithShingles(s, dir).cache()
+        val pairs = neardupPairs(docs, threshold = 0.5).select("a_id", "b_id")
+        graft.operators.ConnectedComponents.runStar(pairs)
+          .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
+          .orderBy("cluster_id", "doc_id")
+      },
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |                       FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |                 for i in range(1, len(ts) - 1)]) AS s
+             |  FROM tok),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0.5),
+             |e AS (SELECT a_id AS src, b_id AS dst FROM p
+             |      UNION SELECT b_id, a_id FROM p),
+             |reach AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+             |SELECT LEAST(src, MIN(dst)) AS cluster_id, src AS doc_id
+             |FROM reach GROUP BY src
+             |ORDER BY cluster_id, doc_id""".stripMargin)),
+
     // ---- incremental dedup: new batch vs existing corpus ---------------
     // The ingestion shape: an incoming batch (simulated as doc_id % 10
     // == 0) is checked for near-duplicates against the EXISTING corpus

@@ -134,6 +134,36 @@ object SourceOps {
               |FROM supplier GROUP BY s_nationkey
               |ORDER BY s_nationkey""".stripMargin)),
 
+    // ---- hive-partitioned sink + partition-pruned read -----------------
+    // The 100 TB layout pattern: write the fact table partitioned by a
+    // low-cardinality column (directory-per-value), then read ONE
+    // partition back — the scan must touch only that directory's files
+    // (SourcesSpec asserts every inputFile path carries the partition
+    // value; the filter never reaches row groups of other partitions).
+    // Oracle computes the same aggregate from the raw table with the
+    // equivalent WHERE.
+    QueryDef("q_partitioned_write",
+      (s, dir) => {
+        val out = roundTripDir("hivepart", dir, "orders")
+        if (!java.nio.file.Files.exists(out))
+          rd(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderpriority"), col("o_orderstatus"))
+            .write.mode("overwrite").partitionBy("o_orderstatus")
+            .parquet(out.toString)
+        s.read.parquet(out.toString)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS sum_price
+              |FROM orders WHERE o_orderstatus = 'F'
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- DataSource V2 generator source --------------------------------
     // The graft.sources.DocGen TableProvider: deterministic synthetic
     // corpus with no input files, split into independent id ranges

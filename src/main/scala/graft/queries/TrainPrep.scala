@@ -30,6 +30,55 @@ object TrainPrep {
 
   val defs: Vector[QueryDef] = Vector(
 
+    // ---- PII scrub / redaction ----------------------------------------
+    // The mandatory cleaning stage before any text reaches a training
+    // run: detect + replace email addresses and phone-shaped tokens,
+    // report per-doc redaction counts and the md5 of the scrubbed text
+    // (so the oracle pins the REPLACEMENT bytes, not just the counts).
+    // The synthetic corpus carries no PII, so both engines first enrich
+    // each document with the same deterministic id-derived contact
+    // block — the redaction semantics (regex classes, global replace,
+    // replacement tokens) are the operator under test. Pure map-side
+    // string work: no shuffle at any scale.
+    QueryDef("q_pii_scrub",
+      (s, dir) => {
+        val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val phoneRe = """\b555-[0-9]{1,6}\b"""
+        val enriched = rd(s, dir, "documents")
+          .withColumn("raw",
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@mail.example or admin"),
+              col("doc_id").cast("string"), lit("@corp.test phone 555-"),
+              (col("doc_id") % 10000).cast("string"), lit(" backup 555-0199")))
+        enriched.select(col("doc_id"),
+            size(expr(
+              "regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', 0)"))
+              .cast("long").as("n_emails"),
+            size(expr("regexp_extract_all(raw, '\\\\b555-[0-9]{1,6}\\\\b', 0)"))
+              .cast("long").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("scrub_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || doc_id::VARCHAR
+             |      || '@mail.example or admin' || doc_id::VARCHAR
+             |      || '@corp.test phone 555-' || (doc_id % 10000)::VARCHAR
+             |      || ' backup 555-0199' AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |    AS n_emails,
+             |  CAST(len(regexp_extract_all(raw, '\b555-[0-9]{1,6}\b')) AS BIGINT)
+             |    AS n_phones,
+             |  md5(regexp_replace(regexp_replace(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b555-[0-9]{1,6}\b', '<PHONE>', 'g')) AS scrub_md5
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
     // ---- deterministic 80/10/10 train/val/test split -------------------
     // Hash-based assignment (byte < 204 → train, < 230 → val, else test):
     // stable under reruns and resharding, no coordination, no sampling

@@ -48,4 +48,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(ddl.contains(", amount Nullable(Decimal(12, 2))"))
     assert(ddl.contains(", day Nullable(Date)"))
   }
+
+  test("q_partitioned_write scans only the filtered partition's files") {
+    import org.apache.spark.sql.functions.col
+    // run the gate query once so the hive-partitioned export exists
+    SparkEntry.queries("q_partitioned_write")(spark, sf).collect()
+    // re-open the export the same way the query does and check pruning:
+    // every input file of the filtered scan must live under the
+    // o_orderstatus=F directory — other partitions are never opened
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    // match this sf-dir's export specifically (other sf exports may
+    // coexist in tmp); the dir name embeds the sf-dir hash tag
+    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val exportDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith(s"graft_src_hivepart_$tag"))
+    assert(exportDirs.nonEmpty, "export dir missing")
+    val pruned = spark.read.parquet(exportDirs.head.toString)
+      .filter(col("o_orderstatus") === "F")
+    // inputFiles lists the base relation pre-pruning; the guarantee
+    // lives in the scan's partitionFilters + the pruned file listing
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      "o_orderstatus filter should be a partition filter, not a data filter")
+    val files = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(files.nonEmpty && files.forall(_.contains("o_orderstatus=F")),
+      s"unpruned files: ${files.filterNot(_.contains("o_orderstatus=F")).mkString(", ")}")
+    assert(o.filter(col("o_orderstatus") === "F").count() == pruned.count())
+  }
 }
