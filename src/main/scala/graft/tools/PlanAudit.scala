@@ -14,7 +14,10 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    for (name <- Seq("q_scan_filter", "q_agg_pricing", "q_join_5way")) {
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_scan_filter", "q_agg_pricing", "q_join_5way")
+    for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"##### $name")
       def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
