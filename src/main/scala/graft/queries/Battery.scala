@@ -540,6 +540,88 @@ object Battery {
              |    AS BIGINT) AS bpe_tokens,
              |  CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')))
              |    AS DOUBLE) / SUM(len(string_split(text, ' '))) AS bpe_per_ws
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- gap-filled hourly series with forward fill --------------------
+    // The time-series resample: per user, materialize the full hourly
+    // grid between first and last activity (sequence + explode — O(span)
+    // rows, no cross join against a global calendar), left-join the real
+    // hourly aggregates, and forward-fill the last seen value through
+    // the gaps with an ignoreNulls running window. One shuffle on
+    // (user, hour) for the join, one on user for the fill — both keyed,
+    // both AQE-coalesced; the grid never materializes beyond each user's
+    // own span, so a 100 TB events table costs users × span-hours, not
+    // users × global-calendar.
+    QueryDef("q_gap_fill",
+      (s, dir) => {
+        val hourly = events(s, dir)
+          .withColumn("h", date_trunc("hour", col("ts")))
+          .groupBy("user_id", "h")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h").as("hour"),
+            coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+          .orderBy("user_id", "hour")
+      },
+      Some(s"""WITH hourly AS (
+              |  SELECT user_id, date_trunc('hour', ts) AS h,
+              |    COUNT(*) AS n, ${dsumSql("value")} AS v
+              |  FROM events GROUP BY 1, 2),
+              |grid AS (
+              |  SELECT user_id,
+              |    unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+              |  FROM hourly GROUP BY user_id)
+              |SELECT g.user_id AS user_id, g.h AS hour,
+              |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+              |  LAST_VALUE(a.v IGNORE NULLS) OVER (
+              |    PARTITION BY g.user_id ORDER BY g.h
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+              |FROM grid g LEFT JOIN hourly a
+              |  ON g.user_id = a.user_id AND g.h = a.h
+              |ORDER BY user_id, hour""".stripMargin)),
+
+    // ---- n-gram language-model counts (bigram top-5 per lang) ----------
+    // The LM-prep counting pass: explode each document into adjacent
+    // token bigrams, count per (lang, bigram), keep the top 5 per lang
+    // by a ranking window. The explode is map-side (one row per bigram,
+    // never a self-join); the count shuffles (lang, bigram) keys with
+    // map-side partial aggregation, and the top-k per group is the
+    // window-rank idiom over the already-tiny count table.
+    QueryDef("q_ngram_counts",
+      (s, dir) => {
+        val bi = rd(s, dir, "documents")
+          .select(col("lang"), split(col("text"), " ").as("ts"))
+          .select(col("lang"), explode(expr(
+            """CASE WHEN size(ts) < 2 THEN array()
+              |ELSE transform(sequence(0, size(ts) - 2),
+              |               i -> concat(ts[i], ' ', ts[i + 1])) END""".stripMargin))
+            .as("bigram"))
+        val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+        bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("lang", "bigram", "n", "rk")
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH t AS (SELECT lang, string_split(text, ' ') AS ts FROM documents),
+             |b AS (SELECT lang,
+             |        unnest([ts[i] || ' ' || ts[i + 1]
+             |                for i in range(1, len(ts))]) AS bigram
+             |      FROM t),
+             |c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY 1, 2),
+             |r AS (SELECT lang, bigram, n,
+             |        ROW_NUMBER() OVER (PARTITION BY lang
+             |          ORDER BY n DESC, bigram) AS rk
+             |      FROM c)
+             |SELECT lang, bigram, CAST(n AS BIGINT) AS n,
+             |  CAST(rk AS INTEGER) AS rk
+             |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin))
   )
 }

@@ -68,8 +68,11 @@ object SchemaQueries {
             StructField("a", StringType), StructField("b", StringType)))))))
         val row = Row(42, "ahmed", Row("foo", "bar"), Seq(Row("foo")),
           Map("x" -> Row("foo", "bar")))
-        val out = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_nested_fixture").toString
+        // fresh temp dir per call: a fixed path could be read mid-write
+        // by a concurrent session (tests + Verify); the fixture is one
+        // row, so the rewrite costs nothing
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_nested_fixture").toString
         val rows = new java.util.ArrayList[Row]()
         rows.add(row)
         s.createDataFrame(rows, fixtureSchema)
