@@ -542,6 +542,39 @@ object Battery {
              |    AS DOUBLE) / SUM(len(string_split(text, ' '))) AS bpe_per_ws
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- heavy hitters via a mergeable SpaceSaving sketch --------------
+    // Frequent-items completes the sketch family (HLL distinct,
+    // quantile sketch, now top-k): constant-size mergeable counter
+    // state instead of shuffling the full distinct-token set. The gate
+    // runs the sketch in its EXACT regime — capacity (64) exceeds the
+    // corpus vocabulary, so the floor never rises and every estimate
+    // equals the true count independent of partition order, which is
+    // what the plain-count oracle checks (the q_salted_join
+    // result-invariance pattern). HeavyHittersSpec separately pins the
+    // eviction regime's overestimate bound on a synthetic skewed stream.
+    QueryDef("q_heavy_hitters",
+      (s, dir) => {
+        val hh = graft.functions.HeavyHittersAgg.heavyHitters(64)
+        val w = Window.partitionBy("lang").orderBy(col("n").desc, col("tok"))
+        rd(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang").agg(hh(col("tok")).as("sketch"))
+          .select(col("lang"), explode(col("sketch")).as(Seq("tok", "n")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("lang", "tok", "n", "rk")
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY 1, 2),
+             |r AS (SELECT lang, tok, n,
+             |        ROW_NUMBER() OVER (PARTITION BY lang
+             |          ORDER BY n DESC, tok) AS rk
+             |      FROM c)
+             |SELECT lang, tok, CAST(n AS BIGINT) AS n, CAST(rk AS INTEGER) AS rk
+             |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
+
     // ---- gap-filled hourly series with forward fill --------------------
     // The time-series resample: per user, materialize the full hourly
     // grid between first and last activity (sequence + explode — O(span)
