@@ -164,6 +164,39 @@ object SourceOps {
               |GROUP BY o_orderpriority
               |ORDER BY o_orderpriority""".stripMargin)),
 
+    // ---- z-ordered layout + two-dimensional range read -----------------
+    // Lay the orders table out on the Morton curve of (custkey, order
+    // day) — operators/ZOrder — then answer a two-sided range query
+    // from the laid-out copy. The gate checks result invariance (the
+    // layout must never change answers); ZOrderSpec separately measures
+    // the layout property itself: per-file min/max spread bounded in
+    // BOTH dimensions, which is what lets parquet stats skip most files
+    // for this exact filter shape at 100 TB.
+    QueryDef("q_zorder_layout",
+      (s, dir) => {
+        val out = roundTripDir("zorder", dir, "orders")
+        if (!java.nio.file.Files.exists(out))
+          graft.operators.ZOrder.writeZOrdered(
+            rd(s, dir, "orders")
+              .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+                expr("unix_date(CAST(o_orderdate AS DATE))").as("o_day")),
+            "o_custkey", "o_day", out.toString, numFiles = 8)
+        s.read.parquet(out.toString)
+          .filter(col("o_custkey").between(10, 60) &&
+            col("o_day").between(9500, 10000))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""SELECT o_custkey, COUNT(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS sum_price
+              |FROM orders
+              |WHERE o_custkey BETWEEN 10 AND 60
+              |  AND datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              |        BETWEEN 9500 AND 10000
+              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // ---- DataSource V2 generator source --------------------------------
     // The graft.sources.DocGen TableProvider: deterministic synthetic
     // corpus with no input files, split into independent id ranges
