@@ -35,6 +35,24 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("exact regime matches Spark's datasketches approx_top_k") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestBase.spark
+    val toks = spark.read.parquet(s"${SparkTestBase.sf}/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS tok").cache()
+    val ours = toks
+      .select(HeavyHittersAgg.heavyHitters(64)(col("tok")).as("m"))
+      .selectExpr("explode(m) AS (tok, n)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // k ≥ vocabulary puts BOTH sketches in their exact regime, so the
+    // two independent implementations must produce the same count map
+    val theirs = toks.selectExpr("approx_top_k(tok, 64, 256) AS t")
+      .selectExpr("inline(t)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks.unpersist()
+    assert(ours.nonEmpty && ours == theirs)
+  }
+
   test("eviction regime: overestimate bounded, frequent keys survive") {
     val rnd = new scala.util.Random(13)
     // skewed stream: 'hot' is half the stream, 'warm' a quarter, the
