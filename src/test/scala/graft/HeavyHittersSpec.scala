@@ -53,6 +53,16 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(ours.nonEmpty && ours == theirs)
   }
 
+  test("gate query partially aggregates the sketch map-side") {
+    val df = SparkEntry.queries("q_heavy_hitters")(SparkTestBase.spark, SparkTestBase.sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // typed Aggregators plan as ObjectHashAggregate; a partial mode
+    // before the exchange is what bounds the shuffle to sketch state
+    assert(plan.contains("ObjectHashAggregate"), s"no ObjectHashAggregate:\n$plan")
+    assert(plan.toLowerCase.contains("partial"), s"no partial stage:\n$plan")
+  }
+
   test("eviction regime: overestimate bounded, frequent keys survive") {
     val rnd = new scala.util.Random(13)
     // skewed stream: 'hot' is half the stream, 'warm' a quarter, the
