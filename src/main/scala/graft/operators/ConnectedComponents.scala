@@ -150,35 +150,50 @@ object ConnectedComponents {
     }
     var prev = checksum(cur)
     var converged = cur.isEmpty
-    var i = 0
-    while (!converged && i < maxIter) {
-      // ---- large-star ------------------------------------------------
-      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      // every strictly-larger neighbor of u links to m(u); output stays
-      // down-oriented because m(u) <= u < v
-      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-      // large-star output feeds small-star twice (the min aggregation
-      // and the relink join) — truncate it too, or the round's plan
-      // still doubles internally
-      val lsC = ls.localCheckpoint()
-      // ---- small-star ------------------------------------------------
-      val mins2 = lsC.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = lsC.join(mins2, "u")
-        .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
-          col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
-      val s = checksum(ss)
-      converged = s == prev
-      prev = s
-      cur = ss
-      i += 1
-    }
+    // size the per-round shuffles to the GRAPH, not the session default
+    // (same policy as run()): a duplicate graph is tiny relative to the
+    // corpus and each round is several shuffles — at the session's
+    // fact-table partition count most tasks would be empty scheduling
+    // overhead. Session conf is restored on exit; Verify/Bench run
+    // queries strictly sequentially (same invariant withStatePartitions
+    // documents).
+    val spark = edges.sparkSession
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = spark.conf.get(shuffleKey)
+    val m = cur.count()
+    spark.conf.set(shuffleKey, math.max(1L,
+      math.min(prevShuffle.toLong, m / 50000L + 1L)).toString)
+    try {
+      var i = 0
+      while (!converged && i < maxIter) {
+        // ---- large-star ----------------------------------------------
+        val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy("u")
+          .agg(least(min(col("v")), first(col("u"))).as("m"))
+        // every strictly-larger neighbor of u links to m(u); output stays
+        // down-oriented because m(u) <= u < v
+        val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+        // ---- small-star ----------------------------------------------
+        // ls feeds small-star twice (min aggregation + relink join); the
+        // within-round plan doubles once, which is fine — the exponential
+        // hazard is ACROSS rounds, cut by the lazy localCheckpoint below
+        // (materialized by the checksum action, one job per round)
+        val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
+        val ss = ls.join(mins2, "u")
+          .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+            col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct().localCheckpoint(false)
+        val s = checksum(ss)
+        converged = s == prev
+        prev = s
+        cur = ss
+        i += 1
+      }
+    } finally spark.conf.set(shuffleKey, prevShuffle)
     // at the fixpoint `cur` is the star graph (node, component-min);
     // roots and self-loop-only nodes label themselves
     val labels = cur.select(col("u").as("id"), col("v").as("comp"))
