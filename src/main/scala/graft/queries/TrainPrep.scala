@@ -49,7 +49,10 @@ object TrainPrep {
             concat(col("text"), lit(" contact user"),
               col("doc_id").cast("string"), lit("@mail.example or admin"),
               col("doc_id").cast("string"), lit("@corp.test phone 555-"),
-              (col("doc_id") % 10000).cast("string"), lit(" backup 555-0199")))
+              (col("doc_id") % 10000).cast("string"), lit(" backup 555-0199"),
+              // doc-varying phone count (2..4): the count columns must
+              // not be corpus-wide constants or they'd pin nothing
+              expr("repeat(' spare 555-12', CAST(doc_id % 3 AS INT))")))
         enriched.select(col("doc_id"),
             size(expr(
               "regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', 0)"))
@@ -66,7 +69,8 @@ object TrainPrep {
              |    text || ' contact user' || doc_id::VARCHAR
              |      || '@mail.example or admin' || doc_id::VARCHAR
              |      || '@corp.test phone 555-' || (doc_id % 10000)::VARCHAR
-             |      || ' backup 555-0199' AS raw
+             |      || ' backup 555-0199'
+             |      || repeat(' spare 555-12', (doc_id % 3)::INT) AS raw
              |  FROM documents)
              |SELECT doc_id,
              |  CAST(len(regexp_extract_all(raw,
