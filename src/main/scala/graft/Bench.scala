@@ -54,13 +54,17 @@ object Bench {
     val wall = if (results.nonEmpty) results.values.map(_.sum).sum else 0.0
     // a failed query must not masquerade as a fast success
     val errs = failed.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wall,"samples":$allSamples}"""
-    println(json)
-    // stdout goes through sbt's [info] prefixer, which broke the driver's
-    // machine-parse in round 1 — persist the same line to a file as well.
+    // The driver captures only the LAST 2000 bytes of stdout (r3 verdict:
+    // 6771-char line vs 2000-char tail window → parsed:null three rounds
+    // running). The final stdout line must therefore be COMPACT — totals
+    // only, ~150 chars. The per-query min map and the raw samples go to
+    // bench_out.json, which has no size limit.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wall%.3f}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wall,"samples":$allSamples}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(compact)
     spark.stop()
   }
 }

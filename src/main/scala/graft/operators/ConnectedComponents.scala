@@ -116,15 +116,24 @@ object ConnectedComponents {
    * shape as a propagation round — and both strictly preserve
    * connectivity while never increasing any node's link target, so the
    * edge set converges to the star graph {(node, component-min)}.
-   * Convergence is detected on a (count, hash-sum) checksum of the edge
-   * set, which is also the action that materializes each iteration's
-   * cache.
+   * Convergence is detected by testing the star-graph property directly
+   * — every source has exactly one target (count == distinct sources)
+   * and no target is itself a source (no chains). Both large-star and
+   * small-star fix such a graph, and conversely the fixpoint is a star,
+   * so the test is exact AND fires on the round that REACHES the
+   * fixpoint — unlike checksum-equality against the previous round,
+   * which always pays one extra full confirming round. The test is two
+   * small jobs over the round's localCheckpoint (an aggregate, then a
+   * tiny distinct-join only when the aggregate passes).
    *
    * @param edges two-column DataFrame of undirected edges (a, b)
    * @return (id, comp) with the same contract as [[run]]: comp is the
    *         min node id of the component; every node appearing in
    *         `edges` (including self-loop-only nodes) gets a row */
   def runStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    def dbg(msg: String): Unit = if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[starcc] $msg t=${System.nanoTime() / 1e9}%.2f")
+    dbg("enter")
     val e0 = edges.toDF("a", "b").cache()
     // canonical down-oriented edge set (u > v); self-loops drop out of
     // the iteration and are restored via the node set at the end.
@@ -140,17 +149,23 @@ object ConnectedComponents {
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint()
-    // hash-sum through decimal: ANSI mode (Spark 4 default) throws on
-    // long-sum overflow, and xxhash64 values span the full long range
-    def checksum(df: DataFrame): (Long, String) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+      .distinct().localCheckpoint(false)
+    // Exact fixpoint test: a down-oriented edge set is the converged
+    // star graph iff every source carries exactly one edge AND no
+    // target is itself a source. The aggregate is the action that
+    // materializes the (lazy) checkpoint; the chain join only runs when
+    // the aggregate passes, over the already-checkpointed tiny set.
+    def starTest(df: DataFrame): (Long, Boolean) = {
+      val r = df.agg(count(lit(1)), countDistinct(col("u"))).head()
+      val n = r.getLong(0)
+      val isStar = n == 0L || (n == r.getLong(1) &&
+        df.select(col("v").as("k")).distinct()
+          .join(df.select(col("u").as("k")).distinct(), "k").isEmpty)
+      (n, isStar)
     }
-    var prev = checksum(cur)
-    var converged = cur.isEmpty
-    // size the per-round shuffles to the GRAPH, not the session default
+    var (m, converged) = starTest(cur)
+    dbg(s"init startest done m=$m star=$converged")
+    // size the post-init shuffles to the GRAPH, not the session default
     // (same policy as run()): a duplicate graph is tiny relative to the
     // corpus and each round is several shuffles — at the session's
     // fact-table partition count most tasks would be empty scheduling
@@ -160,10 +175,20 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prevShuffle = spark.conf.get(shuffleKey)
-    val m = cur.count()
     spark.conf.set(shuffleKey, math.max(1L,
       math.min(prevShuffle.toLong, m / 50000L + 1L)).toString)
     try {
+      // Materialize the node set from e0's cache NOW, before e0 is
+      // unpersisted below: `nodes` used to be left lazy for the caller,
+      // whose action then re-ran the entire upstream edge pipeline
+      // (MinHash/LSH near-dup candidates) a second time per invocation —
+      // the dominant cost of the round-3 bench entry. Eager (not lazy)
+      // because a lazy checkpoint would also materialize after the
+      // unpersist and re-run the pipeline all the same.
+      val nodes = e0.select(col("a").as("id"))
+        .union(e0.select(col("b").as("id"))).distinct().localCheckpoint()
+      e0.unpersist()
+      dbg("nodes checkpoint done")
       var i = 0
       while (!converged && i < maxIter) {
         // ---- large-star ----------------------------------------------
@@ -187,22 +212,19 @@ object ConnectedComponents {
             col("m").as("v"))
           .filter(col("u") =!= col("v"))
           .distinct().localCheckpoint(false)
-        val s = checksum(ss)
-        converged = s == prev
-        prev = s
+        val (n, star) = starTest(ss)
+        dbg(s"round $i n=$n star=$star")
+        converged = star
         cur = ss
         i += 1
       }
+      dbg("loop done")
+      // at the fixpoint `cur` is the star graph (node, component-min);
+      // roots and self-loop-only nodes label themselves
+      val labels = cur.select(col("u").as("id"), col("v").as("comp"))
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+      nodes.join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
     } finally spark.conf.set(shuffleKey, prevShuffle)
-    // at the fixpoint `cur` is the star graph (node, component-min);
-    // roots and self-loop-only nodes label themselves
-    val labels = cur.select(col("u").as("id"), col("v").as("comp"))
-      .groupBy("id").agg(min(col("comp")).as("comp"))
-    val nodes = e0.select(col("a").as("id"))
-      .union(e0.select(col("b").as("id"))).distinct()
-    val out = nodes.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    e0.unpersist()
-    out
   }
 }

@@ -63,4 +63,30 @@ object Q {
     s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
   def dsumSqlS(expr: String, s: Int): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,$s))) AS DOUBLE)"
+
+  /** Content stamp of a source parquet table (size ⊕ mtime over its
+   * files): names for derived artifacts (round-trip export dirs,
+   * bucketed tables) carry this so a derived copy is rebuilt exactly
+   * when the SOURCE content changes, and reused otherwise — never
+   * serving stale bytes after a testdata regen, never re-paying the
+   * ingest shuffle for unchanged input. */
+  def contentStamp(dir: String, table: String): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(dir, s"$table.parquet")
+    try {
+      val files =
+        if (Files.isDirectory(src)) {
+          val s = Files.list(src)
+          try s.iterator().asScala.toVector.sortBy(_.toString)
+          finally s.close()
+        } else Vector(src)
+      val h = files.foldLeft(1125899906842597L) { (acc, f) =>
+        val sz = Files.size(f)
+        val mt = Files.getLastModifiedTime(f).toMillis
+        (acc * 1000003L) ^ (sz * 31L + mt)
+      }
+      java.lang.Long.toHexString(h)
+    } catch { case _: Throwable => "nosrc" }
+  }
 }

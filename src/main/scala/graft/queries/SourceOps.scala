@@ -34,25 +34,9 @@ object SourceOps {
    * old key was `dir.hashCode` alone). */
   private def roundTripDir(fmt: String, dir: String,
                            table: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, s"$table.parquet")
-    val stamp =
-      try {
-        val files =
-          if (Files.isDirectory(src)) {
-            val s = Files.list(src)
-            try s.iterator().asScala.toVector.sortBy(_.toString)
-            finally s.close()
-          } else Vector(src)
-        val h = files.foldLeft(1125899906842597L) { (acc, f) =>
-          val sz = Files.size(f)
-          val mt = Files.getLastModifiedTime(f).toMillis
-          (acc * 1000003L) ^ (sz * 31L + mt)
-        }
-        java.lang.Long.toHexString(h)
-      } catch { case _: Throwable => "nosrc" }
+    val stamp = Q.contentStamp(dir, table)
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    Paths.get(System.getProperty("java.io.tmpdir"),
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_src_${fmt}_${tag}_$stamp")
   }
 
