@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /**
@@ -662,6 +663,43 @@ object Battery {
              |      FROM c)
              |SELECT lang, bigram, CAST(n AS BIGINT) AS n,
              |  CAST(rk AS INTEGER) AS rk
-             |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin))
+             |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
+
+    // ---- decimal columns end-to-end through parquet --------------------
+    // A REAL DecimalType(12,2) parquet column through scan → aggregate
+    // (r3 verdict missing-item 2: every gate query cast doubles to
+    // decimal mid-plan; no fixture carried a decimal column in its
+    // footer). The prices are written ONCE per source content as a
+    // decimal-typed parquet table (content-stamped dir, the
+    // roundTripDir policy), re-read — so parquet's INT64(decimal(12,2))
+    // encoding and Spark's decimal scan are in the loop — and
+    // aggregated in exact decimal arithmetic. Sums/extrema are emitted
+    // as decimal-formatted STRINGS, pinning the decimal VALUES digit
+    // for digit against DuckDB's own exact-decimal aggregation (a
+    // double cast would let decimal errors below ~1e-12 slip through).
+    QueryDef("q_decimal_agg",
+      (s, dir) => {
+        val out = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_decfix_${java.lang.Integer.toHexString(dir.hashCode)}_" +
+            Q.contentStamp(dir, "orders"))
+        if (!java.nio.file.Files.exists(out))
+          rd(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+            .write.mode("overwrite").parquet(out.toString)
+        s.read.parquet(out.toString)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("price")).cast(DecimalType(38, 2)).cast("string").as("sum_price"),
+            min(col("price")).cast("string").as("min_price"),
+            max(col("price")).cast("string").as("max_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+             |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS min_price,
+             |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS max_price
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

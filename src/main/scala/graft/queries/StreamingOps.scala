@@ -347,6 +347,56 @@ object StreamingOps {
           .orderBy("user_id")
       },
       Some("""SELECT user_id, COUNT(*) AS n_events
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- streaming cardinality sketch (HLL++ in a windowed agg) --------
+    // The 100 TB streaming-cardinality shape (r3 verdict missing-item 3:
+    // every sketch entry was batch-only): approx_count_distinct —
+    // constant-size mergeable HLL++ state per open window — inside a
+    // watermarked tumbling aggregation, append mode, file sink. Exact
+    // COUNT(DISTINCT) is unsupported in streaming aggs precisely because
+    // its state is unbounded; the sketch is the production answer. The
+    // gate row is fully oracle-checked: each emitted window is joined
+    // against the BATCH exact distinct count for the same window (gate
+    // instrumentation, not part of the streaming path) and the declared
+    // output is (exact count, est_ok) where est_ok pins the sketch
+    // estimate within max(3, 5%) of exact — DuckDB reproduces the exact
+    // side and TRUE, so estimate drift is a hash failure, like
+    // q_heavy_hitters' exact regime. The absolute floor exists because
+    // Spark's HLL++ has no sparse mode: tiny windows (n≈8) see ±1-2
+    // register-bias error, which 5% alone would flag. StreamingSketchSpec
+    // additionally pins streaming == batch sketch EQUALITY (HLL++ merge
+    // is order-independent).
+    QueryDef("s_approx_users",
+      (s, dir) => {
+        val agg = streamEvents(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        val streamed = runToFileSink(s, agg, "s_approx_users")
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n_approx"))
+        val exact = events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n_users"))
+        streamed.join(exact, Seq("window_start", "event_type"))
+          .select(col("window_start"), col("event_type"), col("n_users"),
+            (abs(col("n_approx") - col("n_users"))
+              <= greatest(lit(3.0), col("n_users") * lit(0.05))).as("est_ok"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("""WITH w AS (
+             |  SELECT DATE_TRUNC('hour', ts) AS window_start, event_type, user_id
+             |  FROM events)
+             |SELECT window_start, event_type,
+             |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  TRUE AS est_ok
+             |FROM w
+             |WHERE window_start + INTERVAL '1 hour'
+             |        <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+             |GROUP BY window_start, event_type
+             |ORDER BY window_start, event_type""".stripMargin))
   )
 }
