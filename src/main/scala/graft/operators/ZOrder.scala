@@ -38,27 +38,59 @@ object ZOrder {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Min/max of `colName` from the plan's COLUMN STATISTICS, if the
+   * optimizer can provide them (catalog stats from `ANALYZE TABLE …
+   * COMPUTE STATISTICS FOR COLUMNS`, propagated when CBO is enabled) —
+   * the zero-scan path for the layout bounds at 100 TB, where the
+   * min/max aggregate is itself a full-column pass over the table
+   * being re-laid-out. Returns None (→ caller falls back to the
+   * aggregate) when stats are absent, partial, or non-numeric. */
+  private[graft] def statsMinMax(df: DataFrame,
+                                 colName: String): Option[(Double, Double)] = {
+    def num(v: Any): Option[Double] = v match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    val plan = df.queryExecution.optimizedPlan
+    for {
+      attr <- plan.output.find(_.name == colName)
+      cs <- plan.stats.attributeStats.get(attr)
+      lo <- cs.min.flatMap(num)
+      hi <- cs.max.flatMap(num)
+    } yield (lo, hi)
+  }
+
   /** Write `df` z-ordered on (`colA`, `colB`) into `numFiles` parquet
    * files: min-max normalize both keys to the full `bits` width (raw
    * interleaving lets the wider-range dimension's high bits dominate
    * the curve — the narrow dimension would never cluster), build the
    * Morton value, range-partition on it (sampled boundaries → balanced
    * files), sort within each partition, drop the helper column. One
-   * shuffle plus one scalar min/max aggregate — the same cost class as
-   * any global sort layout (at scale the min/max can come from table
-   * stats instead). */
+   * shuffle plus the normalization bounds: catalog column stats when
+   * the optimizer has them ([[statsMinMax]] — zero extra scan), else
+   * one scalar min/max aggregate. A stats-derived range can only be
+   * equal to or wider than the true range (stats go stale toward
+   * wider data, never narrower values inside the old range — and even
+   * a narrower-than-true range only costs locality: zValue clamps). */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
                     outPath: String, numFiles: Int, bits: Int = 12): Unit = {
-    val r = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val bounds = for {
+      (alo, ahi) <- statsMinMax(df, colA)
+      (blo, bhi) <- statsMinMax(df, colB)
+    } yield (alo, ahi, blo, bhi)
+    val (aLo, aHi, bLo, bHi) = bounds.getOrElse {
+      val r = df.agg(
+        min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
     val scale = ((1L << bits) - 1).toDouble
     def norm(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else ((c.cast("double") - lit(lo)) * lit(scale / (hi - lo))).cast("long")
     df.withColumn("__z",
-        zValue(norm(col(colA), r.getDouble(0), r.getDouble(1)),
-          norm(col(colB), r.getDouble(2), r.getDouble(3)), bits))
+        zValue(norm(col(colA), aLo, aHi), norm(col(colB), bLo, bHi), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

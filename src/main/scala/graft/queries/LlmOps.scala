@@ -517,6 +517,93 @@ object LlmOps {
              |FROM p WHERE CAST(i AS DOUBLE) / u > 0.5
              |ORDER BY new_id, old_id""".stripMargin)),
 
+    // ---- test-set decontamination (n-gram overlap flagging) -----------
+    // The standard eval-leakage check before a training run: a training
+    // document is CONTAMINATED if it shares any word n-gram (3-gram
+    // here, matching the corpus shingle size) with any document of the
+    // held-out eval set (simulated as doc_id % 97 == 0, ~1% — the size
+    // relation of real benchmarks to a corpus). Output: each
+    // contaminated train doc with how many distinct shingles it shares
+    // and how many eval docs it collides with.
+    //
+    // Scale shape: shingles are EXPLODED and hashed to 8-byte keys
+    // map-side (the shuffle/broadcast carries hashes, never text), the
+    // eval side is tiny → broadcast hash join, and the per-doc distinct
+    // shingle arrays bound the explode. Never a doc×doc comparison —
+    // cost is O(corpus shingles), the same class as one tokenization
+    // pass, regardless of corpus size.
+    QueryDef("q_decontaminate",
+      (s, dir) => {
+        val ex = docsWithShingles(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        val evalG = ex.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_id"), xxhash64(col("g")).as("h"))
+        val trainG = ex.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        trainG.join(broadcast(evalG), "h")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("h")).as("n_shared"),
+            countDistinct(col("eval_id")).as("n_eval_docs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |             FROM documents),
+             |sh AS (SELECT doc_id,
+             |  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |                        for i in range(1, len(ts) - 1)])) AS g
+             |  FROM tok),
+             |ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id % 97 = 0),
+             |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0)
+             |SELECT tr.doc_id AS doc_id,
+             |  CAST(COUNT(DISTINCT tr.g) AS BIGINT) AS n_shared,
+             |  CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+             |FROM tr JOIN ev USING (g)
+             |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- corpus-LM document scoring (quality-filter shape) -------------
+    // The n-gram-LM quality filter a training pipeline runs (the KenLM
+    // stage): score every document by how typical its bigrams are of
+    // the corpus. Kept oracle-exact by scoring with the AVERAGE CORPUS
+    // FREQUENCY of the doc's bigrams — an integer sum with one final
+    // division (log-prob scoring would accumulate doubles in
+    // engine-specific order; the plan shape is identical). Low score =
+    // rare transitions (garbage/atypical text), high = common ones.
+    //
+    // Scale shape: bigram explode is map-side; the doc-bigram → corpus-
+    // count join keys on an 8-byte hash (shuffle carries hashes and
+    // counts, never text). Corpus counts come from the same one pass.
+    // Cost is O(corpus tokens) — two keyed shuffles, no doc×doc work.
+    QueryDef("q_lm_score",
+      (s, dir) => {
+        val bi = rd(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(ts) < 2 THEN array()
+              |ELSE transform(sequence(0, size(ts) - 2),
+              |               i -> concat(ts[i], ' ', ts[i + 1])) END""".stripMargin))
+            .as("bigram"))
+          .select(col("doc_id"), xxhash64(col("bigram")).as("h"))
+        val corpus = bi.groupBy("h").agg(count(lit(1)).as("freq"))
+        bi.join(corpus, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("freq")).as("sum_freq"))
+          .withColumn("lm_score",
+            col("sum_freq").cast("double") / col("n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |           FROM documents),
+             |b AS (SELECT doc_id,
+             |        unnest([ts[i] || ' ' || ts[i + 1]
+             |                for i in range(1, len(ts))]) AS bigram
+             |      FROM t),
+             |c AS (SELECT bigram, COUNT(*) AS freq FROM b GROUP BY bigram)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(freq) AS BIGINT) AS sum_freq,
+             |  CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS lm_score
+             |FROM b JOIN c USING (bigram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- TF-IDF: top term per document ---------------------------------
     // Classic relevance scoring kept oracle-exact by avoiding log():
     // score = tf · (N / df) — tf·N is an exact integer in double range

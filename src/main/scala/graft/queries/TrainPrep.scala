@@ -142,6 +142,41 @@ object TrainPrep {
              |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
              |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin)),
 
+    // ---- deterministic stratified sampling (corpus mixing) -------------
+    // The data-mixing stage: draw a fixed per-stratum budget (50 docs
+    // per (lang, source) cell) uniformly-at-random but DETERMINISTICALLY
+    // — rank each cell by md5(doc_id) (a uniform permutation both
+    // engines compute identically) and keep the first 50. Stable under
+    // reruns and resharding, needs no sampling state, and under- full
+    // cells keep everything — exactly how a 100 TB mixer hits target
+    // source proportions. One ranking window per cell, map-side hash;
+    // output pins membership via count + char mass + the md5 frontier.
+    QueryDef("q_stratified_sample",
+      (s, dir) => {
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(col("rk_hash"), col("doc_id"))
+        rd(s, dir, "documents")
+          .withColumn("rk_hash", md5(col("doc_id").cast("string")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_chars")).as("sum_chars"),
+            max(col("rk_hash")).as("hash_frontier"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH r AS (
+             |  SELECT lang, source, doc_id, n_chars,
+             |    md5(CAST(doc_id AS VARCHAR)) AS rk_hash,
+             |    ROW_NUMBER() OVER (PARTITION BY lang, source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents)
+             |SELECT lang, source, COUNT(*) AS n_sampled,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  MAX(rk_hash) AS hash_frontier
+             |FROM r WHERE rn <= 50
+             |GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
     // ---- overlapping document chunking (RAG / context-window prep) ----
     // Each document becomes ceil(n/24) chunks of up to 32 tokens with an
     // 8-token overlap (stride 24) — the standard retrieval/training

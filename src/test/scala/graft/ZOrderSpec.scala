@@ -59,4 +59,41 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zDay < 0.75 * sDay, s"z-order date spread $zDay !< 0.75 × $sDay")
     assert(zCust < 0.9, s"z-order custkey spread not bounded: $zCust")
   }
+
+  test("normalization bounds come from catalog column stats when present") {
+    val tbl = "graft_zstats_orders"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("unix_date(CAST(o_orderdate AS DATE))").as("o_day"))
+      .write.mode("overwrite").saveAsTable(tbl)
+    try {
+      // no ANALYZE yet → no column stats → fall back to the aggregate
+      assert(ZOrder.statsMinMax(spark.table(tbl), "o_custkey").isEmpty)
+      spark.sql(
+        s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_custkey, o_day")
+      // attributeStats propagate to the plan only under CBO estimation
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val t = spark.table(tbl)
+        val truth = t.agg(
+          min(col("o_custkey")).cast("double"),
+          max(col("o_custkey")).cast("double")).head()
+        assert(ZOrder.statsMinMax(t, "o_custkey")
+          .contains((truth.getDouble(0), truth.getDouble(1))))
+        // end to end through the stats path: identical bounds → layout
+        // byte-identical to the aggregate-scan path
+        val statsDir = Files.createTempDirectory("graft-zstats").toString
+        ZOrder.writeZOrdered(t, "o_custkey", "o_day", statsDir, numFiles = 4)
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        val scanDir = Files.createTempDirectory("graft-zscan").toString
+        ZOrder.writeZOrdered(t, "o_custkey", "o_day", scanDir, numFiles = 4)
+        val a = spark.read.parquet(statsDir)
+          .orderBy("o_orderkey").collect().toSeq
+        val b = spark.read.parquet(scanDir)
+          .orderBy("o_orderkey").collect().toSeq
+        assert(a == b)
+      } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
