@@ -604,6 +604,46 @@ object LlmOps {
              |FROM b JOIN c USING (bigram)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- within-document repetition filter (Gopher-style rule) ---------
+    // The repetition heuristic from the Gopher/MassiveText cleaning
+    // rules: a document whose single most-repeated bigram accounts for
+    // too much of its text is boilerplate/spam-shaped. Per doc: total
+    // bigrams, the max single-bigram count, their ratio (one division
+    // of identical integers — oracle-exact), and the filter verdict at
+    // the 10% threshold. Two-level aggregation, both map-side
+    // partial-aggregated; nothing leaves the doc's partition until the
+    // tiny (doc_id, counts) rows shuffle.
+    QueryDef("q_repetition",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(ts) < 2 THEN array()
+              |ELSE transform(sequence(0, size(ts) - 2),
+              |               i -> concat(ts[i], ' ', ts[i + 1])) END""".stripMargin))
+            .as("bigram"))
+          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_rep"))
+          .withColumn("rep_ratio",
+            col("max_rep").cast("double") / col("n_bigrams"))
+          .withColumn("flagged", col("rep_ratio") > 0.1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |           FROM documents),
+             |b AS (SELECT doc_id,
+             |        unnest([ts[i] || ' ' || ts[i + 1]
+             |                for i in range(1, len(ts))]) AS bigram
+             |      FROM t),
+             |c AS (SELECT doc_id, bigram, COUNT(*) AS c
+             |      FROM b GROUP BY doc_id, bigram)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             |  CAST(MAX(c) AS BIGINT) AS max_rep,
+             |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio,
+             |  CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.1 AS flagged
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- TF-IDF: top term per document ---------------------------------
     // Classic relevance scoring kept oracle-exact by avoiding log():
     // score = tf · (N / df) — tf·N is an exact integer in double range

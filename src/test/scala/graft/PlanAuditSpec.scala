@@ -100,6 +100,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s.requiredSchema.fieldNames.mkString(","))
   }
 
+  test("q_decontaminate broadcasts the eval side and shuffles hashes, not shingles") {
+    val p = plan("q_decontaminate")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"doc×doc comparison in decontamination:\n$s")
+    // the join itself must key on the 8-byte hash, never the shingle text
+    val joins = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          joins += j
+        case _ =>
+      }
+      n.children.foreach(walk)
+    }
+    walk(p)
+    joins.foreach(j => j.leftKeys.foreach(k =>
+      assert(k.dataType == org.apache.spark.sql.types.LongType,
+        s"join key is not a hash: $k")))
+  }
+
+  test("q_lm_score and q_repetition partial-aggregate map-side") {
+    for (name <- Seq("q_lm_score", "q_repetition")) {
+      val s = plan(name).toString
+      // aggregates must plan as partial (map-side) + final pairs, so the
+      // bigram explosion is pre-reduced before anything shuffles
+      assert(s.contains("partial_"), s"$name has no map-side partial agg:\n$s")
+      assert(!s.contains("CartesianProduct"), s"$name plans a cross join:\n$s")
+    }
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
