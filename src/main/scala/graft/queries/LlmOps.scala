@@ -296,6 +296,49 @@ object LlmOps {
              |    AS max_abs
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // ---- int8 embedding quantization (vector compression) -------------
+    // The storage/serving compression step of an embedding pipeline:
+    // symmetric per-vector int8 quantization (scale = 127 / max|x|, the
+    // faiss/SQ8 shape) — 4x smaller vectors for the ANN index. Pure
+    // map-side array arithmetic, no shuffle. Verified EXACTLY: both
+    // engines build the identical double (x * scale) and round it
+    // away-from-zero, so the quantized vector is pinned through integer
+    // checksums (sum/min/max/saturation-count) — no float-error columns
+    // that could drift. All-zero vectors quantize to zeros (scale
+    // guard), never NaN.
+    QueryDef("q_vec_quantize",
+      (s, dir) => {
+        rd(s, dir, "embeddings")
+          .withColumn("max_abs",
+            expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"))
+          .withColumn("q", expr(
+            """transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
+              |  (CASE WHEN max_abs = 0.0 THEN 0.0 ELSE 127.0 / max_abs END))
+              |  AS INT))""".stripMargin))
+          .select(col("vec_id"),
+            size(col("embedding")).cast("int").as("dim"),
+            expr("aggregate(q, 0L, (a, v) -> a + v)").as("sum_q"),
+            expr("array_min(q)").as("min_q"),
+            expr("array_max(q)").as("max_q"),
+            expr("size(filter(q, v -> abs(v) = 127))").cast("int").as("n_sat"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH m AS (SELECT vec_id, embedding,
+             |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+             |    AS max_abs
+             |  FROM embeddings),
+             |q AS (SELECT vec_id, len(embedding) AS dim,
+             |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
+             |    (CASE WHEN max_abs = 0.0 THEN 0.0 ELSE 127.0 / max_abs END))
+             |    AS INTEGER)) AS qv
+             |  FROM m)
+             |SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+             |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+             |  CAST(list_min(qv) AS INTEGER) AS min_q,
+             |  CAST(list_max(qv) AS INTEGER) AS max_q,
+             |  CAST(len(list_filter(qv, v -> abs(v) = 127)) AS INTEGER) AS n_sat
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     // ---- brute-force cosine top-k (the baseline ANN path) ------------
     // One scan, map-side scoring, TakeOrdered(10): no shuffle of vectors.
     QueryDef("q_knn_cosine",

@@ -27,7 +27,8 @@ class QueryBatterySpec extends AnyFunSuite {
     "q_intersect", "q_grouping_sets", "q_typed_count", "q_topk_per_key", "q_array_fns",
     "q_lang_id", "q_rolling_hash", "q_media_pipeline", "q_knn_ivf_kmeans",
     "ddl_extended", "q_decimal_agg", "s_approx_users",
-    "q_decontaminate", "q_lm_score", "q_stratified_sample", "q_repetition")
+    "q_decontaminate", "q_lm_score", "q_stratified_sample", "q_repetition",
+    "q_vec_quantize")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
