@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /**
@@ -823,6 +824,165 @@ object LlmOps {
              |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS fake_width,
              |  CAST((n_chars % 30) + 1 AS INTEGER) AS fake_frames,
              |  upper(substring(hex(CAST(text AS BLOB)), 1, 8)) AS magic_hex
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- BM25 retrieval scoring (top-20 for a fixed term query) -------
+    // The retrieval-quality scorer (Lucene-form BM25, k1=1.2 b=0.75)
+    // over the whole corpus for a 5-term query. Shape: per-doc term
+    // frequencies come from filtering the tiny query-term array against
+    // the doc's token array MAP-SIDE — the corpus token explode never
+    // happens; only ≤5 (doc, term, tf) rows per doc leave the scan.
+    // Corpus stats (N, avgdl) and per-term df are tiny broadcasts.
+    // Determinism: tf/dl/df/N are integers; dl/avgdl, the saturation
+    // term, and the idf ratio are correctly-rounded IEEE ops on
+    // identical inputs; ln() — the one libm-dependent call — is applied
+    // to the SAME five doubles in both engines and the per-term score is
+    // truncated to decimal(18,6) before the exact cross-term sum, so a
+    // last-ulp ln() divergence cannot reorder results. Final ranking is
+    // on the exact decimal sum.
+    QueryDef("q_bm25",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+          .withColumn("toks", toks(col("text")))
+          .withColumn("dl", size(col("toks")).cast("long"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl"))
+        val tf = docs
+          .withColumn("qterms",
+            array(Seq("spark", "query", "window", "hash", "stream").map(lit): _*))
+          .select(col("doc_id"), col("dl"), explode(expr(
+            """filter(transform(qterms,
+              |         t -> struct(t AS term,
+              |                     CAST(size(filter(toks, x -> x = t)) AS BIGINT)
+              |                       AS tf)),
+              |       p -> p.tf > 0)""".stripMargin)).as("p"))
+          .select(col("doc_id"), col("dl"),
+            col("p.term").as("term"), col("p.tf").as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+          .withColumn("tscore",
+            (log(lit(1.0) +
+              (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+                / (col("df").cast("double") + lit(0.5)))
+              * ((col("tf").cast("double") * lit(2.2))
+                / (col("tf").cast("double") + lit(1.2)
+                  * (lit(0.25) + lit(0.75)
+                    * (col("dl").cast("double")
+                      / (col("sum_dl").cast("double")
+                        / col("n_docs").cast("double")))))))
+              .cast(DecimalType(18, 6)))
+          .groupBy("doc_id")
+          .agg(sum(col("tscore")).as("score_dec"))
+          .orderBy(col("score_dec").desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"),
+            round(col("score_dec").cast("double"), 4).as("bm25"))
+          // the cut uses the exact decimal; the OUTPUT order key must be
+          // a column both engines emit — the rounded score is identical
+          // on both sides, so (bm25 desc, doc_id) is total + portable
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |           FROM documents),
+             |dd AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM d),
+             |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |        CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+             |e AS (SELECT doc_id, dl, term,
+             |        CAST(len(list_filter(ts, x -> x = term)) AS BIGINT) AS tf
+             |      FROM dd, (SELECT unnest(['spark','query','window','hash',
+             |                              'stream']) AS term) q),
+             |e2 AS (SELECT * FROM e WHERE tf > 0),
+             |f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |      FROM e2 GROUP BY term),
+             |sc AS (SELECT doc_id,
+             |         CAST((ln(1.0 + (CAST(n_docs AS DOUBLE)
+             |                         - CAST(df AS DOUBLE) + 0.5)
+             |                        / (CAST(df AS DOUBLE) + 0.5))
+             |           * ((CAST(tf AS DOUBLE) * 2.2)
+             |             / (CAST(tf AS DOUBLE) + 1.2
+             |               * (0.25 + 0.75
+             |                 * (CAST(dl AS DOUBLE)
+             |                   / (CAST(sum_dl AS DOUBLE)
+             |                     / CAST(n_docs AS DOUBLE)))))))
+             |           AS DECIMAL(18,6)) AS tscore
+             |       FROM e2 JOIN f USING (term), g),
+             |agg AS (SELECT doc_id, SUM(tscore) AS score_dec
+             |        FROM sc GROUP BY doc_id
+             |        ORDER BY score_dec DESC, doc_id LIMIT 20)
+             |SELECT doc_id, ROUND(CAST(score_dec AS DOUBLE), 4) AS bm25
+             |FROM agg ORDER BY bm25 DESC, doc_id""".stripMargin)),
+
+    // ---- two-stage ANN: int8 coarse scan → exact float rerank --------
+    // The production serving shape for quantized indexes (faiss
+    // SQ8-then-rerank): stage 1 scores the WHOLE corpus on its int8
+    // vectors — integer dot products reconstructed to a quantized
+    // cosine, 4x less memory traffic than floats — and keeps 64
+    // candidates (TakeOrdered, no shuffle of vectors); stage 2 rescores
+    // only those 64 with the exact float kernel. Every stage-1 value is
+    // integer-derived through exact IEEE ops (int dots; /,*,sqrt are
+    // correctly rounded), so the candidate CUT is bit-deterministic and
+    // the oracle replays both stages exactly. AnnRecallSpec separately
+    // pins the end-to-end recall@10 vs the brute-force path.
+    QueryDef("q_knn_rerank",
+      (s, dir) => {
+        vecReady(s)
+        val qed = rd(s, dir, "embeddings")
+          .withColumn("max_abs",
+            expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"))
+          .withColumn("qv", expr(
+            """transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
+              |  (CASE WHEN max_abs = 0.0 THEN 0.0 ELSE 127.0 / max_abs END))
+              |  AS BIGINT))""".stripMargin))
+          .withColumn("qq", expr("aggregate(qv, 0L, (a, v) -> a + v * v)"))
+        val probe = qed.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pe"), col("qv").as("qp"),
+            col("qq").as("pqq"))
+        qed.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+          .withColumn("sab", expr(
+            "aggregate(zip_with(qv, qp, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+          .withColumn("cos_q",
+            when(col("qq") === 0 || col("pqq") === 0, lit(0.0))
+              .otherwise(col("sab").cast("double")
+                / (sqrt(col("qq").cast("double"))
+                  * sqrt(col("pqq").cast("double")))))
+          .orderBy(col("cos_q").desc, col("vec_id"))
+          .limit(64)
+          .withColumn("cos", cosine("embedding", "pe"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("sab").as("coarse_dot"),
+            round(col("cos_q"), 4).as("cos_q"),
+            round(col("cos"), 4).as("cosine"))
+      },
+      Some(s"""WITH m AS (SELECT vec_id, embedding,
+              |    CAST(list_max(list_transform(embedding, x -> abs(x)))
+              |         AS DOUBLE) AS max_abs
+              |  FROM embeddings),
+              |q AS (SELECT vec_id, embedding,
+              |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
+              |      (CASE WHEN max_abs = 0.0 THEN 0.0
+              |            ELSE 127.0 / max_abs END)) AS BIGINT)) AS qv
+              |  FROM m),
+              |q2 AS (SELECT vec_id, embedding, qv,
+              |    CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS qq
+              |  FROM q),
+              |p AS (SELECT embedding AS pe, qv AS qp, qq AS pqq
+              |      FROM q2 WHERE vec_id = 0),
+              |c AS (SELECT vec_id, embedding, qq, pe, pqq,
+              |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+              |                                 i -> qv[i] * qp[i]))
+              |         AS BIGINT) AS sab
+              |  FROM q2, p WHERE vec_id <> 0),
+              |cc AS (SELECT vec_id, embedding, pe, sab,
+              |    CASE WHEN qq = 0 OR pqq = 0 THEN 0.0
+              |         ELSE CAST(sab AS DOUBLE)
+              |              / (sqrt(CAST(qq AS DOUBLE))
+              |                 * sqrt(CAST(pqq AS DOUBLE))) END AS cos_q
+              |  FROM c),
+              |top AS (SELECT * FROM cc ORDER BY cos_q DESC, vec_id LIMIT 64),
+              |r AS (SELECT vec_id, sab, cos_q, $cosSql AS cos FROM top)
+              |SELECT vec_id, sab AS coarse_dot, ROUND(cos_q, 4) AS cos_q,
+              |  ROUND(cos, 4) AS cosine
+              |FROM r ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin))
   )
 }

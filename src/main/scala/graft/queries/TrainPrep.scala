@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import Q._
 
 /**
@@ -207,6 +208,125 @@ object TrainPrep {
              |  CAST(start // 24 AS INTEGER) AS chunk_idx,
              |  CAST(least(32, len(ts) - start) AS INTEGER) AS chunk_len,
              |  md5(array_to_string(ts[start + 1 : start + 32], ' ')) AS chunk_md5
-             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- cross-document segment dedup (boilerplate removal) -----------
+    // The C4/RefinedWeb "exact line dedup" stage adapted to the corpus's
+    // newline-free text: cut each document into aligned 10-token
+    // segments, keep only the globally FIRST occurrence of each distinct
+    // segment (ordered by doc_id, then position), and rebuild the
+    // document from its surviving segments. Segments are digested to md5
+    // map-side — the global first-occurrence shuffle carries only
+    // (32-byte digest, doc_id, seg_idx), never text, so at 100 TB the
+    // wide stage is digest-sized like q_dedup_exact. The per-doc rebuild
+    // joins the kept-index list back to `documents` on doc_id (one
+    // equi-join where text travels once — it is the output). The oracle
+    // pins the REBUILT BYTES per document via md5, not just counts.
+    QueryDef("q_seg_dedup",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        val segs = docs.select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, greatest(size(toks) - 1, 0), 10),
+            |          st -> md5(concat_ws(' ', slice(toks, st + 1, 10))))"""
+            .stripMargin)).as(Seq("seg_idx", "h")))
+        val w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+        val flags = segs.withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_segs"),
+            sum(when(col("rn") === 1, 0).otherwise(1)).cast("int")
+              .as("n_removed"),
+            sort_array(collect_list(when(col("rn") === 1, col("seg_idx"))))
+              .as("kept"))
+        flags.join(docs.select("doc_id", "toks"), "doc_id")
+          .select(col("doc_id"), col("n_segs"), col("n_removed"),
+            md5(concat_ws(" ", expr(
+              "flatten(transform(kept, i -> slice(toks, i * 10 + 1, 10)))")))
+              .as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |           FROM documents),
+             |s AS (SELECT doc_id, CAST(st // 10 AS INTEGER) AS seg_idx,
+             |        md5(array_to_string(ts[st + 1 : st + 10], ' ')) AS h
+             |      FROM (SELECT doc_id, ts,
+             |              unnest(range(0, greatest(len(ts), 1), 10)) AS st
+             |            FROM t)),
+             |w AS (SELECT doc_id, seg_idx,
+             |        ROW_NUMBER() OVER (PARTITION BY h
+             |          ORDER BY doc_id, seg_idx) AS rn
+             |      FROM s),
+             |f AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_segs,
+             |        CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INTEGER)
+             |          AS n_removed,
+             |        list(seg_idx ORDER BY seg_idx) FILTER (rn = 1) AS kept
+             |      FROM w GROUP BY doc_id)
+             |SELECT f.doc_id, n_segs, n_removed,
+             |  md5(COALESCE(array_to_string(
+             |    flatten([ts[i * 10 + 1 : i * 10 + 10]
+             |             for i in COALESCE(kept, [])]), ' '), ''))
+             |    AS kept_md5
+             |FROM f JOIN t ON f.doc_id = t.doc_id
+             |ORDER BY f.doc_id""".stripMargin)),
+
+    // ---- temperature-weighted mixture sampling (data mixing) ----------
+    // The multi-source mixing stage of a training run: sample source s
+    // with budget ∝ n_s^(1/2) (temperature T=2 up-weights small sources,
+    // the multilingual-mixing shape) instead of q_stratified_sample's
+    // flat per-cell cap. Budgets derive from exact arithmetic only —
+    // sqrt/division/floor are correctly-rounded IEEE ops on identical
+    // inputs, and the weight SUM goes through exact decimals — so both
+    // engines compute identical integer budgets; membership is then the
+    // md5-rank frontier (rerun- and reshard-stable, no sampling state).
+    // Source stats are a tiny broadcast; the corpus is scanned once.
+    QueryDef("q_mixture_sample",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val perSrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", sqrt(col("n_docs").cast("double")))
+        val sumw = perSrc.agg(
+          sum(col("w").cast(DecimalType(28, 12))).cast("double").as("sum_w"))
+        val budgets = perSrc.crossJoin(broadcast(sumw))
+          .withColumn("budget",
+            greatest(lit(1), floor(lit(300.0) * (col("w") / col("sum_w")))
+              .cast("int")))
+          .select("source", "n_docs", "budget")
+        val w = Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))
+        docs
+          .withColumn("rk", md5(col("doc_id").cast("string")))
+          .withColumn("rn", row_number().over(w))
+          .join(broadcast(budgets), "source")
+          .filter(col("rn") <= col("budget"))
+          .groupBy("source", "n_docs", "budget")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("sum_chars"),
+            max(col("rk")).as("hash_frontier"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |           FROM documents GROUP BY source),
+             |wt AS (SELECT source, n_docs,
+             |         sqrt(CAST(n_docs AS DOUBLE)) AS w
+             |       FROM c),
+             |t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE)
+             |        AS sum_w FROM wt),
+             |b AS (SELECT source, n_docs,
+             |        CAST(GREATEST(1, CAST(FLOOR(300.0 * (w / sum_w))
+             |                              AS INTEGER)) AS INTEGER)
+             |          AS budget
+             |      FROM wt, t),
+             |r AS (SELECT source, doc_id, n_chars,
+             |        md5(CAST(doc_id AS VARCHAR)) AS rk,
+             |        ROW_NUMBER() OVER (PARTITION BY source
+             |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |      FROM documents)
+             |SELECT b.source, b.n_docs, b.budget,
+             |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  MAX(rk) AS hash_frontier
+             |FROM r JOIN b ON r.source = b.source
+             |WHERE rn <= budget
+             |GROUP BY b.source, b.n_docs, b.budget
+             |ORDER BY b.source""".stripMargin))
   )
 }

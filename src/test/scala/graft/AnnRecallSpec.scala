@@ -32,6 +32,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall@5 = $recall (ivf=$ivf5, exact=$exact5)")
   }
 
+  test("int8 coarse + float rerank recall@10 vs exact brute force") {
+    // Stage 1 keeps 64 int8-scored candidates from the 499-vector
+    // corpus; symmetric SQ8 quantization noise (~1/127 per component)
+    // is far below the gaps in the exact ranking, so the true top-10
+    // must survive the cut and the float rerank must restore the exact
+    // order. Anything under 0.9 means the quantized scorer or the
+    // candidate cut is broken, not noisy.
+    val exact10 = ids("q_knn_cosine").toSet
+    val rr10 = ids("q_knn_rerank").toSet
+    val recall = (exact10 & rr10).size.toDouble / 10
+    assert(recall >= 0.9, s"recall@10 = $recall (rerank=$rr10, exact=$exact10)")
+  }
+
   test("sign-LSH IVF returns the exact within-bucket ranking") {
     // A 4-bit sign LSH carries almost no signal at cos ≈ 0.3 (P[same
     // bucket] ≈ (1 − θ/π)^4 ≈ 0.13), so GLOBAL recall is theory-bounded,

@@ -133,6 +133,65 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bm25 keeps tf map-side: pruned scan, no shuffled join") {
+    val p = plan("q_bm25")
+    // per-term tf comes from filtering the 5-term array against the
+    // token array inside the row — the corpus-wide token explode must
+    // not exist, and df/stats join in by broadcast, never a shuffle
+    assert(!p.toString.contains("SortMergeJoin"),
+      s"corpus-side shuffled join in bm25:\n$p")
+    val s = scanOf(p, "documents")
+    assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("q_seg_dedup's first-occurrence shuffle carries digests, not text") {
+    val df = SparkEntry.queries("q_seg_dedup")(spark, sf)
+    df.count()
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          buf += e
+        case _ =>
+      }
+      unwrap(n).children.map(unwrap).foreach(walk)
+    }
+    walk(unwrap(df.queryExecution.executedPlan))
+    // the global wide stage (partitioned by the segment digest `h`) must
+    // carry only (doc_id, seg_idx, h); text/toks may cross a shuffle
+    // ONLY in the final doc_id-keyed rebuild join, where the text IS the
+    // output
+    val hShuffles = buf.filter(_.output.map(_.name).contains("h"))
+    assert(hShuffles.nonEmpty, s"no digest shuffle found:\n${buf.map(_.output)}")
+    hShuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text") && !names.contains("toks"),
+        s"text crosses the digest shuffle: $names")
+    }
+  }
+
+  test("q_knn_rerank plans TakeOrdered cuts over a broadcast probe") {
+    val s = plan("q_knn_rerank").toString
+    // both the 64-candidate cut and the final top-10 must be
+    // TakeOrdered (never a global sort of the corpus), and the corpus
+    // must never shuffle for the probe join
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("q_mixture_sample joins its per-source budgets by broadcast") {
+    val s = plan("q_mixture_sample").toString
+    assert(s.contains("BroadcastHashJoin"), s"budget join not broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"budget join shuffled the corpus:\n$s")
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
