@@ -98,6 +98,9 @@ object VectorFunctions {
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", exprs => FloatVecCosine(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_coarse_cos",
+      exprs => Int8CoarseCos(exprs(0), exprs(1), exprs(2)), "scala_udf")
   }
 
   /** dot(a, b) over array<float> columns — requires [[register]]. */
@@ -105,6 +108,11 @@ object VectorFunctions {
 
   /** cosine(a, b) over array<float> columns — requires [[register]]. */
   def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+
+  /** Quantized coarse cosine: int8-quantize `a`, dot against the
+   * pre-quantized probe `qp` with self-dot `pqq` — requires [[register]]. */
+  def int8CoarseCos(a: Column, qp: Column, pqq: Column): Column =
+    call_function("int8_coarse_cos", a, qp, pqq)
 }
 
 /**
@@ -191,4 +199,127 @@ case class FloatVecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "vec_cosine"
+}
+
+/**
+ * Fused int8-quantized cosine for the two-stage ANN coarse scan
+ * (q_knn_rerank stage 1): quantize the float vector symmetrically
+ * (scale = 127 / max|x|, the SQ8 shape), dot it against the
+ * pre-quantized probe, and reconstruct the quantized cosine — one
+ * codegen loop per row instead of the four CodegenFallback
+ * higher-order-function passes it replaces (transform → aggregate →
+ * zip_with+aggregate → arithmetic), which profiled ~1.2 s of the sf0.1
+ * bench on their own.
+ *
+ * Bit-parity contract (Int8KernelParitySpec pins it on the corpus plus
+ * adversarial half-way vectors): every step reproduces the HOF
+ * formulation exactly —
+ *  - max|x| is a float max of float abs, cast to double once;
+ *  - per-element rounding is Spark `round()`'s own path
+ *    (BigDecimal.valueOf → HALF_UP), NOT Math.round, whose
+ *    floor(x+0.5) disagrees on negative halves;
+ *  - qq/sab are integer sums (order-free, exact);
+ *  - the final divide/sqrt chain is the identical IEEE expression.
+ * Null semantics: null array or null element → null; length mismatch →
+ * null; zero norm on either side → 0.0 (the guard the query previously
+ * spelled with `when`).
+ */
+case class Int8CoarseCos(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _), LongType) => true
+      case _ => false
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int8_coarse_cos expects (array<float>, array<bigint>, bigint), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(av: Any, qpv: Any, pqqv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]
+    val qp = qpv.asInstanceOf[ArrayData]
+    val pqq = pqqv.asInstanceOf[Long]
+    val n = a.numElements()
+    if (n != qp.numElements()) return null
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = Math.abs(a.getFloat(i))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0f) 0.0 else 127.0 / maxAbs.toDouble
+    var qq = 0L; var sab = 0L
+    i = 0
+    while (i < n) {
+      if (qp.isNullAt(i)) return null
+      val q = java.math.BigDecimal.valueOf(a.getFloat(i).toDouble * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      qq += q * q
+      sab += q * qp.getLong(i)
+      i += 1
+    }
+    if (qq == 0L || pqq == 0L) 0.0
+    else sab.toDouble / (math.sqrt(qq.toDouble) * math.sqrt(pqq.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, qp, pqq) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val maxAbs = ctx.freshName("maxAbs")
+      val v = ctx.freshName("v")
+      val scale = ctx.freshName("scale")
+      val qq = ctx.freshName("qq")
+      val sab = ctx.freshName("sab")
+      val q = ctx.freshName("q")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $qp.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  float $maxAbs = 0.0f;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    float $v = java.lang.Math.abs($a.getFloat($i));
+         |    if ($v > $maxAbs) $maxAbs = $v;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $scale = ($maxAbs == 0.0f) ? 0.0 : 127.0 / ((double) $maxAbs);
+         |    long $qq = 0L; long $sab = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if ($qp.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      long $q = java.math.BigDecimal
+         |        .valueOf(((double) $a.getFloat($i)) * $scale)
+         |        .setScale(0, java.math.RoundingMode.HALF_UP).longValue();
+         |      $qq += $q * $q;
+         |      $sab += $q * $qp.getLong($i);
+         |    }
+         |    if (!${ev.isNull}) {
+         |      ${ev.value} = ($qq == 0L || $pqq == 0L) ? 0.0
+         |        : ((double) $sab)
+         |          / (java.lang.Math.sqrt((double) $qq)
+         |             * java.lang.Math.sqrt((double) $pqq));
+         |    }
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Int8CoarseCos =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "int8_coarse_cos"
 }

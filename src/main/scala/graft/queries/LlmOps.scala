@@ -926,27 +926,31 @@ object LlmOps {
     QueryDef("q_knn_rerank",
       (s, dir) => {
         vecReady(s)
-        val qed = rd(s, dir, "embeddings")
-          .withColumn("max_abs",
-            expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"))
-          .withColumn("qv", expr(
-            """transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
-              |  (CASE WHEN max_abs = 0.0 THEN 0.0 ELSE 127.0 / max_abs END))
-              |  AS BIGINT))""".stripMargin))
-          .withColumn("qq", expr("aggregate(qv, 0L, (a, v) -> a + v * v)"))
-        val probe = qed.filter(col("vec_id") === 0)
-          .select(col("embedding").as("pe"), col("qv").as("qp"),
-            col("qq").as("pqq"))
-        qed.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
-          .withColumn("sab", expr(
-            "aggregate(zip_with(qv, qp, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
-          .withColumn("cos_q",
-            when(col("qq") === 0 || col("pqq") === 0, lit(0.0))
-              .otherwise(col("sab").cast("double")
-                / (sqrt(col("qq").cast("double"))
-                  * sqrt(col("pqq").cast("double")))))
+        val quantize = expr(
+          """transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
+            |  (CASE WHEN max_abs = 0.0 THEN 0.0 ELSE 127.0 / max_abs END))
+            |  AS BIGINT))""".stripMargin)
+        val maxAbs =
+          expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)")
+        val e = rd(s, dir, "embeddings")
+        val probe = e.filter(col("vec_id") === 0)
+          .withColumn("max_abs", maxAbs)
+          .withColumn("qp", quantize)
+          .select(col("embedding").as("pe"), col("qp"),
+            expr("aggregate(qp, 0L, (a, v) -> a + v * v)").as("pqq"))
+        // hot stage: one fused codegen kernel per corpus row
+        // (Int8CoarseCos quantizes + dots + reconstructs in a single
+        // loop — bit-identical to the HOF chain, which only the ≤64
+        // candidates below still run for the report column)
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+          .withColumn("cos_q", graft.functions.VectorFunctions
+            .int8CoarseCos(col("embedding"), col("qp"), col("pqq")))
           .orderBy(col("cos_q").desc, col("vec_id"))
           .limit(64)
+          .withColumn("max_abs", maxAbs)
+          .withColumn("qv", quantize)
+          .withColumn("sab", expr(
+            "aggregate(zip_with(qv, qp, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
           .withColumn("cos", cosine("embedding", "pe"))
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)

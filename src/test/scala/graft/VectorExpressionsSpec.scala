@@ -75,4 +75,68 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .head
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  /** The HOF chain Int8CoarseCos replaces, verbatim from the original
+   * q_knn_rerank formulation — the parity target AND the oracle twin. */
+  private def hofCosQ(embCol: String) = {
+    val maxAbs =
+      s"CAST(array_max(transform($embCol, x -> abs(x))) AS DOUBLE)"
+    expr(
+      s"""CASE WHEN aggregate(transform($embCol, x ->
+         |  CAST(round(CAST(x AS DOUBLE) * (CASE WHEN $maxAbs = 0.0
+         |    THEN 0.0 ELSE 127.0 / $maxAbs END)) AS BIGINT)),
+         |  0L, (a, v) -> a + v * v) = 0 OR pqq = 0 THEN 0.0
+         |ELSE CAST(aggregate(zip_with(transform($embCol, x ->
+         |  CAST(round(CAST(x AS DOUBLE) * (CASE WHEN $maxAbs = 0.0
+         |    THEN 0.0 ELSE 127.0 / $maxAbs END)) AS BIGINT)), qp,
+         |  (x, y) -> x * y), 0L, (a, v) -> a + v) AS DOUBLE)
+         |  / (sqrt(CAST(aggregate(transform($embCol, x ->
+         |    CAST(round(CAST(x AS DOUBLE) * (CASE WHEN $maxAbs = 0.0
+         |      THEN 0.0 ELSE 127.0 / $maxAbs END)) AS BIGINT)),
+         |    0L, (a, v) -> a + v * v) AS DOUBLE))
+         |    * sqrt(CAST(pqq AS DOUBLE))) END""".stripMargin)
+  }
+
+  test("int8_coarse_cos is bit-identical to the HOF chain on the corpus") {
+    val probe = emb.filter(col("vec_id") === 0)
+      .withColumn("max_abs",
+        expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)"))
+      .withColumn("qp", expr(
+        """transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) *
+          |  (CASE WHEN max_abs = 0.0 THEN 0.0 ELSE 127.0 / max_abs END))
+          |  AS BIGINT))""".stripMargin))
+      .select(col("qp"), expr("aggregate(qp, 0L, (a, v) -> a + v * v)").as("pqq"))
+    val diff = emb.crossJoin(broadcast(probe))
+      .select(
+        VectorFunctions.int8CoarseCos(col("embedding"), col("qp"), col("pqq"))
+          .as("k"),
+        hofCosQ("embedding").as("h"))
+      .filter(col("k") =!= col("h"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("int8_coarse_cos rounds negative halves like Spark round (HALF_UP)") {
+    // scale = 1 (max|x| = 127): elements ±0.5, ±1.5, ±2.5 sit exactly ON
+    // the rounding boundary, where Math.round (floor(x+0.5)) and Spark's
+    // BigDecimal HALF_UP disagree for negatives. The kernel must take
+    // Spark's branch — the HOF chain is the referee.
+    val rows = spark.sql(
+      """SELECT CAST(array(127.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5)
+        |            AS ARRAY<FLOAT>) AS embedding
+        |UNION ALL
+        |SELECT CAST(array(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        |            AS ARRAY<FLOAT>) AS embedding""".stripMargin)
+      .withColumn("qp",
+        expr("CAST(array(127, 1, -1, 2, -2, 3, -3) AS ARRAY<BIGINT>)"))
+      .withColumn("pqq", expr("CAST(16157 AS BIGINT)"))
+    val r = rows.select(
+      VectorFunctions.int8CoarseCos(col("embedding"), col("qp"), col("pqq"))
+        .as("k"),
+      hofCosQ("embedding").as("h")).collect()
+    r.foreach(row => assert(row.getDouble(0) == row.getDouble(1),
+      s"kernel=${row.getDouble(0)} hof=${row.getDouble(1)}"))
+    // the zero vector must hit the 0.0 guard, not NaN
+    assert(r.last.getDouble(0) == 0.0)
+  }
 }
