@@ -28,7 +28,7 @@ object LlmOps {
   /** 3-gram word shingles (distinct), the near-dup unit. Guarded so docs
    * with <3 tokens yield an empty set rather than a descending
    * `sequence`. */
-  private val shingleExpr =
+  private[queries] val shingleExpr =
     """array_distinct(CASE WHEN size(toks) >= 3
       |  THEN transform(sequence(0, size(toks) - 3),
       |                 i -> concat_ws(' ', slice(toks, i + 1, 3)))

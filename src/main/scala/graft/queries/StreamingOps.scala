@@ -397,6 +397,83 @@ object StreamingOps {
              |WHERE window_start + INTERVAL '1 hour'
              |        <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
              |GROUP BY window_start, event_type
-             |ORDER BY window_start, event_type""".stripMargin))
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- streaming incremental near-dup dedup (ingest-time) -----------
+    // q_incr_dedup's ingestion shape made ONLINE: fresh documents arrive
+    // on a stream and are checked against the static existing corpus as
+    // they land — the dedup-at-ingest design that avoids ever
+    // re-scanning the corpus for a new batch. Every stage is
+    // append-safe: the MinHash signature is computed PER ROW with array
+    // HOFs (no streaming aggregation — a groupBy-based signature could
+    // never emit in append mode), the band join and the exact-Jaccard
+    // verify are stateless stream-static equi-joins, and the only state
+    // is dropDuplicates on candidate pairs (bounded by the candidate
+    // set; at 100 TB a watermark on ingest time bounds it by window,
+    // same note as s_dedup_keys). Emitted through the append file sink.
+    // Declared semantics — exact cross-set Jaccard > 0.5 — are
+    // identical to q_incr_dedup, so the two share an oracle: the
+    // streaming and batch implementations are pinned to each other.
+    QueryDef("s_incr_dedup",
+      (s, dir) => {
+        val shingles = (df: DataFrame) => df
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("sh", expr(LlmOps.shingleExpr))
+        // per-row 32-permutation MinHash (perm k: h -> xxhash64(h, k)),
+        // banded 16x2 — band values need only agree between the two
+        // sides, both of which run THIS function
+        val banded = (df: DataFrame) => {
+          val hh = df.withColumn("hh", expr("transform(sh, x -> xxhash64(x))"))
+          val bandCols = (0 until 16).map { b =>
+            struct(lit(b).as("band"),
+              xxhash64(
+                expr(s"array_min(transform(hh, h -> xxhash64(h, ${2 * b}L)))"),
+                expr(s"array_min(transform(hh, h -> xxhash64(h, ${2 * b + 1}L)))"))
+                .as("bv"))
+          }
+          hh.select(col("doc_id"), col("sh"),
+            explode(array(bandCols: _*)).as("bb"))
+            .select(col("doc_id"), col("sh"),
+              col("bb.band").as("band"), col("bb.bv").as("bv"))
+        }
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val fresh = banded(shingles(
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .filter(col("doc_id") % 10 === 0)))
+          .select(col("doc_id").as("new_id"), col("sh").as("sa"),
+            col("band"), col("bv"))
+        val corpus = shingles(
+          rd(s, dir, "documents").filter(col("doc_id") % 10 =!= 0))
+        val corpusBands = banded(corpus)
+          .select(col("doc_id").as("old_id"), col("band"), col("bv"))
+        val corpusSh = corpus.select(col("doc_id").as("old_id"),
+          col("sh").as("sb"))
+        val verified = fresh.join(corpusBands, Seq("band", "bv"))
+          .dropDuplicates("new_id", "old_id")
+          .join(corpusSh, "old_id")
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("jaccard") > 0.5)
+          .select(col("new_id"), col("old_id"),
+            round(col("jaccard"), 4).as("jaccard"))
+        runToFileSink(s, verified, "s_incr_dedup")
+          .orderBy("new_id", "old_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |             FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |                 for i in range(1, len(ts) - 1)]) AS s
+             |  FROM tok),
+             |p AS (SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+             |        len(list_intersect(a.s, b.s)) AS i,
+             |        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+             |      FROM sh a JOIN sh b
+             |        ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+             |SELECT new_id, old_id, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
+             |FROM p WHERE CAST(i AS DOUBLE) / u > 0.5
+             |ORDER BY new_id, old_id""".stripMargin))
   )
 }
