@@ -28,7 +28,7 @@ object LlmOps {
   /** 3-gram word shingles (distinct), the near-dup unit. Guarded so docs
    * with <3 tokens yield an empty set rather than a descending
    * `sequence`. */
-  private[queries] val shingleExpr =
+  private[graft] val shingleExpr =
     """array_distinct(CASE WHEN size(toks) >= 3
       |  THEN transform(sequence(0, size(toks) - 3),
       |                 i -> concat_ws(' ', slice(toks, i + 1, 3)))
@@ -825,6 +825,65 @@ object LlmOps {
              |  CAST((n_chars % 30) + 1 AS INTEGER) AS fake_frames,
              |  upper(substring(hex(CAST(text AS BLOB)), 1, 8)) AS magic_hex
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- semantic dedup: cluster-blocked embedding near-dup removal ---
+    // The SemDeDup shape (embedding-space dedup before training): block
+    // by cluster — here the corpus's label column stands in for the
+    // kmeans assignment the IVF path already demonstrates — and drop
+    // every vector whose cosine to a LOWER-id vector in the same
+    // cluster exceeds τ=0.3 (keep-first). Work is Σ|cluster|², never
+    // corpus² — the whole point of clustering first; the self-join
+    // shuffles on the cluster key only. Scoring runs the codegen
+    // FloatVecCosine kernel; the oracle recomputes the identical IEEE
+    // expression, so the τ cut is bit-deterministic. Output pins
+    // per-cluster membership of the dropped set (count + id sum).
+    QueryDef("q_semdedup",
+      (s, dir) => {
+        vecReady(s)
+        val e = rd(s, dir, "embeddings").select("vec_id", "label", "embedding")
+        val a = e.select(col("label"), col("vec_id").as("ai"),
+          col("embedding").as("ea"))
+        val b = e.select(col("label"), col("vec_id").as("bi"),
+          col("embedding").as("eb"))
+        val dropped = a.join(b, Seq("label"))
+          .filter(col("ai") < col("bi"))
+          .withColumn("cos", cosine("ea", "eb"))
+          .filter(col("cos") > 0.3)
+          .select(col("label"), col("bi")).distinct()
+        e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+          .join(dropped.groupBy("label")
+            .agg(count(lit(1)).as("nd"), sum(col("bi")).as("sd")),
+            Seq("label"), "left")
+          .select(col("label"), col("n_vecs"),
+            coalesce(col("nd"), lit(0L)).as("n_dropped"),
+            coalesce(col("sd"), lit(0L)).as("sum_dropped"))
+          .orderBy("label")
+      },
+      Some("""WITH p AS (
+             |  SELECT a.label, b.vec_id AS bi,
+             |    list_dot_product(
+             |        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |        list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             |      / (sqrt(list_dot_product(
+             |            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |            list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+             |         * sqrt(list_dot_product(
+             |            list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+             |            list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+             |      AS cos
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id < b.vec_id),
+             |d AS (SELECT DISTINCT label, bi FROM p WHERE cos > 0.3),
+             |g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+             |      FROM embeddings GROUP BY label),
+             |dg AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nd,
+             |         CAST(SUM(bi) AS BIGINT) AS sd
+             |       FROM d GROUP BY label)
+             |SELECT g.label, n_vecs,
+             |  COALESCE(nd, 0) AS n_dropped,
+             |  COALESCE(sd, 0) AS sum_dropped
+             |FROM g LEFT JOIN dg ON g.label = dg.label
+             |ORDER BY g.label""".stripMargin)),
 
     // ---- BM25 retrieval scoring (top-20 for a fixed term query) -------
     // The retrieval-quality scorer (Lucene-form BM25, k1=1.2 b=0.75)

@@ -419,19 +419,21 @@ object StreamingOps {
         val shingles = (df: DataFrame) => df
           .withColumn("toks", split(col("text"), " "))
           .withColumn("sh", expr(LlmOps.shingleExpr))
-        // per-row 32-permutation MinHash (perm k: h -> xxhash64(h, k)),
-        // banded 16x2 — band values need only agree between the two
-        // sides, both of which run THIS function
+        // per-row 32-permutation MinHash (perm k: h -> xxhash64(h, k))
+        // via the one-pass codegen MinHashSig kernel (32 interpreted
+        // transform+array_min rounds otherwise), banded 16x2 — band
+        // values need only agree between the two sides, both of which
+        // run THIS function
+        graft.functions.MinHashSig.register(s)
         val banded = (df: DataFrame) => {
-          val hh = df.withColumn("hh", expr("transform(sh, x -> xxhash64(x))"))
+          val sig = df.withColumn("sig", graft.functions.MinHashSig.sig(
+            expr("transform(sh, x -> xxhash64(x))")))
           val bandCols = (0 until 16).map { b =>
             struct(lit(b).as("band"),
-              xxhash64(
-                expr(s"array_min(transform(hh, h -> xxhash64(h, ${2 * b}L)))"),
-                expr(s"array_min(transform(hh, h -> xxhash64(h, ${2 * b + 1}L)))"))
-                .as("bv"))
+              xxhash64(element_at(col("sig"), 2 * b + 1),
+                element_at(col("sig"), 2 * b + 2)).as("bv"))
           }
-          hh.select(col("doc_id"), col("sh"),
+          sig.select(col("doc_id"), col("sh"),
             explode(array(bandCols: _*)).as("bb"))
             .select(col("doc_id"), col("sh"),
               col("bb.band").as("band"), col("bb.bv").as("bv"))
