@@ -198,6 +198,74 @@ object SourceOps {
             sum(col("n_chars")).cast("long").as("sum_chars"))
           .orderBy("lang")
       },
-      None)
+      None),
+
+    // ---- schema evolution on read (mergeSchema) ------------------------
+    // The 100 TB reality that a table's files span schema generations:
+    // generation 1 (even order keys) lacks o_orderstatus, generation 2
+    // (odd keys) carries it. `mergeSchema=true` unions the footers at
+    // planning time — one extra footer pass, no data rewrite — and old
+    // files surface the new column as null. The aggregate groups by the
+    // evolved column with nulls folded to a sentinel (Spark and DuckDB
+    // disagree on null ORDER BY placement, so the sentinel also keeps
+    // the output ordering portable). The oracle reconstructs the same
+    // generation split directly from the parquet table.
+    QueryDef("q_schema_evolution",
+      (s, dir) => {
+        val out = roundTripDir("evo", dir, "orders")
+        if (!java.nio.file.Files.exists(out)) {
+          val orders = rd(s, dir, "orders")
+          orders.filter(col("o_orderkey") % 2 === 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.mode("overwrite").parquet(s"$out/gen=1")
+          orders.filter(col("o_orderkey") % 2 === 1)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+            .write.mode("overwrite").parquet(s"$out/gen=2")
+        }
+        s.read.option("mergeSchema", "true").parquet(out.toString)
+          .withColumn("status",
+            coalesce(col("o_orderstatus"), lit("(pre-evolution)")))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_total"))
+          .orderBy("status")
+      },
+      Some(s"""SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1
+              |                     THEN o_orderstatus END,
+              |                '(pre-evolution)') AS status,
+              |  COUNT(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS sum_total
+              |FROM orders GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // ---- small-file compaction -----------------------------------------
+    // The operational fix for streaming-ingest fragmentation: a landing
+    // zone of 64 tiny files is rewritten into 4 via coalesce — a pure
+    // file-merge with NO shuffle (each output task concatenates input
+    // splits), the cheapest correct compaction. The gate row proves
+    // CONTENT invariance through the rewrite (exact decimal totals per
+    // status vs the original table); SourcesSpec pins the file counts
+    // and the no-shuffle plan. At 100 TB the same job runs per
+    // partition-directory with the target file count sized to
+    // bytes/128 MB.
+    QueryDef("q_compact_files",
+      (s, dir) => {
+        val frag = roundTripDir("frag", dir, "orders")
+        if (!java.nio.file.Files.exists(frag))
+          rd(s, dir, "orders").repartition(64)
+            .write.mode("overwrite").parquet(frag.toString)
+        val compacted = roundTripDir("compacted", dir, "orders")
+        if (!java.nio.file.Files.exists(compacted))
+          s.read.parquet(frag.toString).coalesce(4)
+            .write.mode("overwrite").parquet(compacted.toString)
+        s.read.parquet(compacted.toString)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS sum_total
+              |FROM orders GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin))
   )
 }

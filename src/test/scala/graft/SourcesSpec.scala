@@ -78,4 +78,42 @@ class SourcesSpec extends AnyFunSuite {
       s"unpruned files: ${files.filterNot(_.contains("o_orderstatus=F")).mkString(", ")}")
     assert(o.filter(col("o_orderstatus") === "F").count() == pruned.count())
   }
+
+  test("compaction merges 64 files into ≤4 with no shuffle, content intact") {
+    // materialize both generations of the q_compact_files round-trip dirs
+    SparkEntry.queries("q_compact_files")(spark, sf).count()
+    val tmpdir = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    def partFiles(prefix: String): Int = {
+      val d = tmpdir.listFiles()
+        .filter(_.getName.startsWith(s"graft_src_${prefix}_$tag"))
+      assert(d.nonEmpty, s"$prefix dir missing")
+      d.head.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(partFiles("frag") == 64, "fragmented landing zone")
+    assert(partFiles("compacted") <= 4, "compaction target")
+    // the compaction plan itself must be shuffle-free (coalesce, not
+    // repartition): each output task concatenates input splits
+    val frag = tmpdir.listFiles()
+      .filter(_.getName.startsWith(s"graft_src_frag_$tag")).head
+    val plan = spark.read.parquet(frag.toString).coalesce(4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction shuffled:\n$plan")
+  }
+
+  test("mergeSchema read surfaces the pre-evolution files' column as null") {
+    SparkEntry.queries("q_schema_evolution")(spark, sf).count()
+    val tmpdir = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val evo = tmpdir.listFiles()
+      .filter(_.getName.startsWith(s"graft_src_evo_$tag")).head
+    val merged = spark.read.option("mergeSchema", "true").parquet(evo.toString)
+    assert(merged.schema.fieldNames.contains("o_orderstatus"))
+    // generation 1 (even keys) predates the column: all null there, none
+    // null in generation 2
+    assert(merged.filter(col("o_orderkey") % 2 === 0)
+      .filter(col("o_orderstatus").isNotNull).count() == 0)
+    assert(merged.filter(col("o_orderkey") % 2 === 1)
+      .filter(col("o_orderstatus").isNull).count() == 0)
+  }
 }
