@@ -700,6 +700,56 @@ object Battery {
              |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
              |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS min_price,
              |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS max_price
-             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- batch sessionization (gap-based) ------------------------------
+    // The batch twin of s_session: split each user's event stream into
+    // sessions at >30-min silence gaps — lag to detect the gap, a
+    // running sum of the gap flags to number sessions, then per-session
+    // stats. One shuffle on user_id serves both windows and the final
+    // aggregate (same partitioning); all timestamps are compared as
+    // integer epoch-µs, so session boundaries are exact in both
+    // engines. Hot users cost one within-partition sort — the same
+    // mitigation note as q_asof_last_signup.
+    QueryDef("q_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+        events(s, dir)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("sess_idx", sum(col("new_sess")).over(wc))
+          .groupBy("user_id", "sess_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            max(col("us")).as("end_us"))
+          .select(col("user_id"), col("sess_idx"), col("n_events"),
+            col("start_us"),
+            expr("(end_us - start_us) DIV 1000000").as("dur_s"))
+          .orderBy("user_id", "sess_idx")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+             |           FROM events),
+             |l AS (SELECT user_id, event_id, us,
+             |        LAG(us, 1) OVER (PARTITION BY user_id
+             |          ORDER BY us, event_id) AS prev_us
+             |      FROM e),
+             |f AS (SELECT user_id, event_id, us,
+             |        CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |             THEN 1 ELSE 0 END AS new_sess
+             |      FROM l),
+             |c AS (SELECT user_id, us,
+             |        CAST(SUM(new_sess) OVER (PARTITION BY user_id
+             |          ORDER BY us, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+             |      FROM f)
+             |SELECT user_id, sess_idx, COUNT(*) AS n_events,
+             |  MIN(us) AS start_us,
+             |  CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS dur_s
+             |FROM c GROUP BY user_id, sess_idx
+             |ORDER BY user_id, sess_idx""".stripMargin))
   )
 }

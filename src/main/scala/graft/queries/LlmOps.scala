@@ -826,6 +826,61 @@ object LlmOps {
              |  upper(substring(hex(CAST(text AS BLOB)), 1, 8)) AS magic_hex
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- exact per-cluster centroids (the kmeans M-step shape) --------
+    // Mean embedding per cluster label — centroid serving / quantizer
+    // training / class prototypes. Positional array aggregation done
+    // the scalable way: posexplode to (label, dim, x) and partial-sum
+    // per (label, dim) — the shuffle carries per-dimension decimal
+    // partials, never whole vectors, and is combinable in any order
+    // because the float components are first quantized to an exact
+    // decimal grid (the dsumS mechanism; float partial-sum order would
+    // otherwise make 1000-executor results nondeterministic). One IEEE
+    // division at the end.
+    QueryDef("q_centroids",
+      (s, dir) => {
+        rd(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+          .groupBy("label", "d")
+          .agg(count(lit(1)).as("n"), dsumS(col("x").cast("double"), 8).as("sx"))
+          .select(col("label"), (col("d") + 1).cast("int").as("dim"),
+            (col("sx") / col("n")).as("centroid"))
+          .orderBy("label", "dim")
+      },
+      Some(s"""SELECT label, CAST(dim AS INTEGER) AS dim,
+              |  ${dsumSqlS("CAST(x AS DOUBLE)", 8)} / COUNT(*) AS centroid
+              |FROM (SELECT label, unnest(embedding) AS x,
+              |             unnest(range(1, len(embedding) + 1)) AS dim
+              |      FROM embeddings)
+              |GROUP BY label, dim
+              |ORDER BY label, dim""".stripMargin)),
+
+    // ---- filtered vector search (hybrid metadata + ANN) ---------------
+    // The hybrid-search serving shape: a metadata predicate (label = 3)
+    // restricts the corpus BEFORE scoring — pushed to the scan, so at
+    // 100 TB with label as a partition/cluster key the filter prunes
+    // files and the scored set is the selected cluster only, then one
+    // TakeOrdered pass with the codegen cosine kernel.
+    QueryDef("q_knn_filtered",
+      (s, dir) => {
+        vecReady(s)
+        val e = rd(s, dir, "embeddings")
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("pe"))
+        e.filter(col("vec_id") =!= 0 && col("label") === 3)
+          .crossJoin(broadcast(probe))
+          .withColumn("cos", cosine("embedding", "pe"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"),
+            round(col("cos"), 4).as("cosine"))
+      },
+      Some(s"""WITH p AS (SELECT embedding AS pe FROM embeddings
+              |           WHERE vec_id = 0),
+              |s AS (SELECT vec_id, label, $cosSql AS cos
+              |      FROM embeddings, p WHERE vec_id <> 0 AND label = 3)
+              |SELECT vec_id, label, ROUND(cos, 4) AS cosine FROM s
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     // ---- semantic dedup: cluster-blocked embedding near-dup removal ---
     // The SemDeDup shape (embedding-space dedup before training): block
     // by cluster — here the corpus's label column stands in for the

@@ -192,6 +192,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin"), s"budget join shuffled the corpus:\n$s")
   }
 
+  test("q_centroids partial-aggregates per dimension before the shuffle") {
+    val s = plan("q_centroids").toString
+    // the (label, dim) sums must pre-reduce map-side so the exchange
+    // carries decimal partials, never the exploded component rows
+    assert(s.contains("partial_"), s"no map-side partial agg:\n$s")
+  }
+
+  test("q_knn_filtered pushes the metadata predicate into the scan") {
+    val p = plan("q_knn_filtered")
+    val s = scanOf(p, "embeddings")
+    val pushed = s.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("label"), s"label filter not pushed: $pushed")
+    assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
