@@ -466,6 +466,79 @@ object Relational {
       },
       Some(s"""SELECT DATE_TRUNC('hour', ts) AS bucket_start, event_type,
               |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
-              |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin))
+              |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin)),
+
+    // ---- full outer join with both-sided null handling ----------------
+    // per-custkey URGENT-order counts FULL OUTER customers in debit:
+    // matched rows, left-only (urgent orders, non-negative balance) and
+    // right-only (negative balance, no urgent order — populated at all
+    // three sfs, PlanAuditSpec pins non-vacuity of every class) all
+    // surface; the null pattern is folded into a side tag so the output
+    // pins all three classes. Shuffles on the join key like any
+    // fact-fact join; Spark coalesces the USING key, the oracle does so
+    // explicitly.
+    QueryDef("q_outer_join",
+      (s, dir) => {
+        val left = rd(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_urgent"))
+        val right = rd(s, dir, "customer")
+          .filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+        left.join(right, Seq("custkey"), "full_outer")
+          .select(col("custkey"),
+            coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+            when(col("n_urgent").isNull, "neg_balance_no_urgent")
+              .when(col("c_acctbal").isNull, "urgent_orders_only")
+              .otherwise("both").as("side"))
+          .orderBy("custkey")
+      },
+      Some("""WITH l AS (SELECT o_custkey AS custkey,
+             |             CAST(COUNT(*) AS BIGINT) AS n_urgent
+             |           FROM orders
+             |           WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+             |r AS (SELECT c_custkey AS custkey, c_acctbal
+             |      FROM customer WHERE c_acctbal < 0)
+             |SELECT COALESCE(l.custkey, r.custkey) AS custkey,
+             |  COALESCE(n_urgent, 0) AS n_urgent,
+             |  CASE WHEN n_urgent IS NULL THEN 'neg_balance_no_urgent'
+             |       WHEN c_acctbal IS NULL THEN 'urgent_orders_only'
+             |       ELSE 'both' END AS side
+             |FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
+             |ORDER BY custkey""".stripMargin)),
+
+    // ---- LATERAL correlated top-n --------------------------------------
+    // The SQL-standard spelling of per-key top-n (Spark 4 LATERAL):
+    // each customer's 2 priciest orders via a correlated LIMIT
+    // subquery. Catalyst must DECORRELATE this to a window/join plan —
+    // a per-row subquery execution would be the classic 100 TB killer —
+    // and PlanAuditSpec asserts the decorrelated shape (no nested-loop,
+    // no per-row subplan). Semantically identical to q_topk_per_key's
+    // custom operator; keeping both pins the rewrite against the
+    // hand-built plan through the shared-style oracle.
+    QueryDef("q_lateral_topn",
+      (s, dir) => {
+        rd(s, dir, "customer").createOrReplaceTempView("customer_v")
+        rd(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM customer_v c,
+               LATERAL (SELECT o_orderkey, o_totalprice
+                        FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey
+                        LIMIT 2) t
+          ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer c,
+             |     LATERAL (SELECT o_orderkey, o_totalprice
+             |              FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |              ORDER BY o_totalprice DESC, o_orderkey
+             |              LIMIT 2) t
+             |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""
+        .stripMargin))
   )
 }

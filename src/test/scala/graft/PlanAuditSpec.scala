@@ -207,6 +207,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.toString.contains("TakeOrderedAndProject"), p.toString)
   }
 
+  test("q_lateral_topn decorrelates: window + equi-join, no per-row subplan") {
+    val s = plan("q_lateral_topn").toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"lateral subquery did not decorrelate:\n$s")
+    // the rewrite is the same shape q_topk_per_key hand-builds: a
+    // per-key window/limit on the orders side, then an equi-join
+    assert(s.contains("Window") || s.contains("TakeOrdered"),
+      s"no windowed top-n in the decorrelated plan:\n$s")
+  }
+
+  test("q_outer_join keeps both null sides through the full outer join") {
+    val df = SparkEntry.queries("q_outer_join")(spark, sf)
+    val sides = df.groupBy("side").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all three classes must be populated, or the entry is vacuous
+    assert(sides.keySet ==
+      Set("both", "urgent_orders_only", "neg_balance_no_urgent"),
+      sides.toString)
+    assert(sides.values.forall(_ > 0), sides.toString)
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
