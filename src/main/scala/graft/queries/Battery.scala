@@ -702,6 +702,42 @@ object Battery {
              |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS max_price
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- MapType end-to-end (construct → extract → fold) ---------------
+    // The one column-type family the rest of the gate doesn't carry: a
+    // real MapType column built per user (event_type → count via
+    // map_from_entries over a SORTED entry list, so key order is
+    // deterministic), then consumed by the map surface — size,
+    // element_at with a missing-key default, map_keys, and a
+    // map_values fold. The oracle computes the same scalars straight
+    // from the grouped counts: what is pinned is the map round-trip's
+    // VALUES, independent of engine map-encoding. Map construction and
+    // folds are all map-side over the already-aggregated rows.
+    QueryDef("q_map_fns",
+      (s, dir) => {
+        events(s, dir)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+          .groupBy("user_id")
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("event_type"), col("cnt"))))).as("m"))
+          .select(col("user_id"),
+            size(col("m")).cast("int").as("n_types"),
+            coalesce(element_at(col("m"), "purchase"), lit(0L))
+              .as("n_purchase"),
+            concat_ws(",", map_keys(col("m"))).as("types_csv"),
+            expr("aggregate(map_values(m), 0L, (a, v) -> a + v)")
+              .as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type,
+             |             CAST(COUNT(*) AS BIGINT) AS cnt
+             |           FROM events GROUP BY 1, 2)
+             |SELECT user_id, CAST(COUNT(*) AS INTEGER) AS n_types,
+             |  CAST(COALESCE(SUM(cnt) FILTER (event_type = 'purchase'), 0)
+             |       AS BIGINT) AS n_purchase,
+             |  string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+             |  CAST(SUM(cnt) AS BIGINT) AS n_events
+             |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- batch sessionization (gap-based) ------------------------------
     // The batch twin of s_session: split each user's event stream into
     // sessions at >30-min silence gaps — lag to detect the gap, a
