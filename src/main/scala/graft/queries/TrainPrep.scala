@@ -230,13 +230,23 @@ object TrainPrep {
           """transform(sequence(0, greatest(size(toks) - 1, 0), 10),
             |          st -> md5(concat_ws(' ', slice(toks, st + 1, 10))))"""
             .stripMargin)).as(Seq("seg_idx", "h")))
-        val w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
-        val flags = segs.withColumn("rn", row_number().over(w))
+        // first occurrence via groupBy-min(struct), NOT a window over h:
+        // a boilerplate segment repeated across millions of docs would
+        // make one giant window partition (windows get no AQE skew
+        // split), while min(struct) partial-aggregates the hot digest
+        // map-side and the join back meets a ONE-row-per-h keeper side
+        // (AQE skew-join handles the candidate side)
+        val keeper = segs.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+        val flags = segs.join(keeper, "h")
+          .withColumn("is_first",
+            col("doc_id") === col("k.doc_id") &&
+              col("seg_idx") === col("k.seg_idx"))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("int").as("n_segs"),
-            sum(when(col("rn") === 1, 0).otherwise(1)).cast("int")
+            sum(when(col("is_first"), 0).otherwise(1)).cast("int")
               .as("n_removed"),
-            sort_array(collect_list(when(col("rn") === 1, col("seg_idx"))))
+            sort_array(collect_list(when(col("is_first"), col("seg_idx"))))
               .as("kept"))
         flags.join(docs.select("doc_id", "toks"), "doc_id")
           .select(col("doc_id"), col("n_segs"), col("n_removed"),
