@@ -301,9 +301,20 @@ object TrainPrep {
             greatest(lit(1), floor(lit(300.0) * (col("w") / col("sum_w")))
               .cast("int")))
           .select("source", "n_docs", "budget")
+        // membership = the first `budget` docs per source in md5-rank
+        // order. A plain rank window would sort each source in ONE
+        // partition (a hot source at 100 TB = one giant sort, and
+        // windows get no AQE skew split), so the candidate set is first
+        // cut to the 300-row budget CEILING per source by the custom
+        // TopKPerKey operator — map-side partial prune before the
+        // exchange bounds both the shuffle and the final sort at
+        // 300 × map-partitions rows per source; the exact rank window
+        // then runs over ≤ 300 rows per source.
+        val ranked = graft.plans.TopK.perKey(
+          docs.withColumn("rk", md5(col("doc_id").cast("string"))),
+          Seq("source"), Seq(col("rk").asc, col("doc_id").asc), 300)
         val w = Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))
-        docs
-          .withColumn("rk", md5(col("doc_id").cast("string")))
+        ranked
           .withColumn("rn", row_number().over(w))
           .join(broadcast(budgets), "source")
           .filter(col("rn") <= col("budget"))

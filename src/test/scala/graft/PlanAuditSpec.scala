@@ -186,10 +186,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"), s)
   }
 
-  test("q_mixture_sample joins its per-source budgets by broadcast") {
+  test("q_mixture_sample prunes map-side and broadcasts its budgets") {
     val s = plan("q_mixture_sample").toString
     assert(s.contains("BroadcastHashJoin"), s"budget join not broadcast:\n$s")
     assert(!s.contains("SortMergeJoin"), s"budget join shuffled the corpus:\n$s")
+    // the budget-ceiling cut must plan as the partial-prune TopKPerKey
+    // operator, never a full per-source window over the corpus
+    assert(s.contains("TopKPerKey"), s"no map-side budget prune:\n$s")
   }
 
   test("q_centroids partial-aggregates per dimension before the shuffle") {
