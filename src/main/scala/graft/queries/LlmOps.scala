@@ -371,12 +371,18 @@ object LlmOps {
         val e = rd(s, dir, "embeddings")
         val probes = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        // per-probe top-3 via TopKPerKey, NOT a window: a per-probe
+        // window partition is the whole scored corpus (and windows get
+        // no AQE skew split) — the partial prune caps each map
+        // partition's contribution at 3 rows per probe before anything
+        // shuffles; the rn label is then a window over ≤ 3 rows/probe
+        val scored = e.filter(col("vec_id") >= 5).crossJoin(broadcast(probes))
+          .withColumn("cos", cosine("embedding", "pe"))
         val w = Window.partitionBy("probe_id")
           .orderBy(col("cos").desc, col("vec_id"))
-        e.filter(col("vec_id") >= 5).crossJoin(broadcast(probes))
-          .withColumn("cos", cosine("embedding", "pe"))
+        graft.plans.TopK.perKey(scored, Seq("probe_id"),
+            Seq(col("cos").desc, col("vec_id").asc), 3)
           .withColumn("rn", row_number().over(w).cast("int"))
-          .filter(col("rn") <= 3)
           .select(col("probe_id"), col("vec_id"), col("rn"),
             round(col("cos"), 4).as("cosine"))
           .orderBy("probe_id", "rn")

@@ -156,8 +156,13 @@ object TrainPrep {
       (s, dir) => {
         val w = Window.partitionBy("lang", "source")
           .orderBy(col("rk_hash"), col("doc_id"))
-        rd(s, dir, "documents")
-          .withColumn("rk_hash", md5(col("doc_id").cast("string")))
+        // budget cut via TopKPerKey first (map-side partial prune) so a
+        // hot cell never sorts in one window partition; the rank window
+        // then runs over ≤ 50 rows per cell
+        graft.plans.TopK.perKey(
+          rd(s, dir, "documents")
+            .withColumn("rk_hash", md5(col("doc_id").cast("string"))),
+          Seq("lang", "source"), Seq(col("rk_hash").asc, col("doc_id").asc), 50)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 50)
           .groupBy("lang", "source")
