@@ -644,10 +644,16 @@ object Battery {
               |ELSE transform(sequence(0, size(ts) - 2),
               |               i -> concat(ts[i], ' ', ts[i + 1])) END""".stripMargin))
             .as("bigram"))
+        // top-5 per lang via the TopKPerKey partial prune — the
+        // aggregated (lang, bigram) table is VOCABULARY-sized, so a
+        // bare per-lang window would sort a language's whole vocabulary
+        // in one partition; the prune caps each map partition at 5 rows
+        // per lang, and the rn label windows over ≤ 5 rows/lang
         val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
-        bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        graft.plans.TopK.perKey(
+            bi.groupBy("lang", "bigram").agg(count(lit(1)).as("n")),
+            Seq("lang"), Seq(col("n").desc, col("bigram").asc), 5)
           .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
           .select("lang", "bigram", "n", "rk")
           .orderBy("lang", "rk")
       },

@@ -171,12 +171,16 @@ object LlmOps {
     // ---- token frequencies: top-5 per language -----------------------
     QueryDef("q_text_tokens",
       (s, dir) => {
+        // top-5 per lang cut by the TopKPerKey partial prune first (the
+        // aggregated table is vocabulary-sized — a bare per-lang window
+        // would sort the language's whole vocabulary in one partition)
         val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
-        rd(s, dir, "documents")
-          .select(col("lang"), explode(toks(col("text"))).as("token"))
-          .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+        graft.plans.TopK.perKey(
+            rd(s, dir, "documents")
+              .select(col("lang"), explode(toks(col("text"))).as("token"))
+              .groupBy("lang", "token").agg(count(lit(1)).as("cnt")),
+            Seq("lang"), Seq(col("cnt").desc, col("token").asc), 5)
           .withColumn("rn", row_number().over(w).cast("int"))
-          .filter(col("rn") <= 5)
           .select("lang", "token", "cnt", "rn")
           .orderBy("lang", "rn")
       },
