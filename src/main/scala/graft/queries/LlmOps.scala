@@ -119,6 +119,46 @@ object LlmOps {
       |    * sqrt(list_dot_product(list_transform(pe, x -> CAST(x AS DOUBLE)),
       |                            list_transform(pe, x -> CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** Per-(doc, query-term) BM25 partial scores (k1=1.2, b=0.75, Lucene
+   * idf) for the fixed 5-term query — shared by q_bm25 and
+   * q_rrf_fusion. tf comes from filtering the tiny term array against
+   * each doc's token array MAP-SIDE (no corpus token explode); df/N/
+   * avgdl are tiny broadcasts; the per-term score truncates to
+   * decimal(18,6) so cross-term sums are exact (see q_bm25's
+   * determinism note). Returns (doc_id, dl, term, tf, tscore). */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+      .withColumn("toks", toks(col("text")))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .withColumn("qterms",
+        array(Seq("spark", "query", "window", "hash", "stream").map(lit): _*))
+      .select(col("doc_id"), col("dl"), explode(expr(
+        """filter(transform(qterms,
+          |         t -> struct(t AS term,
+          |                     CAST(size(filter(toks, x -> x = t)) AS BIGINT)
+          |                       AS tf)),
+          |       p -> p.tf > 0)""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("dl"),
+        col("p.term").as("term"), col("p.tf").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        (log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+          * ((col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") + lit(1.2)
+              * (lit(0.25) + lit(0.75)
+                * (col("dl").cast("double")
+                  / (col("sum_dl").cast("double")
+                    / col("n_docs").cast("double")))))))
+          .cast(DecimalType(18, 6)))
+      .select("doc_id", "dl", "term", "tf", "tscore")
+  }
+
   val defs: Vector[QueryDef] = Vector(
 
     // ---- exact dedup: hash-groupBy on normalized text ----------------
@@ -966,35 +1006,7 @@ object LlmOps {
     // on the exact decimal sum.
     QueryDef("q_bm25",
       (s, dir) => {
-        val docs = rd(s, dir, "documents")
-          .withColumn("toks", toks(col("text")))
-          .withColumn("dl", size(col("toks")).cast("long"))
-        val stats = docs.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("sum_dl"))
-        val tf = docs
-          .withColumn("qterms",
-            array(Seq("spark", "query", "window", "hash", "stream").map(lit): _*))
-          .select(col("doc_id"), col("dl"), explode(expr(
-            """filter(transform(qterms,
-              |         t -> struct(t AS term,
-              |                     CAST(size(filter(toks, x -> x = t)) AS BIGINT)
-              |                       AS tf)),
-              |       p -> p.tf > 0)""".stripMargin)).as("p"))
-          .select(col("doc_id"), col("dl"),
-            col("p.term").as("term"), col("p.tf").as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
-          .withColumn("tscore",
-            (log(lit(1.0) +
-              (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
-                / (col("df").cast("double") + lit(0.5)))
-              * ((col("tf").cast("double") * lit(2.2))
-                / (col("tf").cast("double") + lit(1.2)
-                  * (lit(0.25) + lit(0.75)
-                    * (col("dl").cast("double")
-                      / (col("sum_dl").cast("double")
-                        / col("n_docs").cast("double")))))))
-              .cast(DecimalType(18, 6)))
+        bm25Scored(s, dir)
           .groupBy("doc_id")
           .agg(sum(col("tscore")).as("score_dec"))
           .orderBy(col("score_dec").desc, col("doc_id"))
@@ -1035,6 +1047,90 @@ object LlmOps {
              |        ORDER BY score_dec DESC, doc_id LIMIT 20)
              |SELECT doc_id, ROUND(CAST(score_dec AS DOUBLE), 4) AS bm25
              |FROM agg ORDER BY bm25 DESC, doc_id""".stripMargin)),
+
+    // ---- reciprocal-rank fusion (hybrid retrieval) ---------------------
+    // The standard fusion of heterogeneous rankers: BM25 (graded) and
+    // boolean term-coverage (n matched terms, then total tf) each
+    // produce a top-50 via TakeOrdered — never a global rank window —
+    // and fuse as RRF = Σ 1/(60 + rank), the score used when lexical
+    // and semantic rankings must merge without calibration. Both ranks
+    // are integer-derived (the BM25 cut ranks on the exact decimal
+    // sum), the RRF arithmetic is two exact IEEE divisions summed in a
+    // fixed order, and a doc missing from one ranker contributes 0 —
+    // so the fused ordering is bit-deterministic in both engines.
+    QueryDef("q_rrf_fusion",
+      (s, dir) => {
+        val perDoc = bm25Scored(s, dir)
+          .groupBy("doc_id")
+          .agg(sum(col("tscore")).as("score_dec"),
+            count(lit(1)).as("n_terms"), sum(col("tf")).as("sum_tf"))
+        val wa = Window.orderBy(col("score_dec").desc, col("doc_id"))
+        val ra = perDoc.orderBy(col("score_dec").desc, col("doc_id")).limit(50)
+          .withColumn("rank_bm25", row_number().over(wa))
+          .select("doc_id", "rank_bm25")
+        val wb = Window.orderBy(col("n_terms").desc, col("sum_tf").desc,
+          col("doc_id"))
+        val rb = perDoc
+          .orderBy(col("n_terms").desc, col("sum_tf").desc, col("doc_id"))
+          .limit(50)
+          .withColumn("rank_bool", row_number().over(wb))
+          .select("doc_id", "rank_bool")
+        ra.join(rb, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("rank_bool")), lit(0.0)))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(15)
+          .select(col("doc_id"),
+            col("rank_bm25").cast("int").as("rank_bm25"),
+            col("rank_bool").cast("int").as("rank_bool"),
+            round(col("rrf"), 6).as("rrf"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |           FROM documents),
+             |dd AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS dl FROM d),
+             |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |        CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+             |e AS (SELECT doc_id, dl, term,
+             |        CAST(len(list_filter(ts, x -> x = term)) AS BIGINT) AS tf
+             |      FROM dd, (SELECT unnest(['spark','query','window','hash',
+             |                              'stream']) AS term) q),
+             |e2 AS (SELECT * FROM e WHERE tf > 0),
+             |f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             |      FROM e2 GROUP BY term),
+             |sc AS (SELECT doc_id, tf,
+             |         CAST((ln(1.0 + (CAST(n_docs AS DOUBLE)
+             |                         - CAST(df AS DOUBLE) + 0.5)
+             |                        / (CAST(df AS DOUBLE) + 0.5))
+             |           * ((CAST(tf AS DOUBLE) * 2.2)
+             |             / (CAST(tf AS DOUBLE) + 1.2
+             |               * (0.25 + 0.75
+             |                 * (CAST(dl AS DOUBLE)
+             |                   / (CAST(sum_dl AS DOUBLE)
+             |                     / CAST(n_docs AS DOUBLE)))))))
+             |           AS DECIMAL(18,6)) AS tscore
+             |       FROM e2 JOIN f USING (term), g),
+             |agg AS (SELECT doc_id, SUM(tscore) AS score_dec,
+             |          CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |          CAST(SUM(tf) AS BIGINT) AS sum_tf
+             |        FROM sc GROUP BY doc_id),
+             |ra AS (SELECT doc_id, rank_bm25 FROM (
+             |         SELECT doc_id, ROW_NUMBER() OVER (
+             |           ORDER BY score_dec DESC, doc_id) AS rank_bm25
+             |         FROM agg) WHERE rank_bm25 <= 50),
+             |rb AS (SELECT doc_id, rank_bool FROM (
+             |         SELECT doc_id, ROW_NUMBER() OVER (
+             |           ORDER BY n_terms DESC, sum_tf DESC, doc_id) AS rank_bool
+             |         FROM agg) WHERE rank_bool <= 50),
+             |fu AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             |         rank_bm25, rank_bool,
+             |         COALESCE(1.0 / (60 + rank_bm25), 0.0)
+             |           + COALESCE(1.0 / (60 + rank_bool), 0.0) AS rrf
+             |       FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+             |SELECT doc_id, CAST(rank_bm25 AS INTEGER) AS rank_bm25,
+             |  CAST(rank_bool AS INTEGER) AS rank_bool,
+             |  ROUND(rrf, 6) AS rrf
+             |FROM fu ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin)),
 
     // ---- two-stage ANN: int8 coarse scan → exact float rerank --------
     // The production serving shape for quantized indexes (faiss
