@@ -708,6 +708,46 @@ object Battery {
              |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS max_price
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- blocked fuzzy matching (entity resolution) --------------------
+    // The data-cleaning twin of MinHash dedup for SHORT strings: find
+    // name pairs within edit distance 1, blocked by a 16-char prefix so
+    // the pair join is per-block (≤100 names/block here), never global
+    // N² — the standard blocking/verify shape of entity resolution,
+    // trading recall at block boundaries for scale exactly like LSH
+    // banding. levenshtein is the same integer DP in both engines; the
+    // declared semantics INCLUDE the block, so the oracle computes the
+    // identical bounded pair set. Within a block only same-decade id
+    // pairs land at distance ≤ 1, so the verify step separates real
+    // matches from the blocked candidates (n_close < n_pairs).
+    QueryDef("q_fuzzy_match",
+      (s, dir) => {
+        val c = rd(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("nm"),
+            substring(col("c_name"), 1, 16).as("blk"))
+        val a = c.select(col("blk"), col("id").as("a_id"), col("nm").as("a_nm"))
+        val b = c.select(col("blk"), col("id").as("b_id"), col("nm").as("b_nm"))
+        a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+          .withColumn("dist", levenshtein(col("a_nm"), col("b_nm")))
+          .groupBy("blk")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("dist") <= 1, 1L).otherwise(0L)).as("n_close"),
+            coalesce(min(when(col("dist") <= 1, col("a_id"))), lit(-1L))
+              .as("first_close_a"))
+          .orderBy("blk")
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+             |             substring(c_name, 1, 16) AS blk
+             |           FROM customer),
+             |p AS (SELECT a.blk, a.id AS a_id,
+             |        levenshtein(a.nm, b.nm) AS dist
+             |      FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id)
+             |SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             |  CAST(SUM(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_close,
+             |  CAST(COALESCE(MIN(CASE WHEN dist <= 1 THEN a_id END), -1)
+             |       AS BIGINT) AS first_close_a
+             |FROM p GROUP BY blk ORDER BY blk""".stripMargin)),
+
     // ---- MapType end-to-end (construct → extract → fold) ---------------
     // The one column-type family the rest of the gate doesn't carry: a
     // real MapType column built per user (event_type → count via
