@@ -35,6 +35,16 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("kernel compiles under CODEGEN_ONLY (no silent fallback)") {
+    MinHashSig.register(spark)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.sql(
+        "SELECT minhash_sig(array(1L, 2L, 3L)) AS s").head.getSeq[Long](0)
+      assert(r.length == 32)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("non-long input is rejected at analysis") {
     MinHashSig.register(spark)
     val ex = intercept[Exception] {

@@ -139,4 +139,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
     // the zero vector must hit the 0.0 guard, not NaN
     assert(r.last.getDouble(0) == 0.0)
   }
+
+  test("vector kernels compile under CODEGEN_ONLY (no silent fallback)") {
+    // a doGenCode bug would otherwise silently drop the whole stage to
+    // the interpreted path and only show up as a perf regression
+    VectorFunctions.register(spark)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = emb.limit(8)
+        .select(
+          VectorFunctions.vecDot(col("embedding"), col("embedding")).as("d"),
+          VectorFunctions.vecCosine(col("embedding"), col("embedding")).as("c"),
+          VectorFunctions.int8CoarseCos(col("embedding"),
+            expr("transform(embedding, x -> 1L)"), lit(64L)).as("q"))
+        .collect()
+      assert(r.length == 8 && r.forall(!_.anyNull))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
 }
