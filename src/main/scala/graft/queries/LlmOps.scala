@@ -127,20 +127,27 @@ object LlmOps {
    * decimal(18,6) so cross-term sums are exact (see q_bm25's
    * determinism note). Returns (doc_id, dl, term, tf, tscore). */
   private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
-    val docs = rd(s, dir, "documents")
+    // ONE pass over the text: the corpus reduces to a compact
+    // (doc_id, dl, ≤5 tf entries) projection — ~20 bytes/doc, no text —
+    // and stats/tf/df all derive from that cached table. Without this,
+    // each derivation (and each ranker branch in q_rrf_fusion) re-scans
+    // and re-tokenizes the corpus: 6 parquet scans of `documents` in
+    // the uncached plan vs 1 here.
+    val base = rd(s, dir, "documents")
       .withColumn("toks", toks(col("text")))
       .withColumn("dl", size(col("toks")).cast("long"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
-    val tf = docs
       .withColumn("qterms",
         array(Seq("spark", "query", "window", "hash", "stream").map(lit): _*))
-      .select(col("doc_id"), col("dl"), explode(expr(
+      .select(col("doc_id"), col("dl"), expr(
         """filter(transform(qterms,
           |         t -> struct(t AS term,
           |                     CAST(size(filter(toks, x -> x = t)) AS BIGINT)
           |                       AS tf)),
-          |       p -> p.tf > 0)""".stripMargin)).as("p"))
+          |       p -> p.tf > 0)""".stripMargin).as("tfs"))
+      .cache()
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("tfs")).as("p"))
       .select(col("doc_id"), col("dl"),
         col("p.term").as("term"), col("p.tf").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

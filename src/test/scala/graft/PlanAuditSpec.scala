@@ -133,16 +133,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q_bm25 keeps tf map-side: pruned scan, no shuffled join") {
+  test("q_bm25 keeps tf map-side: compact cached projection, no shuffled join") {
     val p = plan("q_bm25")
     // per-term tf comes from filtering the 5-term array against the
     // token array inside the row — the corpus-wide token explode must
     // not exist, and df/stats join in by broadcast, never a shuffle
     assert(!p.toString.contains("SortMergeJoin"),
       s"corpus-side shuffled join in bm25:\n$p")
-    val s = scanOf(p, "documents")
-    assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
-      s.requiredSchema.fieldNames.mkString(","))
+    // the corpus is read once into the cached (doc_id, dl, tfs)
+    // projection — the TEXT must not be cached, only the ~20-byte/doc
+    // reduction every downstream derivation shares
+    val mem = p.collectFirst {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }.getOrElse(fail(s"no cached projection in:\n$p"))
+    val cached = mem.output.map(_.name).toSet
+    assert(cached == Set("doc_id", "dl", "tfs"), cached.mkString(","))
   }
 
   test("q_seg_dedup's first-occurrence shuffle carries digests, not text") {
