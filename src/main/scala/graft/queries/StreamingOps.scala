@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Q._
 
 /**
@@ -398,6 +399,56 @@ object StreamingOps {
              |        <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
              |GROUP BY window_start, event_type
              |ORDER BY window_start, event_type""".stripMargin)),
+
+    // ---- streaming heavy hitters (SpaceSaving in a windowed agg) -------
+    // The streaming top-talkers shape: the mergeable SpaceSaving
+    // aggregator (graft.functions.HeavyHittersAgg) runs INSIDE a
+    // watermarked tumbling aggregation — constant-size state per open
+    // window where exact per-user counts would hold the full key set,
+    // the same argument as s_approx_users' HLL. Append mode + file
+    // sink; the per-window top-3 is batch post-processing of the
+    // emitted sketches. The gate runs the exact regime (capacity 2048 ≥
+    // per-window distinct users ⇒ floor 0 ⇒ every estimate exact,
+    // order- and merge-tree-independent), so the DuckDB oracle computes
+    // the identical ranking from plain counts; ranks compare the user
+    // id AS A NUMBER on both sides (the sketch keys are strings — a
+    // string tie-order would diverge from the oracle's integers).
+    QueryDef("s_heavy_hitters",
+      (s, dir) => {
+        val agg = streamEvents(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(graft.functions.HeavyHittersAgg.heavyHitters(2048)(
+            col("user_id").cast("string")).as("hh"))
+        val w = Window.partitionBy("window_start")
+          .orderBy(col("n_events").desc, col("user_id"))
+        runToFileSink(s, agg, "s_heavy_hitters")
+          .select(col("window.start").as("window_start"),
+            explode(col("hh")).as(Seq("uid", "n_events")))
+          .select(col("window_start"), col("uid").cast("long").as("user_id"),
+            col("n_events"))
+          .withColumn("rk", row_number().over(w).cast("int"))
+          .filter(col("rk") <= 3)
+          .orderBy("window_start", "rk")
+      },
+      Some("""WITH w AS (SELECT DATE_TRUNC('hour', ts) AS window_start,
+             |             user_id
+             |           FROM events),
+             |c AS (SELECT window_start, user_id,
+             |        CAST(COUNT(*) AS BIGINT) AS n_events
+             |      FROM w
+             |      WHERE window_start + INTERVAL '1 hour'
+             |              <= (SELECT MAX(ts) - INTERVAL '10 minutes'
+             |                  FROM events)
+             |      GROUP BY 1, 2),
+             |r AS (SELECT window_start, user_id, n_events,
+             |        ROW_NUMBER() OVER (PARTITION BY window_start
+             |          ORDER BY n_events DESC, user_id) AS rk
+             |      FROM c)
+             |SELECT window_start, user_id, n_events,
+             |  CAST(rk AS INTEGER) AS rk
+             |FROM r WHERE rk <= 3
+             |ORDER BY window_start, rk""".stripMargin)),
 
     // ---- streaming incremental near-dup dedup (ingest-time) -----------
     // q_incr_dedup's ingestion shape made ONLINE: fresh documents arrive
