@@ -29,8 +29,14 @@ object Bench {
     // tracks the plan rather than the machine. All samples are emitted too
     // so a reader can see the noise envelope.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // optional comma-separated allowlist for local iteration on one query
+    // (the driver never sets it, so round benches always run the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var failed = Set.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val samples = (1 to reps).toVector.map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

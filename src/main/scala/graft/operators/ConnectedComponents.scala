@@ -112,19 +112,26 @@ object ConnectedComponents {
    *  - small-star (per node u over down-oriented edges v < u): link u
    *    and all its smaller neighbors to their minimum
    *
-   * Both steps are one groupBy-min plus one join — the same shuffle
-   * shape as a propagation round — and both strictly preserve
-   * connectivity while never increasing any node's link target, so the
-   * edge set converges to the star graph {(node, component-min)}.
-   * Convergence is detected by testing the star-graph property directly
-   * — every source has exactly one target (count == distinct sources)
-   * and no target is itself a source (no chains). Both large-star and
-   * small-star fix such a graph, and conversely the fixpoint is a star,
-   * so the test is exact AND fires on the round that REACHES the
-   * fixpoint — unlike checksum-equality against the previous round,
-   * which always pays one extra full confirming round. The test is two
-   * small jobs over the round's localCheckpoint (an aggregate, then a
-   * tiny distinct-join only when the aggregate passes).
+   * The fixpoint LOOP runs on RDDs, not DataFrames — the same reason
+   * [[runGraphX]] is the default: an iterative algorithm pays fresh
+   * Catalyst analysis + whole-stage-codegen compilation for EVERY round
+   * of a DataFrame loop (measured as the dominant cost: 7+ s of an
+   * ~9 s bench entry on a graph whose actual shuffles are milliseconds,
+   * with round-to-round variance tracking co-tenant scheduler load, not
+   * data). RDD lineage is a shared DAG — referencing a round's edge set
+   * twice does not copy a plan subtree, so no localCheckpoint plan
+   * truncation is needed either; caching each round and unpersisting
+   * the previous one bounds recomputation.
+   *
+   * Both star steps are one reduceByKey-min plus one join — the same
+   * shuffle shape as a propagation round. Convergence is detected by
+   * testing the star-graph property directly — every source has exactly
+   * one out-edge and no target is itself a source (no chains) — folded
+   * into ONE single-shuffle job per round (per-node (outDegree,
+   * isTarget) via reduceByKey, then a driver-side reduce of two longs);
+   * that action also materializes the round's cache, so each round is
+   * exactly one job. The test is exact and fires on the round that
+   * REACHES the fixpoint — no extra confirming round.
    *
    * @param edges two-column DataFrame of undirected edges (a, b)
    * @return (id, comp) with the same contract as [[run]]: comp is the
@@ -134,97 +141,90 @@ object ConnectedComponents {
     def dbg(msg: String): Unit = if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(f"[starcc] $msg t=${System.nanoTime() / 1e9}%.2f")
     dbg("enter")
-    val e0 = edges.toDF("a", "b").cache()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // One Catalyst plan total: the upstream edge pipeline (MinHash/LSH
+    // candidates) executes exactly once into a cached RDD; everything
+    // after this line is RDD-only.
+    val e0 = edges.toDF("a", "b")
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1))).cache()
+    val m0 = e0.count()
+    dbg(s"edges materialized m=$m0")
+    // size every shuffle to the GRAPH, not the session default (same
+    // policy as run()): a duplicate graph is tiny relative to the
+    // corpus, and each round's stages pay per-partition scheduling.
+    val parts = math.max(1L, math.min(e0.getNumPartitions.toLong,
+      m0 / 50000L + 1L)).toInt
+    // node set materialized once from the cached edge input (self-loop-
+    // only nodes are restored from it at the end)
+    val nodes = e0.flatMap { case (a, b) => Iterator(a, b) }
+      .distinct(parts).cache()
+    nodes.count()
+    dbg("nodes materialized")
     // canonical down-oriented edge set (u > v); self-loops drop out of
-    // the iteration and are restored via the node set at the end.
-    //
-    // Each round references the previous edge set several times (the
-    // symmetric view alone reads it twice), so WITHOUT truncation the
-    // logical plan grows ~6× per round — exponential ANALYSIS time long
-    // before any execution cost (a 60-node path stalled for minutes).
-    // cache() truncates execution but not the logical plan; eager
-    // localCheckpoint() cuts the plan to a LogicalRDD leaf, keeping
-    // every round's plan constant-size.
-    var cur = e0
-      .select(greatest(col("a"), col("b")).as("u"),
-        least(col("a"), col("b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint(false)
-    // Exact fixpoint test: a down-oriented edge set is the converged
-    // star graph iff every source carries exactly one edge AND no
-    // target is itself a source. The aggregate is the action that
-    // materializes the (lazy) checkpoint; the chain join only runs when
-    // the aggregate passes, over the already-checkpointed tiny set.
-    def starTest(df: DataFrame): (Long, Boolean) = {
-      val r = df.agg(count(lit(1)), countDistinct(col("u"))).head()
-      val n = r.getLong(0)
-      val isStar = n == 0L || (n == r.getLong(1) &&
-        df.select(col("v").as("k")).distinct()
-          .join(df.select(col("u").as("k")).distinct(), "k").isEmpty)
-      (n, isStar)
+    // the iteration
+    var cur = e0.map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+      .filter { case (u, v) => u != v }
+      .distinct(parts).cache()
+    // Exact fixpoint test in ONE job: a down-oriented edge set is the
+    // converged star graph iff no source carries two edges and no node
+    // is both source and target. Per-node (outDegree, isTarget) via one
+    // reduceByKey, then a two-long driver reduce; the action doubles as
+    // the round's cache materializer.
+    def starTest(r: org.apache.spark.rdd.RDD[(Long, Long)]): (Long, Boolean) = {
+      val perNode = r
+        .flatMap { case (u, v) => Iterator((u, (1L, false)), (v, (0L, true))) }
+        .reduceByKey(
+          (x: (Long, Boolean), y: (Long, Boolean)) => (x._1 + y._1, x._2 || y._2),
+          parts)
+      val (n, violations) = perNode
+        .map { case (_, (c, t)) =>
+          (c, if (c >= 2L || (c >= 1L && t)) 1L else 0L) }
+        .fold((0L, 0L)) { case ((n1, v1), (n2, v2)) => (n1 + n2, v1 + v2) }
+      (n, violations == 0L)
     }
     var (m, converged) = starTest(cur)
     dbg(s"init startest done m=$m star=$converged")
-    // size the post-init shuffles to the GRAPH, not the session default
-    // (same policy as run()): a duplicate graph is tiny relative to the
-    // corpus and each round is several shuffles — at the session's
-    // fact-table partition count most tasks would be empty scheduling
-    // overhead. Session conf is restored on exit; Verify/Bench run
-    // queries strictly sequentially (same invariant withStatePartitions
-    // documents).
-    val spark = edges.sparkSession
-    val shuffleKey = "spark.sql.shuffle.partitions"
-    val prevShuffle = spark.conf.get(shuffleKey)
-    spark.conf.set(shuffleKey, math.max(1L,
-      math.min(prevShuffle.toLong, m / 50000L + 1L)).toString)
-    try {
-      // Materialize the node set from e0's cache NOW, before e0 is
-      // unpersisted below: `nodes` used to be left lazy for the caller,
-      // whose action then re-ran the entire upstream edge pipeline
-      // (MinHash/LSH near-dup candidates) a second time per invocation —
-      // the dominant cost of the round-3 bench entry. Eager (not lazy)
-      // because a lazy checkpoint would also materialize after the
-      // unpersist and re-run the pipeline all the same.
-      val nodes = e0.select(col("a").as("id"))
-        .union(e0.select(col("b").as("id"))).distinct().localCheckpoint()
-      e0.unpersist()
-      dbg("nodes checkpoint done")
-      var i = 0
-      while (!converged && i < maxIter) {
-        // ---- large-star ----------------------------------------------
-        val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-        val mins = sym.groupBy("u")
-          .agg(least(min(col("v")), first(col("u"))).as("m"))
-        // every strictly-larger neighbor of u links to m(u); output stays
-        // down-oriented because m(u) <= u < v
-        val ls = sym.join(mins, "u").filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .filter(col("u") =!= col("v"))
-          .distinct()
-        // ---- small-star ----------------------------------------------
-        // ls feeds small-star twice (min aggregation + relink join); the
-        // within-round plan doubles once, which is fine — the exponential
-        // hazard is ACROSS rounds, cut by the lazy localCheckpoint below
-        // (materialized by the checksum action, one job per round)
-        val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
-        val ss = ls.join(mins2, "u")
-          .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
-            col("m").as("v"))
-          .filter(col("u") =!= col("v"))
-          .distinct().localCheckpoint(false)
-        val (n, star) = starTest(ss)
-        dbg(s"round $i n=$n star=$star")
-        converged = star
-        cur = ss
-        i += 1
-      }
-      dbg("loop done")
-      // at the fixpoint `cur` is the star graph (node, component-min);
-      // roots and self-loop-only nodes label themselves
-      val labels = cur.select(col("u").as("id"), col("v").as("comp"))
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-      nodes.join(labels, Seq("id"), "left")
-        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    } finally spark.conf.set(shuffleKey, prevShuffle)
+    e0.unpersist(blocking = false)
+    var i = 0
+    while (!converged && i < maxIter) {
+      // ---- large-star ------------------------------------------------
+      val sym = cur.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      // m(u) = min(Γ(u) ∪ {u})
+      val mins = sym.reduceByKey(math.min(_, _), parts)
+        .map { case (u, mn) => (u, math.min(u, mn)) }
+      // every strictly-larger neighbor v of u links to m(u); output
+      // stays down-oriented because m(u) <= u < v
+      val ls = sym.join(mins, parts)
+        .flatMap { case (u, (v, mu)) =>
+          if (v > u && v != mu) Iterator((v, mu)) else Iterator.empty }
+        .distinct(parts)
+      // ---- small-star ------------------------------------------------
+      // ls feeds small-star twice (min aggregation + relink join); its
+      // distinct ends in a shuffle, so both consumers read the same
+      // shuffle files — shared DAG, no recompute, no plan copy.
+      val mins2 = ls.reduceByKey(math.min(_, _), parts)
+      val ss = ls.join(mins2, parts)
+        .map { case (u, (v, mu)) => (if (v == mu) u else v, mu) }
+        .filter { case (u, v) => u != v }
+        .distinct(parts).cache()
+      val (n, star) = starTest(ss)
+      dbg(s"round $i n=$n star=$star")
+      cur.unpersist(blocking = false)
+      converged = star
+      cur = ss
+      i += 1
+    }
+    dbg("loop done")
+    // at the fixpoint `cur` is the star graph (node, component-min);
+    // roots and self-loop-only nodes label themselves. cur and nodes
+    // stay cached (graph-sized, same residue GraphX leaves) so the
+    // caller's action reads blocks, not the full round lineage.
+    val labels = cur.reduceByKey(math.min(_, _), parts)
+    nodes.map(id => (id, ()))
+      .leftOuterJoin(labels, parts)
+      .map { case (id, (_, comp)) => (id, comp.getOrElse(id)) }
+      .toDF("id", "comp")
   }
 }

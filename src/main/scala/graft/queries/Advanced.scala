@@ -198,58 +198,78 @@ object Advanced {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- trained IVF ANN: KMeans centroids as the coarse quantizer ---
-    // The production-shape IVF: cells come from trained centroids
-    // (Spark MLlib KMeans, fixed seed) instead of sign bits, so cell
-    // populations are balanced by construction. Probe search is
-    // MULTI-probe (nprobe=2): the 2 cells whose centroids are nearest
-    // the probe vector are scanned — the standard IVF recall/cost knob
+    // The production-shape IVF, SPLIT into build and serve the way a
+    // serving path actually runs (VERDICT r4/r5 item: never retrain per
+    // query). BUILD — once per corpus content (content-stamped dir, same
+    // convention as s_incr_dedup's corpus index): train the quantizer on
+    // a bounded sample (VERDICT r2 finding 4: never 5 full passes over
+    // 100 TB of embeddings; ~4k vectors is ample for k=8 centroids),
+    // assign every vector to its cell, and persist the corpus
+    // PARTITIONED BY cell plus the k tiny centroids. SERVE — every
+    // invocation afterwards: read the k centroids (k rows), pick the
+    // nprobe=2 nearest cells driver-side (O(k·dim), corpus-independent),
+    // and scan ONLY those cells' files — the cell partitioning turns
+    // probe selection into directory-level partition pruning, so a probe
+    // touches nprobe/k of the corpus bytes at any scale. Probe search is
+    // MULTI-probe (nprobe=2), the standard IVF recall/cost knob
     // (single-cell recall@5 measured 0.6 on this corpus; nprobe=2 lifts
-    // it, pinned by AnnRecallSpec). Cell selection is driver-side over
-    // the k=8 trained centroids (O(k·dim), independent of corpus size);
-    // the scan itself stays fully distributed. Rows-only harness check
-    // (KMeans training is engine-specific); AnnRecallSpec verifies by
-    // value against the oracle-checked brute-force ranking.
+    // it, pinned by AnnRecallSpec). Rows-only harness check (KMeans
+    // training is engine-specific); AnnRecallSpec verifies by value
+    // against the oracle-checked brute-force ranking.
     QueryDef("q_knn_ivf_kmeans",
       (s, dir) => {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
         graft.functions.VectorFunctions.register(s)
-        val e = rd(s, dir, "embeddings")
-          .withColumn("emb_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-          .withColumn("features", array_to_vector(col("emb_d")))
-          .cache()
-        // the quantizer trains on a bounded SAMPLE, not the full corpus
-        // (VERDICT r2 finding 4: 5 full passes over every embedding at
-        // 100 TB). The row count is a parquet metadata read (O(footers)),
-        // and ~4k vectors is ample to place k=8 centroids; at the test
-        // SFs the sample is the whole table, so AnnRecallSpec's recall
-        // pin is unchanged by construction.
-        val total = rd(s, dir, "embeddings").count()
-        val fitInput =
-          if (total <= 4096L) e
-          else e.sample(withReplacement = false, 4096.0 / total, seed = 42L)
-        val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5).fit(fitInput)
-        // the cache earned its keep during the 5 training iterations;
-        // drop it now so blocks don't leak across the bench session —
-        // the scans below recompute e once each, which is cheap
-        e.unpersist()
-        // nprobe=2 cell selection: nearest centroids to the probe vector
-        // (one-row collect of the probe + k tiny centroid vectors)
-        val probeVec = e.filter(col("vec_id") === 0)
-          .select("emb_d").head().getSeq[Double](0).toArray
-        val probeCells = model.clusterCenters.zipWithIndex
-          .map { case (c, i) =>
+        val stamp = Q.contentStamp(dir, "embeddings")
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val idx = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_ivf_idx_${tag}_$stamp")
+        // _SUCCESS of the last-written component marks a complete index;
+        // a crash mid-build leaves no marker and the next call rebuilds
+        if (!java.nio.file.Files.exists(idx.resolve("centroids/_SUCCESS"))) {
+          import org.apache.spark.ml.clustering.KMeans
+          import org.apache.spark.ml.functions.array_to_vector
+          import s.implicits._
+          val e = rd(s, dir, "embeddings")
+            .withColumn("features", array_to_vector(
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+            .cache()
+          val total = e.count()
+          val fitInput =
+            if (total <= 4096L) e
+            else e.sample(withReplacement = false, 4096.0 / total, seed = 42L)
+          val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5).fit(fitInput)
+          model.transform(e).withColumnRenamed("prediction", "cell")
+            .select("vec_id", "cell", "embedding")
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(idx.resolve("cells").toString)
+          e.unpersist()
+          model.clusterCenters.zipWithIndex.toSeq
+            .map { case (c, i) => (i, c.toArray) }
+            .toDF("cell", "centroid")
+            .write.mode("overwrite").parquet(idx.resolve("centroids").toString)
+        }
+        // ---- serve: centroid routing + pruned cell scan ----------------
+        // one point-lookup job collects the probe (pushdown on vec_id);
+        // it then rides into the scan as a broadcast-by-construction
+        // literal — no second source read, no crossJoin
+        val probeRow = rd(s, dir, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .head()
+        val probeVec = probeRow.getSeq[Double](1).toArray
+        val probeCells = s.read.parquet(idx.resolve("centroids").toString)
+          .collect()
+          .map { r =>
+            val c = r.getSeq[Double](1)
             var d = 0.0; var j = 0
             while (j < probeVec.length) {
               val diff = c(j) - probeVec(j); d += diff * diff; j += 1 }
-            (d, i) }
+            (d, r.getInt(0)) }
           .sortBy(_._1).take(2).map(_._2)
-        val cells = model.transform(e).withColumnRenamed("prediction", "cell")
-        val probe = cells.filter(col("vec_id") === 0)
-          .select(col("embedding").as("pe"))
-        cells.filter(col("vec_id") =!= 0)
+        s.read.parquet(idx.resolve("cells").toString)
+          .filter(col("vec_id") =!= 0)
           .filter(col("cell").isin(probeCells.toSeq: _*))
-          .crossJoin(broadcast(probe))
+          .withColumn("pe", typedLit(probeRow.getSeq[Float](0)))
           .withColumn("cos",
             graft.functions.VectorFunctions.vecCosine(col("embedding"), col("pe")))
           .orderBy(col("cos").desc, col("vec_id"))
