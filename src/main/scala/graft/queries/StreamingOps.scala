@@ -49,13 +49,32 @@ object StreamingOps {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Temp root for streaming checkpoints and file-sink output: tmpfs
+   * (/dev/shm) when present, else java.io.tmpdir. The offset/commit
+   * metadata logs fsync once per microbatch and the state store
+   * checkpoints per partition per batch — on a disk-backed /tmp those
+   * synchronous writes are the bulk of each bounded query's fixed
+   * bring-up cost, pure harness overhead that a long-running production
+   * stream amortizes over hours but a bounded gate query pays in full. */
+  private def streamTmpDir(name: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(root, s"graft_$name")
+  }
+
   /** Run a (bounded) streaming aggregation to completion into a memory
    * sink and hand back the result table. */
   private def runToBatch(s: SparkSession, agg: DataFrame, name: String,
                          mode: String = "complete"): DataFrame =
     withStatePartitions(s, 8) {
       val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.outputMode(mode).format("memory").queryName(qn).start()
+      val q = agg.writeStream.outputMode(mode).format("memory").queryName(qn)
+        .option("checkpointLocation",
+          streamTmpDir(name).resolve("chk").toString)
+        .start()
       try q.processAllAvailable() finally q.stop()
       s.table(qn)
     }
@@ -72,7 +91,7 @@ object StreamingOps {
   private[queries] def runToFileSink(s: SparkSession, agg: DataFrame,
                                      name: String): DataFrame =
     withStatePartitions(s, 8) {
-      val base = java.nio.file.Files.createTempDirectory(s"graft_$name")
+      val base = streamTmpDir(name)
       val out = base.resolve("out").toString
       val chk = base.resolve("chk").toString
       val q = agg.writeStream.outputMode("append").format("parquet")
