@@ -7,7 +7,9 @@ import org.apache.spark.sql.{Dataset, SparkSession}
  * decode/feature stages touch the bytes, partition-local. */
 final case class MediaItem(doc_id: Long, kind: String, payload: Array[Byte])
 
-/** Decoded metadata row (schema fixed so downstream SQL can run on it). */
+/** Decoded metadata row (schema fixed so downstream SQL can run on it).
+ * width/height carry (sampleRate, channels) for audio; n_frames is 1
+ * for stills and the sample count for audio. */
 final case class MediaMeta(doc_id: Long, kind: String, byte_len: Int,
                            width: Int, height: Int, n_frames: Int,
                            checksum: Long)
@@ -17,42 +19,80 @@ final case class MediaMeta(doc_id: Long, kind: String, byte_len: Int,
  * requirement): images/audio/video ride as `binary` columns; decode /
  * feature-extraction runs partition-local over typed Datasets via
  * `mapPartitions` — the Scala analog of `mapInPandas` batch UDFs: one
- * iterator per partition, so a real decoder could amortize native-lib
- * init per batch exactly like an Arrow batch UDF would.
+ * iterator per partition, so a decoder can amortize per-batch init
+ * exactly like an Arrow batch UDF would.
  *
- * ==== STUB NOTICE ====
- * The actual image/audio decode libraries are NOT in this container, so
- * [[MediaPipeline.decodeStub]] is a clearly-marked deterministic fake
- * (pure arithmetic over the payload bytes). Everything around it —
- * schema, encoders, partition-local batching, frame sampling,
- * aggregation — is real and tested; swapping in a real decoder changes
- * only the stub body.
+ * The payloads are REAL format bytes — BMP stills, PCM16 WAV audio,
+ * YUV4MPEG2 video — synthesized deterministically per document (this
+ * environment has no media corpus, so the fixture generator stands in
+ * for the ingest source) and decoded by [[MediaCodec]]'s real parsers.
+ * The verification loop is NOT circular: the DuckDB oracle recomputes
+ * the expected decoded dimensions, frame counts, byte lengths, and
+ * content checksums from the same doc_id arithmetic, so a decoder that
+ * misreads padding, row direction, chunk layout, or frame markers
+ * produces checksums the oracle rejects.
  */
 object MediaPipeline {
 
-  /** STUB: deterministic fake "decode" — width/height/frames/checksum
-   * derived from the bytes. Replace with a real decoder when the native
-   * libs exist; the signature is the contract. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Long) = {
-    var checksum = 0L
-    var i = 0
-    while (i < payload.length) { checksum = checksum * 131 + (payload(i) & 0xff); i += 1 }
-    checksum = checksum & Long.MaxValue
-    val width = 64 + (checksum % 1216).toInt   // fake 64..1279 px
-    val height = 64 + ((checksum >> 16) % 656).toInt
-    val frames = 1 + ((checksum >> 32) % 240).toInt
-    (width, height, frames, checksum)
+  /** Deterministic REAL-format payload for a document id: en/es docs
+   * carry a BMP still, de/fr a WAV clip, the rest a Y4M video. All
+   * generation parameters are small closed-form functions of doc_id so
+   * the SQL oracle can derive the expected decode output exactly. */
+  def synthesize(docId: Long, kind: String): Array[Byte] = kind match {
+    case "image" =>
+      val w = (4 + docId % 6).toInt
+      val h = (4 + docId % 5).toInt
+      val raster = Array.tabulate(3 * w * h)(i => ((docId * 131 + i * 7) % 256).toByte)
+      MediaCodec.encodeBmp(w, h, raster)
+    case "audio" =>
+      val n = (16 + docId % 48).toInt
+      val samples = Array.tabulate(n)(i => ((docId * 37 + i * 11) % 65536).toShort)
+      MediaCodec.encodeWavPcm16(8000, samples)
+    case _ =>
+      val w = (4 + 2 * (docId % 3)).toInt
+      val h = (4 + 2 * (docId % 2)).toInt
+      val f = (1 + docId % 5).toInt
+      val m = w * h * 3 / 2
+      val frames = Array.tabulate(f)(fi =>
+        Array.tabulate(m)(j => ((docId * 17 + (fi * m + j) * 5) % 256).toByte))
+      MediaCodec.encodeY4m(w, h, frames)
+  }
+
+  /** Content checksum fold (cs·131 + value, mod 2⁶⁴ via Long wrap) —
+   * continued across calls so multi-frame payloads fold into one value;
+   * callers clamp the final fold with `& Long.MaxValue`. */
+  private def csFold(acc: Long, values: Array[Byte]): Long = {
+    var cs = acc; var i = 0
+    while (i < values.length) { cs = cs * 131 + (values(i) & 0xff); i += 1 }
+    cs
   }
 
   /** Partition-local decode: iterator-in/iterator-out, the batch shape a
-   * native decoder needs (per-partition init, streaming through rows). */
+   * production decoder needs (per-partition init, streaming through
+   * rows). Each payload is parsed by the real [[MediaCodec]] decoder
+   * for its kind; the checksum covers the DECODED content (pixels,
+   * samples, plane bytes), not the container bytes. */
   def decode(items: Dataset[MediaItem]): Dataset[MediaMeta] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
-      // real decoder would init native handles here, once per partition
       it.map { m =>
-        val (w, h, f, sum) = decodeStub(m.payload)
-        MediaMeta(m.doc_id, m.kind, m.payload.length, w, h, f, sum)
+        m.kind match {
+          case "image" =>
+            val (w, h, raster) = MediaCodec.decodeBmp(m.payload)
+            MediaMeta(m.doc_id, m.kind, m.payload.length, w, h, 1,
+              csFold(0L, raster) & Long.MaxValue)
+          case "audio" =>
+            val (rate, channels, samples) = MediaCodec.decodeWavPcm16(m.payload)
+            var cs = 0L; var i = 0
+            while (i < samples.length) { cs = cs * 131 + (samples(i) & 0xffff); i += 1 }
+            MediaMeta(m.doc_id, m.kind, m.payload.length, rate, channels,
+              samples.length, cs & Long.MaxValue)
+          case _ =>
+            val (w, h, frames) = MediaCodec.decodeY4m(m.payload)
+            val cs = frames.foldLeft(0L)(csFold)
+            MediaMeta(m.doc_id, m.kind, m.payload.length, w, h, frames.length,
+              cs & Long.MaxValue)
+        }
       }
     }
   }
@@ -64,16 +104,16 @@ object MediaPipeline {
     else if (nFrames <= k) 0 until nFrames
     else (0 until k).map(i => (i.toLong * nFrames / k).toInt)
 
-  /** documents table → MediaItem dataset (text bytes stand in for media
-   * payloads; kind derived from lang so the pipeline has a partition
-   * key a real corpus would have). */
+  /** documents table → MediaItem dataset: kind from lang (the partition
+   * key a real corpus would have), payload synthesized distributed,
+   * per-row — the generator is the stand-in ingest source. */
   def itemsFromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id",
         "CASE WHEN lang IN ('en','es') THEN 'image' " +
-          "WHEN lang IN ('de','fr') THEN 'audio' ELSE 'video' END AS kind",
-        "CAST(text AS BINARY) AS payload")
-      .as[MediaItem]
+          "WHEN lang IN ('de','fr') THEN 'audio' ELSE 'video' END AS kind")
+      .as[(Long, String)]
+      .map { case (id, kind) => MediaItem(id, kind, synthesize(id, kind)) }
   }
 }

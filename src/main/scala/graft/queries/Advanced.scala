@@ -279,13 +279,17 @@ object Advanced {
       None),
 
     // ---- multimodal decode pipeline (typed Dataset, mapPartitions) ---
-    // Exercises graft.multimodal end-to-end: binary payload column →
-    // partition-local stub decode → SQL aggregation over the decoded
-    // metadata. Oracle-checked since round 2: the stub's wrapping-64-bit
-    // polynomial checksum is replicated in DuckDB with HUGEINT mod-2^64
-    // arithmetic (payloads are ASCII text bytes, so ascii(char) == byte),
-    // which pins the whole decode → aggregate path by value, not just
-    // row count.
+    // Exercises graft.multimodal end-to-end: real-format payloads (BMP /
+    // WAV / Y4M, synthesized deterministically per doc_id) → partition-
+    // local REAL decode (MediaCodec parsers) → SQL aggregation over the
+    // decoded metadata. The oracle recomputes every decoded property —
+    // container byte length (incl. BMP row padding and RIFF/Y4M header
+    // framing), dimensions, frame/sample counts, and the mod-2^64
+    // polynomial checksum of the decoded CONTENT (pixels / samples /
+    // plane bytes) — from the same doc_id arithmetic in DuckDB HUGEINT,
+    // so a decoder that misreads padding, row direction, or chunk
+    // layout fails the value compare. cs_sum folds each doc's checksum
+    // mod 1000003 so the per-kind sum stays in BIGINT range exactly.
     QueryDef("q_media_pipeline",
       (s, dir) => {
         val meta = graft.multimodal.MediaPipeline
@@ -295,36 +299,64 @@ object Advanced {
           .agg(count(lit(1)).as("n_items"),
             sum(col("byte_len")).cast("long").as("total_bytes"),
             (sum(col("width")).cast("double") / count(lit(1))).as("avg_width"),
-            max(col("n_frames")).as("max_frames"))
+            max(col("n_frames")).as("max_frames"),
+            sum(col("checksum") % 1000003).cast("long").as("cs_sum"))
           .orderBy("kind")
       },
       Some("""WITH d AS (
-             |  SELECT CASE WHEN lang IN ('en','es') THEN 'image'
-             |              WHEN lang IN ('de','fr') THEN 'audio'
-             |              ELSE 'video' END AS kind,
-             |    octet_length(CAST(text AS BLOB)) AS byte_len,
-             |    list_reduce(list_prepend(0::HUGEINT,
-             |        list_transform(string_split(text, ''), c -> ascii(c)::HUGEINT)),
-             |      (acc, b) -> (acc * 131 + b) % 18446744073709551616::HUGEINT)
-             |      % 9223372036854775808 AS cs
+             |  SELECT doc_id,
+             |    CASE WHEN lang IN ('en','es') THEN 'image'
+             |         WHEN lang IN ('de','fr') THEN 'audio'
+             |         ELSE 'video' END AS kind
              |  FROM documents),
-             |m AS (SELECT kind, byte_len,
-             |        CAST(64 + (cs % 1216) AS BIGINT) AS width,
-             |        CAST(1 + ((cs // 4294967296) % 240) AS INTEGER) AS n_frames
-             |      FROM d)
+             |img AS (
+             |  SELECT kind, 4 + doc_id % 6 AS w, 1::BIGINT AS f,
+             |    54 + ((3*(4 + doc_id % 6) + 3) // 4) * 4 * (4 + doc_id % 5)
+             |      AS byte_len,
+             |    list_reduce(list_prepend(0::HUGEINT,
+             |        list_transform(range(0, 3*(4 + doc_id % 6)*(4 + doc_id % 5)),
+             |          i -> ((doc_id*131 + i*7) % 256)::HUGEINT)),
+             |      (acc, v) -> (acc * 131 + v) % 18446744073709551616::HUGEINT)
+             |      % 9223372036854775808 AS cs
+             |  FROM d WHERE kind = 'image'),
+             |aud AS (
+             |  SELECT kind, 8000 AS w, (16 + doc_id % 48)::BIGINT AS f,
+             |    44 + 2*(16 + doc_id % 48) AS byte_len,
+             |    list_reduce(list_prepend(0::HUGEINT,
+             |        list_transform(range(0, 16 + doc_id % 48),
+             |          i -> ((doc_id*37 + i*11) % 65536)::HUGEINT)),
+             |      (acc, v) -> (acc * 131 + v) % 18446744073709551616::HUGEINT)
+             |      % 9223372036854775808 AS cs
+             |  FROM d WHERE kind = 'audio'),
+             |vid AS (
+             |  SELECT kind, 4 + 2*(doc_id % 3) AS w, (1 + doc_id % 5)::BIGINT AS f,
+             |    35 + (1 + doc_id % 5)
+             |       * (6 + (4 + 2*(doc_id % 3)) * (4 + 2*(doc_id % 2)) * 3 // 2)
+             |      AS byte_len,
+             |    list_reduce(list_prepend(0::HUGEINT,
+             |        list_transform(range(0, (1 + doc_id % 5)
+             |            * ((4 + 2*(doc_id % 3)) * (4 + 2*(doc_id % 2)) * 3 // 2)),
+             |          j -> ((doc_id*17 + j*5) % 256)::HUGEINT)),
+             |      (acc, v) -> (acc * 131 + v) % 18446744073709551616::HUGEINT)
+             |      % 9223372036854775808 AS cs
+             |  FROM d WHERE kind = 'video'),
+             |m AS (SELECT * FROM img UNION ALL SELECT * FROM aud
+             |      UNION ALL SELECT * FROM vid)
              |SELECT kind, COUNT(*) AS n_items,
              |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
-             |  CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_width,
-             |  MAX(n_frames) AS max_frames
+             |  CAST(SUM(w) AS DOUBLE) / COUNT(*) AS avg_width,
+             |  CAST(MAX(f) AS INTEGER) AS max_frames,
+             |  CAST(SUM(cs % 1000003) AS BIGINT) AS cs_sum
              |FROM m GROUP BY kind ORDER BY kind""".stripMargin)),
 
     // ---- frame sampling over decoded media (typed flatMap) ------------
     // Exercises MediaPipeline.sampleFrames in a distributed typed
     // pipeline: decode → flatMap to (doc, frame) rows → aggregate.
-    // Oracle-checked end to end: n_frames comes from the checksum
-    // replica and the k-evenly-spaced sampling rule (floor(i·n/k),
-    // always including frame 0) is mirrored as a DuckDB list
-    // comprehension.
+    // Oracle-checked end to end: n_frames comes from the real decode
+    // (1 per BMP still, WAV sample count, Y4M FRAME count — each
+    // re-derived from doc_id arithmetic in the oracle) and the
+    // k-evenly-spaced sampling rule (floor(i·n/k), always including
+    // frame 0) is mirrored as a DuckDB list comprehension.
     QueryDef("q_media_frames",
       (s, dir) => {
         import s.implicits._
@@ -340,16 +372,15 @@ object Advanced {
           .orderBy("kind")
       },
       Some("""WITH d AS (
-             |  SELECT CASE WHEN lang IN ('en','es') THEN 'image'
-             |              WHEN lang IN ('de','fr') THEN 'audio'
-             |              ELSE 'video' END AS kind,
-             |    list_reduce(list_prepend(0::HUGEINT,
-             |        list_transform(string_split(text, ''), c -> ascii(c)::HUGEINT)),
-             |      (acc, b) -> (acc * 131 + b) % 18446744073709551616::HUGEINT)
-             |      % 9223372036854775808 AS cs
+             |  SELECT doc_id,
+             |    CASE WHEN lang IN ('en','es') THEN 'image'
+             |         WHEN lang IN ('de','fr') THEN 'audio'
+             |         ELSE 'video' END AS kind
              |  FROM documents),
              |m AS (SELECT kind,
-             |        CAST(1 + ((cs // 4294967296) % 240) AS BIGINT) AS n_frames
+             |        CAST(CASE kind WHEN 'image' THEN 1
+             |             WHEN 'audio' THEN 16 + doc_id % 48
+             |             ELSE 1 + doc_id % 5 END AS BIGINT) AS n_frames
              |      FROM d),
              |f AS (SELECT kind,
              |        unnest(CASE WHEN n_frames <= 4 THEN range(0, n_frames)

@@ -861,27 +861,44 @@ object LlmOps {
              |ORDER BY e.doc_id""".stripMargin)),
 
     // ---- multimodal metadata plumbing --------------------------------
-    // Media payloads are opaque binary columns; the decode step is a
-    // deterministic fake (the real image/audio libs are absent — see
-    // graft.multimodal), but the schema/partitioning/metadata path is
-    // real and oracle-checked.
+    // The opaque-binary surface of graft.multimodal: real BMP/WAV/Y4M
+    // payloads ride an untouched binary column; this query reads only
+    // container-level metadata (length + magic bytes) WITHOUT decoding —
+    // the "catalog scan" of a media lakehouse. The oracle re-derives the
+    // exact container byte length per format (incl. BMP row padding and
+    // per-frame Y4M framing) and the magic: RIFF/YUV4 are fixed
+    // signatures; a BMP's first 8 hex chars include the little-endian
+    // low file-size bytes, which the oracle reconstructs from byte_len.
     QueryDef("q_multimodal_meta",
       (s, dir) => {
-        rd(s, dir, "documents")
-          .withColumn("payload", col("text").cast("binary"))
-          .select(col("doc_id"),
+        graft.multimodal.MediaPipeline.itemsFromDocuments(s, dir).toDF()
+          .select(col("doc_id"), col("kind"),
             octet_length(col("payload")).cast("int").as("byte_len"),
-            (octet_length(col("payload")) % 640).cast("int").as("fake_width"),
-            ((col("n_chars") % 30) + 1).cast("int").as("fake_frames"),
             substring(hex(col("payload")), 1, 8).as("magic_hex"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id,
-             |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
-             |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS fake_width,
-             |  CAST((n_chars % 30) + 1 AS INTEGER) AS fake_frames,
-             |  upper(substring(hex(CAST(text AS BLOB)), 1, 8)) AS magic_hex
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN lang IN ('en','es') THEN 'image'
+             |         WHEN lang IN ('de','fr') THEN 'audio'
+             |         ELSE 'video' END AS kind
+             |  FROM documents),
+             |m AS (SELECT doc_id, kind,
+             |  CASE kind
+             |    WHEN 'image' THEN 54 + ((3*(4 + doc_id % 6) + 3) // 4) * 4
+             |                          * (4 + doc_id % 5)
+             |    WHEN 'audio' THEN 44 + 2*(16 + doc_id % 48)
+             |    ELSE 35 + (1 + doc_id % 5)
+             |       * (6 + (4 + 2*(doc_id % 3)) * (4 + 2*(doc_id % 2)) * 3 // 2)
+             |  END AS byte_len FROM d)
+             |SELECT doc_id, kind, CAST(byte_len AS INTEGER) AS byte_len,
+             |  CASE kind
+             |    WHEN 'image' THEN '424D' || lpad(hex(byte_len % 256), 2, '0')
+             |                          || lpad(hex((byte_len // 256) % 256), 2, '0')
+             |    WHEN 'audio' THEN '52494646'
+             |    ELSE '59555634'
+             |  END AS magic_hex
+             |FROM m ORDER BY doc_id""".stripMargin)),
 
     // ---- exact per-cluster centroids (the kmeans M-step shape) --------
     // Mean embedding per cluster label — centroid serving / quantizer

@@ -6,13 +6,23 @@ import graft.multimodal.MediaPipeline
 class MediaPipelineSpec extends AnyFunSuite {
   import SparkTestBase.{spark, sf}
 
-  test("stub decode is deterministic and metadata is plausible") {
-    val (w1, h1, f1, c1) = MediaPipeline.decodeStub("hello media".getBytes)
-    val (w2, h2, f2, c2) = MediaPipeline.decodeStub("hello media".getBytes)
-    assert((w1, h1, f1, c1) == (w2, h2, f2, c2))
-    assert(w1 >= 64 && h1 >= 64 && f1 >= 1 && c1 >= 0)
-    val (w3, _, _, c3) = MediaPipeline.decodeStub("other payload".getBytes)
-    assert(c3 != c1 || w3 != w1)
+  test("synthesized payloads are real-format bytes with derived params") {
+    val bmp = MediaPipeline.synthesize(7L, "image")
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val (w, h, raster) = graft.multimodal.MediaCodec.decodeBmp(bmp)
+    assert(w == 4 + 7 % 6 && h == 4 + 7 % 5 && raster.length == 3 * w * h)
+    val wav = MediaPipeline.synthesize(8L, "audio")
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val (rate, ch, samples) = graft.multimodal.MediaCodec.decodeWavPcm16(wav)
+    assert(rate == 8000 && ch == 1 && samples.length == 16 + 8 % 48)
+    val y4m = MediaPipeline.synthesize(9L, "video")
+    assert(new String(y4m.take(9), "US-ASCII") == "YUV4MPEG2")
+    val (vw, vh, frames) = graft.multimodal.MediaCodec.decodeY4m(y4m)
+    assert(vw == 4 + 2 * (9 % 3) && vh == 4 + 2 * (9 % 2) &&
+      frames.length == 1 + 9 % 5)
+    // deterministic: same id → same bytes
+    assert(MediaPipeline.synthesize(7L, "image")
+      .sameElements(MediaPipeline.synthesize(7L, "image")))
   }
 
   test("decode is partition-count invariant") {
