@@ -266,6 +266,58 @@ object SourceOps {
       Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
               |  ${dsumSql("o_totalprice")} AS sum_total
               |FROM orders GROUP BY o_orderstatus
-              |ORDER BY o_orderstatus""".stripMargin))
+              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- snapshot-versioned table: as-of + latest reads ----------------
+    // graft.sources.SnapshotStore's time-travel convention through the
+    // gate: three immutable versions of an orders projection are
+    // committed once per source content — v1 the base, v2 a delete pass
+    // (drop o_orderkey % 7 = 0), v3 an update pass over v2 (double
+    // o_totalprice where o_custkey % 5 = 0; exact in both engines —
+    // power-of-two scaling of a double). The query then time-travels:
+    // aggregate AS OF v2 and at latest (v3), side by side. The oracle
+    // recomputes both versions' content from the raw table, so the
+    // as-of read proves RESULT INVARIANCE — v2's numbers must still be
+    // v2's even though v3 exists. SnapshotReadSpec pins the listing
+    // property (an as-of scan's inputFiles all live under its one v=N
+    // directory) and write isolation (a new version never perturbs an
+    // open as-of read).
+    QueryDef("q_snapshot_asof",
+      (s, dir) => {
+        import graft.sources.SnapshotStore
+        val tbl = roundTripDir("snap", dir, "orders").toString
+        if (SnapshotStore.latestVersion(tbl).isEmpty) {
+          val base = rd(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+          SnapshotStore.writeVersion(base, tbl)
+          SnapshotStore.writeVersion(
+            base.filter(col("o_orderkey") % 7 =!= 0), tbl)
+          val v2 = SnapshotStore.readAsOf(s, tbl, 2)
+          SnapshotStore.writeVersion(
+            v2.withColumn("o_totalprice",
+              when(col("o_custkey") % 5 === 0, col("o_totalprice") * 2)
+                .otherwise(col("o_totalprice"))), tbl)
+        }
+        val asOf2 = SnapshotStore.readAsOf(s, tbl, 2)
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+          .select(lit("v2_asof").as("snapshot"), col("n_orders"), col("sum_total"))
+        val latest = SnapshotStore.readLatest(s, tbl)
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+          .select(lit("v3_latest").as("snapshot"), col("n_orders"), col("sum_total"))
+        asOf2.union(latest).orderBy("snapshot")
+      },
+      Some(s"""WITH v2 AS (SELECT o_orderkey, o_custkey, o_totalprice
+              |            FROM orders WHERE o_orderkey % 7 <> 0),
+              |v3 AS (SELECT o_orderkey, o_custkey,
+              |         CASE WHEN o_custkey % 5 = 0 THEN o_totalprice * 2
+              |              ELSE o_totalprice END AS o_totalprice
+              |       FROM v2)
+              |SELECT * FROM (
+              |  SELECT 'v2_asof' AS snapshot, COUNT(*) AS n_orders,
+              |    ${dsumSql("o_totalprice")} AS sum_total FROM v2
+              |  UNION ALL
+              |  SELECT 'v3_latest', COUNT(*), ${dsumSql("o_totalprice")}
+              |  FROM v3)
+              |ORDER BY snapshot""".stripMargin))
   )
 }
