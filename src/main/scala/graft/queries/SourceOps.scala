@@ -318,6 +318,72 @@ object SourceOps {
               |  UNION ALL
               |  SELECT 'v3_latest', COUNT(*), ${dsumSql("o_totalprice")}
               |  FROM v3)
-              |ORDER BY snapshot""".stripMargin))
+              |ORDER BY snapshot""".stripMargin)),
+
+    // ---- snapshot diff: CDC between two versions -----------------------
+    // The incremental-read surface over SnapshotStore: classify every
+    // key across two immutable versions as insert / update / delete /
+    // unchanged — what a downstream consumer reads instead of the full
+    // table. Its own version chain (v1 the base; v2 applies deletes,
+    // updates AND inserts in one commit, so all three change classes
+    // are non-vacuous) — deliberately NOT q_snapshot_asof's table, whose
+    // oracle pins "latest" = its v3. The diff is one full-outer equi-
+    // join on the key; update detection compares doubles both engines
+    // derive identically (power-of-two scaling). At 100 TB the same
+    // classification runs per partition-directory, and a manifest-
+    // carrying format would first prune to files that changed between
+    // the versions — the join shape is unchanged.
+    QueryDef("q_snapshot_diff",
+      (s, dir) => {
+        import graft.sources.SnapshotStore
+        val tbl = roundTripDir("snapdiff", dir, "orders").toString
+        if (SnapshotStore.latestVersion(tbl).isEmpty) {
+          val base = rd(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+          SnapshotStore.writeVersion(base, tbl)
+          val v1 = SnapshotStore.readAsOf(s, tbl, 1)
+          val survived = v1.filter(col("o_orderkey") % 7 =!= 0)
+            .withColumn("o_totalprice",
+              when(col("o_custkey") % 5 === 0, col("o_totalprice") * 2)
+                .otherwise(col("o_totalprice")))
+          val inserted = v1.filter(col("o_orderkey") % 11 === 0)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"))
+          SnapshotStore.writeVersion(survived.unionByName(inserted), tbl)
+        }
+        val a = SnapshotStore.readAsOf(s, tbl, 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+        val b = SnapshotStore.readAsOf(s, tbl, 2)
+          .select(col("o_orderkey"), col("o_totalprice").as("new_price"))
+        a.join(b, Seq("o_orderkey"), "full_outer")
+          .withColumn("change_type",
+            when(col("old_price").isNull, "insert")
+              .when(col("new_price").isNull, "delete")
+              .when(col("old_price") =!= col("new_price"), "update")
+              .otherwise("unchanged"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(coalesce(col("new_price"), col("old_price"))).as("sum_price"))
+          .orderBy("change_type")
+      },
+      Some(s"""WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+              |v2 AS (
+              |  SELECT o_orderkey,
+              |    CASE WHEN o_custkey % 5 = 0 THEN o_totalprice * 2
+              |         ELSE o_totalprice END AS o_totalprice
+              |  FROM orders WHERE o_orderkey % 7 <> 0
+              |  UNION ALL
+              |  SELECT o_orderkey + 100000000, o_totalprice
+              |  FROM orders WHERE o_orderkey % 11 = 0),
+              |d AS (SELECT a.o_totalprice AS oldp, b.o_totalprice AS newp
+              |      FROM v1 a FULL OUTER JOIN v2 b
+              |        ON a.o_orderkey = b.o_orderkey)
+              |SELECT CASE WHEN oldp IS NULL THEN 'insert'
+              |            WHEN newp IS NULL THEN 'delete'
+              |            WHEN oldp <> newp THEN 'update'
+              |            ELSE 'unchanged' END AS change_type,
+              |  COUNT(*) AS n_rows,
+              |  ${dsumSql("COALESCE(newp, oldp)")} AS sum_price
+              |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin))
   )
 }

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Reproducible closing-tally check (VERDICT r4 item 3 / r5 item 6).
+
+Scans SURVEY.md for per-query bench claims — lines that mention exactly
+one backticked query name plus at least one "<number> s" figure — and
+diffs the LAST figure on the line (the claimed current value) against
+the query's measured min in bench_out.json.
+
+Historical round sections legitimately contain superseded numbers, so
+only claims BELOW the literal marker line `<!-- tally:current -->` are
+enforced (exit 1 on a stale claim); everything above is reported as
+informational. A claim is stale when it disagrees with the measured min
+by more than 3x in either direction — single-run co-tenant variance on
+this box stays within ~2x (VERDICT r5 calibration), so a 3x band only
+fires on real contradictions like the r4 "2.74 s" star-CC claim that
+two consecutive driver benches measured at 8.9-17.7 s.
+
+Usage: python3 tools/check_tally.py [SURVEY.md] [bench_out.json]
+"""
+import json
+import re
+import sys
+
+MARKER = "<!-- tally:current -->"
+NAME_RE = re.compile(r"`((?:q|s)_[a-z0-9_]+)`")
+SECS_RE = re.compile(r"(\d+(?:\.\d+)?)\s*s\b")
+
+
+def main(survey_path, bench_path):
+    mins = json.load(open(bench_path))["queries"]
+    enforced_zone = False
+    stale = []
+    for lineno, line in enumerate(open(survey_path), 1):
+        if MARKER in line:
+            enforced_zone = True
+            continue
+        names = set(NAME_RE.findall(line))
+        secs = SECS_RE.findall(line)
+        if len(names) != 1 or not secs:
+            continue
+        (name,) = names
+        if name not in mins:
+            continue
+        claimed = float(secs[-1])
+        measured = mins[name]
+        ok = measured / 3 <= claimed <= measured * 3 or abs(claimed - measured) < 0.3
+        tag = "OK   " if ok else ("STALE" if enforced_zone else "old  ")
+        if not ok:
+            print(f"{tag} {survey_path}:{lineno} {name}: "
+                  f"claimed {claimed}s, measured min {measured:.2f}s")
+        if not ok and enforced_zone:
+            stale.append((lineno, name, claimed, measured))
+    if stale:
+        print(f"\n{len(stale)} stale claim(s) below {MARKER} — "
+              "update SURVEY.md from bench_out.json before the closing commit")
+        return 1
+    print("tally check: no stale claims in the enforced zone")
+    return 0
+
+
+if __name__ == "__main__":
+    survey = sys.argv[1] if len(sys.argv) > 1 else "SURVEY.md"
+    bench = sys.argv[2] if len(sys.argv) > 2 else "bench_out.json"
+    sys.exit(main(survey, bench))
