@@ -32,6 +32,34 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall@5 = $recall (ivf=$ivf5, exact=$exact5)")
   }
 
+  test("IVF serve path scans only the probed cells' files") {
+    // the persisted index is partitioned by cell, so probe selection
+    // must become directory-level partition pruning: the cells scan
+    // must carry the cell predicate as a PARTITION filter and its
+    // pruned listing may touch at most nprobe=2 of the 8 cell
+    // directories — never the corpus. (inputFiles is pre-pruning, so
+    // the pin reads the scan's partitionFilters, as SourcesSpec does
+    // for q_partitioned_write.)
+    SparkEntry.queries("q_knn_ivf_kmeans")(spark, dir).count() // ensure built
+    val plan = SparkEntry.queries("q_knn_ivf_kmeans")(spark, dir)
+      .queryExecution.executedPlan
+    val scan = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_ivf_idx")) &&
+          f.relation.location.rootPaths.exists(_.toString.contains("cells")) => f
+    }
+    assert(scan.nonEmpty, s"no index cells scan in:\n$plan")
+    assert(scan.get.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      "cell predicate must be a partition filter, not a data filter")
+    val files = scan.get.relation.location
+      .listFiles(scan.get.partitionFilters, Nil)
+      .flatMap(_.files.map(_.getPath.toString))
+    val cells = files.flatMap(f =>
+      "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    assert(cells.nonEmpty && cells.size <= 2,
+      s"probe listed ${cells.size} cell dirs (${cells.mkString(",")})")
+  }
+
   test("int8 coarse + float rerank recall@10 vs exact brute force") {
     // Stage 1 keeps 64 int8-scored candidates from the 499-vector
     // corpus; symmetric SQ8 quantization noise (~1/127 per component)
