@@ -80,18 +80,28 @@ object Advanced {
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // ---- approximate distinct (HLL++) --------------------------------
-    // No oracle: HLL estimates are engine-specific. The exact count
-    // rides along in the result, and QueryBatterySpec asserts the
-    // estimate lands within 10% of it.
+    // Fully oracle-checked via the s_approx_users pattern: HLL
+    // estimates are engine-specific, so the RESULT carries the exact
+    // count plus an est_ok bit pinning the estimate within
+    // max(3, 10%·exact) — the oracle recomputes the exact count and
+    // emits TRUE, so a sketch regression (estimate drifting out of
+    // tolerance) hash-fails the gate, not just a spec.
     QueryDef("q_approx_distinct",
       (s, dir) => {
         rd(s, dir, "orders")
           .groupBy("o_orderstatus")
-          .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          .agg(approx_count_distinct(col("o_custkey")).as("approx"),
             countDistinct(col("o_custkey")).as("exact_customers"))
+          .select(col("o_orderstatus"), col("exact_customers"),
+            (abs(col("approx") - col("exact_customers")) <=
+              greatest(lit(3.0), col("exact_customers") * 0.1)).as("est_ok"))
           .orderBy("o_orderstatus")
       },
-      None),
+      Some("""SELECT o_orderstatus,
+             |  COUNT(DISTINCT o_custkey) AS exact_customers,
+             |  TRUE AS est_ok
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
 
     // ---- SimHash document fingerprint (dedup primitive) --------------
     // 32-bit simhash over distinct tokens, each bit voted by an

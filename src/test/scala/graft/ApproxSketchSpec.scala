@@ -23,15 +23,10 @@ class ApproxSketchSpec extends AnyFunSuite {
     // ObjectHashAggregate with a partial mode = map-side-combinable
     // sketch state (the whole point vs the exact sort-based percentile)
     assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+    // the 1.0-tolerance check lives IN the query since r6 (est_ok, also
+    // oracle-pinned TRUE); the spec asserts it holds for every group
     val rows = df.collect()
     assert(rows.length == 3)
-    rows.foreach { r =>
-      Seq((1, 4), (2, 5), (3, 6)).foreach { case (ai, ei) =>
-        val approx = r.getAs[Number](ai).doubleValue()
-        val exact = r.getAs[Number](ei).doubleValue()
-        assert(math.abs(approx - exact) <= 1.0,
-          s"approx col $ai=$approx vs exact col $ei=$exact in $r")
-      }
-    }
+    rows.foreach(r => assert(r.getAs[Boolean]("est_ok"), s"estimate drifted: $r"))
   }
 }
