@@ -66,10 +66,15 @@ object StreamingOps {
   }
 
   /** Run a (bounded) streaming aggregation to completion into a memory
-   * sink and hand back the result table. */
+   * sink and hand back the result table. `stateParts` sizes the state
+   * store partitioning (see withStatePartitions); stream-stream joins
+   * pay FOUR store inits/commits per partition per microbatch (two
+   * sides × keyToNumValues/keyWithIndexToValue), so the interval join
+   * runs at 2. */
   private def runToBatch(s: SparkSession, agg: DataFrame, name: String,
-                         mode: String = "complete"): DataFrame =
-    withStatePartitions(s, 8) {
+                         mode: String = "complete",
+                         stateParts: Int = 8): DataFrame =
+    withStatePartitions(s, stateParts) {
       val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = agg.writeStream.outputMode(mode).format("memory").queryName(qn)
         .option("checkpointLocation",
@@ -303,7 +308,7 @@ object StreamingOps {
             col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 30 MINUTES"))
         // append mode: inner stream-stream joins emit complete results for
         // a bounded input (unlike windowed aggs, which need complete mode)
-        runToBatch(s, joined, "s_stream_join", mode = "append")
+        runToBatch(s, joined, "s_stream_join", mode = "append", stateParts = 2)
           .select("user_id", "signup_id", "purchase_id", "signup_ts", "purchase_ts")
           .orderBy("user_id", "signup_id", "purchase_id")
       },
