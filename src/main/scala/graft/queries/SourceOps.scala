@@ -40,6 +40,35 @@ object SourceOps {
       s"graft_src_${fmt}_${tag}_$stamp")
   }
 
+  /** The two-version chain shared by q_snapshot_diff and
+   * q_snapshot_incr_agg (read-only consumers — neither appends, so the
+   * chain is stable): v1 = the base orders projection; v2 applies
+   * deletes (drop o_orderkey % 7 = 0), updates (double o_totalprice
+   * where o_custkey % 5 = 0 — exact power-of-two double scaling in
+   * both engines), and inserts (o_orderkey % 11 = 0 re-keyed +1e8) in
+   * one commit, so every change class is non-vacuous. Built once per
+   * source content. */
+  private def snapDiffTable(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String = {
+    import graft.sources.SnapshotStore
+    val tbl = roundTripDir("snapdiff", dir, "orders").toString
+    if (SnapshotStore.latestVersion(tbl).isEmpty) {
+      val base = rd(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      SnapshotStore.writeVersion(base, tbl)
+      val v1 = SnapshotStore.readAsOf(s, tbl, 1)
+      val survived = v1.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_custkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      val inserted = v1.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      SnapshotStore.writeVersion(survived.unionByName(inserted), tbl)
+    }
+    tbl
+  }
+
   val defs: Vector[QueryDef] = Vector(
 
     // ---- CSV source: customer keys/segments through csv ---------------
@@ -336,21 +365,7 @@ object SourceOps {
     QueryDef("q_snapshot_diff",
       (s, dir) => {
         import graft.sources.SnapshotStore
-        val tbl = roundTripDir("snapdiff", dir, "orders").toString
-        if (SnapshotStore.latestVersion(tbl).isEmpty) {
-          val base = rd(s, dir, "orders")
-            .select("o_orderkey", "o_custkey", "o_totalprice")
-          SnapshotStore.writeVersion(base, tbl)
-          val v1 = SnapshotStore.readAsOf(s, tbl, 1)
-          val survived = v1.filter(col("o_orderkey") % 7 =!= 0)
-            .withColumn("o_totalprice",
-              when(col("o_custkey") % 5 === 0, col("o_totalprice") * 2)
-                .otherwise(col("o_totalprice")))
-          val inserted = v1.filter(col("o_orderkey") % 11 === 0)
-            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-              col("o_custkey"), col("o_totalprice"))
-          SnapshotStore.writeVersion(survived.unionByName(inserted), tbl)
-        }
+        val tbl = snapDiffTable(s, dir)
         val a = SnapshotStore.readAsOf(s, tbl, 1)
           .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
         val b = SnapshotStore.readAsOf(s, tbl, 2)
@@ -384,6 +399,62 @@ object SourceOps {
               |            ELSE 'unchanged' END AS change_type,
               |  COUNT(*) AS n_rows,
               |  ${dsumSql("COALESCE(newp, oldp)")} AS sum_price
-              |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin))
+              |FROM d GROUP BY 1 ORDER BY change_type""".stripMargin)),
+
+    // ---- incremental view maintenance over snapshot versions -----------
+    // The 100 TB refresh pattern: a materialized per-bucket aggregate is
+    // brought from version N to N+1 by applying the CDC DELTA (inserts
+    // +row, deletes −row, updates ±price difference) to the stored
+    // base aggregate — touching only the diff, never rescanning the new
+    // version. The Spark side computes the aggregate INCREMENTALLY
+    // (v1 aggregate ⊕ delta from the version diff); the oracle computes
+    // the DIRECT aggregate of v2 — so the gate hash-proves the
+    // incremental maintenance identity agg(v2) = agg(v1) ⊕ δ, the
+    // correctness property the whole pattern rests on. Exact decimal
+    // sums make ⊕ associative and order-free (float deltas would drift
+    // under 1000-executor accumulation orders).
+    QueryDef("q_snapshot_incr_agg",
+      (s, dir) => {
+        import graft.sources.SnapshotStore
+        import org.apache.spark.sql.types.DecimalType
+        val tbl = snapDiffTable(s, dir)
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
+        val v1 = SnapshotStore.readAsOf(s, tbl, 1)
+        val v2 = SnapshotStore.readAsOf(s, tbl, 2)
+        // the stored base aggregate (at scale: read back, not recomputed)
+        val baseAgg = v1.groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n1"), sum(dec(col("o_totalprice"))).as("s1"))
+        // CDC delta per bucket — the only data beyond the base aggregate
+        val a = v1.select(col("o_orderkey"), col("o_custkey").as("ck_a"),
+          col("o_totalprice").as("old_price"))
+        val b = v2.select(col("o_orderkey"), col("o_custkey").as("ck_b"),
+          col("o_totalprice").as("new_price"))
+        val delta = a.join(b, Seq("o_orderkey"), "full_outer")
+          .select((coalesce(col("ck_b"), col("ck_a")) % 10).as("bucket"),
+            when(col("old_price").isNull, 1L)
+              .when(col("new_price").isNull, -1L).otherwise(0L).as("dn"),
+            (coalesce(dec(col("new_price")), dec(lit(0)))
+              - coalesce(dec(col("old_price")), dec(lit(0)))).as("ds"))
+          .groupBy("bucket")
+          .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+        baseAgg.join(delta, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            (coalesce(col("n1"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_rows"),
+            (coalesce(col("s1"), dec(lit(0))) + coalesce(col("ds"), dec(lit(0))))
+              .cast("double").as("sum_price"))
+          .orderBy("bucket")
+      },
+      Some("""WITH v2 AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CASE WHEN o_custkey % 5 = 0 THEN o_totalprice * 2
+             |         ELSE o_totalprice END AS p
+             |  FROM orders WHERE o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 11 = 0)
+             |SELECT o_custkey % 10 AS bucket, COUNT(*) AS n_rows,
+             |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM v2 GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
