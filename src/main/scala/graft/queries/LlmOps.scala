@@ -44,7 +44,7 @@ object LlmOps {
    * (doc_id, sh) frame — shared by q_neardup_pairs and the corpus
    * pipeline. Returns (a_id, b_id, jaccard) for pairs above `threshold`
    * with a_id < b_id. */
-  private[queries] def neardupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def neardupPairs(docs: DataFrame, threshold: Double): DataFrame = {
     // hash each shingle string ONCE, INSIDE the array (transform), and
     // explode the resulting longs: Generate materializes every output
     // row, and emitting 8-byte longs instead of shingle strings measured

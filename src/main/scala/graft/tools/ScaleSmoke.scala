@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-up smoke for the heavy pipeline paths: runs the dedup corpus
+ * flow (shingle → MinHash-LSH candidates → exact verify → star-CC
+ * clusters) over a DocGen corpus N× the size of the gate's documents
+ * table, printing per-stage wall times and cardinalities. Not part of
+ * the gate — evidence that the operators' cost curves hold when the
+ * corpus grows well past the bench scale (sf0.1 = 5k docs).
+ *
+ *   sbt "runMain graft.tools.ScaleSmoke [rows] [partitions]"
+ *   // defaults: 200000 rows (40× sf0.1), 64 generator partitions
+ */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 200000L
+    val parts = if (args.length > 1) args(1).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    println(s"[scale] corpus rows=$rows generator partitions=$parts cpus=$cpus")
+    // DocGen text is unique per id; plant duplicate structure so the
+    // dedup path has real work: 5% exact clones (re-keyed, same text)
+    // and 5% near-dups (one appended token → Jaccard just under 1).
+    val base = spark.read.format("graft.sources.DocGen")
+      .option("rows", rows).option("partitions", parts).option("seed", 11L)
+      .load().select("doc_id", "text")
+    val corpus = base
+      .union(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + rows).as("doc_id"), col("text")))
+      .union(base.filter(col("doc_id") % 20 === 1)
+        .select((col("doc_id") + 2 * rows).as("doc_id"),
+          concat(col("text"), lit(" trailing near dup marker")).as("text")))
+    val docs = corpus
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(graft.queries.LlmOps.shingleExpr))
+      .select("doc_id", "sh")
+      .cache()
+    time("materialize + shingle")(docs.count())
+
+    val pairs = graft.queries.LlmOps.neardupPairs(docs, 0.5)
+      .select("a_id", "b_id").cache()
+    val nPairs = time("neardup pairs (LSH+verify)")(pairs.count())
+    println(s"[scale]   pairs=$nPairs")
+
+    val nStar = time("star-CC labels")(
+      graft.operators.ConnectedComponents.runStar(pairs).count())
+    val nGx = time("GraphX CC labels")(
+      graft.operators.ConnectedComponents.runGraphX(pairs).count())
+    println(s"[scale]   star=$nStar graphx=$nGx agree=${nStar == nGx}")
+
+    val nDedup = time("exact dedup (digest groupBy)") {
+      corpus.groupBy(md5(lower(trim(col("text"))))).agg(min("doc_id"))
+        .count()
+    }
+    println(s"[scale]   distinct texts=$nDedup of ${(rows * 11) / 10}")
+    spark.stop()
+  }
+}
