@@ -30,9 +30,13 @@ object Bench {
     // so a reader can see the noise envelope.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     // optional comma-separated allowlist for local iteration on one query
-    // (the driver never sets it, so round benches always run the full set)
+    // (the driver never sets it, so round benches always run the full
+    // set). A whitespace-only value (e.g. an unset shell interpolation)
+    // is treated as unset — never as "run zero queries", which would
+    // emit a vacuous all-green 0.000s bench.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     var failed = Set.empty[String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -60,6 +60,12 @@ object MediaCodec {
     val hRaw = b.getInt(22)
     val bottomUp = hRaw > 0
     val h = math.abs(hRaw)
+    // bound dimensions BEFORE any arithmetic: a hostile header must fail
+    // the declared contract (IllegalArgumentException), not overflow
+    // rowSize/allocation math into a negative-size or multi-GB array
+    require(w > 0 && w <= (1 << 20) && h > 0 && h <= (1 << 20),
+      "implausible dimensions")
+    require(dataOff >= 54 && dataOff <= bytes.length, "bad pixel data offset")
     require(b.getShort(28) == 24, "only 24bpp supported")
     require(b.getInt(30) == 0, "only BI_RGB (uncompressed) supported")
     val rowSize = ((3 * w + 3) / 4) * 4
@@ -105,7 +111,10 @@ object MediaCodec {
     while (off + 8 <= bytes.length) {
       val id = fourCC(off)
       val size = b.getInt(off + 4)
-      require(size >= 0 && off + 8 + size <= bytes.length, s"truncated chunk $id")
+      // Long arithmetic: a near-MaxInt size would wrap `off + 8 + size`
+      // negative and slip past an int-typed bound check
+      require(size >= 0 && off.toLong + 8 + size <= bytes.length,
+        s"truncated chunk $id")
       id match {
         case "fmt " =>
           require(b.getShort(off + 8) == 1, "only PCM supported")
@@ -154,12 +163,21 @@ object MediaCodec {
     val tokens = header.split(" ")
     require(tokens(0) == "YUV4MPEG2", "not a YUV4MPEG2 stream")
     var w = -1; var h = -1
+    // strict numeric parse: a malformed field ("W4x") must fail the
+    // declared contract, not escape as NumberFormatException
+    def num(t: String): Int = {
+      val d = t.drop(1)
+      require(d.nonEmpty && d.length <= 7 && d.forall(_.isDigit),
+        s"bad numeric header field $t")
+      d.toInt
+    }
     tokens.iterator.drop(1).foreach { t =>
-      if (t.startsWith("W")) w = t.drop(1).toInt
-      else if (t.startsWith("H")) h = t.drop(1).toInt
+      if (t.startsWith("W")) w = num(t)
+      else if (t.startsWith("H")) h = num(t)
       else if (t.startsWith("C")) require(t == "C420", "only C420 supported")
     }
     require(w > 0 && h > 0, "missing W/H parameters")
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dimensions")
     val m = w * h * 3 / 2
     val frames = Vector.newBuilder[Array[Byte]]
     var off = nl + 1

@@ -40,6 +40,30 @@ object SourceOps {
       s"graft_src_${fmt}_${tag}_$stamp")
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+
+  /** Crash-safe fixture-chain build: a complete chain is EXACTLY
+   * versions 1..want. Guarding on "any version exists" would let a
+   * build that crashed mid-chain (e.g. after v1 of 3) skip the build
+   * forever and serve a wrong or missing chain out of the reused
+   * content-stamped dir — so anything other than the full chain is
+   * wiped and rebuilt (version dirs are immutable; delete+rebuild is
+   * the only safe recovery). Same discipline as the IVF index's
+   * last-written-_SUCCESS guard. */
+  private def ensureChain(tbl: String, want: Int)(build: => Unit): String = {
+    if (graft.sources.SnapshotStore.versions(tbl).toList != (1 to want).toList) {
+      deleteRecursively(java.nio.file.Paths.get(tbl))
+      build
+    }
+    tbl
+  }
+
   /** The two-version chain shared by q_snapshot_diff and
    * q_snapshot_incr_agg (read-only consumers — neither appends, so the
    * chain is stable): v1 = the base orders projection; v2 applies
@@ -51,8 +75,8 @@ object SourceOps {
   private def snapDiffTable(s: org.apache.spark.sql.SparkSession,
                             dir: String): String = {
     import graft.sources.SnapshotStore
-    val tbl = roundTripDir("snapdiff", dir, "orders").toString
-    if (SnapshotStore.latestVersion(tbl).isEmpty) {
+    ensureChain(roundTripDir("snapdiff", dir, "orders").toString, 2) {
+      val tbl = roundTripDir("snapdiff", dir, "orders").toString
       val base = rd(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       SnapshotStore.writeVersion(base, tbl)
@@ -66,7 +90,6 @@ object SourceOps {
           col("o_custkey"), col("o_totalprice"))
       SnapshotStore.writeVersion(survived.unionByName(inserted), tbl)
     }
-    tbl
   }
 
   val defs: Vector[QueryDef] = Vector(
@@ -314,18 +337,18 @@ object SourceOps {
     QueryDef("q_snapshot_asof",
       (s, dir) => {
         import graft.sources.SnapshotStore
-        val tbl = roundTripDir("snap", dir, "orders").toString
-        if (SnapshotStore.latestVersion(tbl).isEmpty) {
+        val tbl = ensureChain(roundTripDir("snap", dir, "orders").toString, 3) {
+          val t = roundTripDir("snap", dir, "orders").toString
           val base = rd(s, dir, "orders")
             .select("o_orderkey", "o_custkey", "o_totalprice")
-          SnapshotStore.writeVersion(base, tbl)
+          SnapshotStore.writeVersion(base, t)
           SnapshotStore.writeVersion(
-            base.filter(col("o_orderkey") % 7 =!= 0), tbl)
-          val v2 = SnapshotStore.readAsOf(s, tbl, 2)
+            base.filter(col("o_orderkey") % 7 =!= 0), t)
+          val v2 = SnapshotStore.readAsOf(s, t, 2)
           SnapshotStore.writeVersion(
             v2.withColumn("o_totalprice",
               when(col("o_custkey") % 5 === 0, col("o_totalprice") * 2)
-                .otherwise(col("o_totalprice"))), tbl)
+                .otherwise(col("o_totalprice"))), t)
         }
         val asOf2 = SnapshotStore.readAsOf(s, tbl, 2)
           .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))

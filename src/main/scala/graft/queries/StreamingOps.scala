@@ -65,6 +65,28 @@ object StreamingOps {
     java.nio.file.Files.createTempDirectory(root, s"graft_$name")
   }
 
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally s.close()
+    }
+
+  /** tmpfs is RAM: anything on /dev/shm that outlives its use is a
+   * memory leak across sessions. Checkpoints are deleted as soon as the
+   * bounded query stops; file-sink OUTPUT must stay readable for the
+   * caller's (lazy) DataFrame, so it is registered for deletion at JVM
+   * exit instead. */
+  private val exitCleanup = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => exitCleanup.forEach(p =>
+      try deleteRec(p) catch { case _: Throwable => () })))
+  private def cleanupOnExit(p: java.nio.file.Path): Unit = {
+    cleanupHook
+    exitCleanup.add(p)
+  }
+
   /** Run a (bounded) streaming aggregation to completion into a memory
    * sink and hand back the result table. `stateParts` sizes the state
    * store partitioning (see withStatePartitions); stream-stream joins
@@ -76,11 +98,14 @@ object StreamingOps {
                          stateParts: Int = 8): DataFrame =
     withStatePartitions(s, stateParts) {
       val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = streamTmpDir(name)
       val q = agg.writeStream.outputMode(mode).format("memory").queryName(qn)
-        .option("checkpointLocation",
-          streamTmpDir(name).resolve("chk").toString)
+        .option("checkpointLocation", base.resolve("chk").toString)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      // the memory sink holds the result; the checkpoint is disposable
+      // the moment the bounded query stops
+      try { try q.processAllAvailable() finally q.stop() }
+      finally deleteRec(base)
       s.table(qn)
     }
 
@@ -98,10 +123,13 @@ object StreamingOps {
     withStatePartitions(s, 8) {
       val base = streamTmpDir(name)
       val out = base.resolve("out").toString
-      val chk = base.resolve("chk").toString
+      val chk = base.resolve("chk")
       val q = agg.writeStream.outputMode("append").format("parquet")
-        .option("path", out).option("checkpointLocation", chk).start()
-      try q.processAllAvailable() finally q.stop()
+        .option("path", out).option("checkpointLocation", chk.toString).start()
+      // checkpoint dies with the query; the emitted parquet must stay
+      // readable for the caller's lazy DataFrame → deleted at JVM exit
+      try { try q.processAllAvailable() finally q.stop() }
+      finally { deleteRec(chk); cleanupOnExit(base) }
       s.read.parquet(out)
     }
 

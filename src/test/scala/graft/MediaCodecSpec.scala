@@ -114,4 +114,31 @@ class MediaCodecSpec extends AnyFunSuite {
     val ok = MediaCodec.encodeBmp(4, 4, new Array[Byte](48))
     intercept[IllegalArgumentException](MediaCodec.decodeBmp(ok.take(40)))
   }
+
+  test("hostile headers fail the contract, never escape it") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // negative / huge BMP dimensions must throw IllegalArgumentException,
+    // not NegativeArraySizeException or a multi-GB allocation attempt
+    def bmpWith(w: Int, h: Int, dataOff: Int = 54): Array[Byte] = {
+      val base = MediaCodec.encodeBmp(4, 4, new Array[Byte](48))
+      val b = ByteBuffer.wrap(base.clone()).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(10, dataOff); b.putInt(18, w); b.putInt(22, h)
+      b.array()
+    }
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(bmpWith(-1, 4)))
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(bmpWith(Int.MaxValue, 4)))
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(bmpWith(4, Int.MinValue)))
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(bmpWith(4, 4, dataOff = -8)))
+    // WAV chunk size near MaxInt must not wrap the bound check
+    val wav = MediaCodec.encodeWavPcm16(8000, Array[Short](1, 2, 3))
+    val evil = wav.clone()
+    ByteBuffer.wrap(evil).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 4) // data chunk size
+    intercept[IllegalArgumentException](MediaCodec.decodeWavPcm16(evil))
+    // non-numeric / odd Y4M header fields
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeY4m("YUV4MPEG2 W4x H4 C420\nFRAME\n".getBytes))
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeY4m("YUV4MPEG2 W3 H4 C420\nFRAME\n".getBytes))
+  }
 }

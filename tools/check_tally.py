@@ -40,6 +40,14 @@ def main(survey_path, bench_path):
             continue
         (name,) = names
         if name not in mins:
+            # outside the enforced zone an unknown name is historical
+            # (renamed/removed entries); inside it, a claim the artifact
+            # cannot back is exactly the failure mode this gate exists
+            # for (e.g. a partial SPARK_GRAFT_BENCH_ONLY artifact)
+            if enforced_zone:
+                print(f"STALE {survey_path}:{lineno} {name}: "
+                      "claimed but absent from the bench artifact")
+                stale.append((lineno, name, None, None))
             continue
         claimed = float(secs[-1])
         measured = mins[name]
