@@ -10,6 +10,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep ObjectHashAggregate on the hash path: the default 128-key
+      // fallback silently degrades every Aggregator-based aggregation
+      // (MinHashAgg, SimHashAgg, HeavyHittersAgg, percentile_approx) to
+      // per-partition external sort of the pre-aggregation rows — for
+      // MinHash that is a sort of the full exploded shingle stream.
+      // 1M keys × the largest state (32-long MinHash sig ≈ 400 B with
+      // overhead) bounds the per-task map at ~400 MB, sized for this
+      // harness's 128 GiB / local[32]; a production job sizes it to
+      // executor memory. Measured ~15% off the LSH dedup path at 11×
+      // gate scale (tools/ScaleSmoke A/B).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/parquet-reader bring-up is session cost,

@@ -19,6 +19,9 @@ object Verify {
       // events.ts is a NANOS parquet timestamp Spark 4 otherwise rejects;
       // graft.queries.Q.events() truncates the long to µs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // hash-path ObjectHashAggregate (same setting + rationale as
+      // Bench): results are conf-independent, only execution changes
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
