@@ -675,6 +675,43 @@ object LlmOps {
              |FROM tr JOIN ev USING (g)
              |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- SEMANTIC decontamination (embedding-similarity leakage) -------
+    // q_decontaminate's paraphrase-robust complement: n-gram overlap
+    // misses an eval example that was reworded, but its embedding stays
+    // close — so flag corpus vectors whose cosine against ANY held-out
+    // eval vector (vec_id % 100 = 0, ~1%) clears the threshold. The
+    // eval side is tiny and broadcast; ONE corpus pass scores every
+    // (vector, eval) pair map-side with the codegen cosine kernel —
+    // the q_knn_batch plan shape with a threshold instead of top-k, so
+    // cost is O(corpus · |eval|) map work with no corpus shuffle. The
+    // oracle replays the identical IEEE cosine over double-cast lists
+    // (the q_cosine_pairs replication, bit-exact), so the flagged set,
+    // hit counts, and max similarities all hash-compare.
+    QueryDef("q_semantic_decon",
+      (s, dir) => {
+        vecReady(s)
+        val e = rd(s, dir, "embeddings")
+        val eval_ = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("pe"))
+        e.filter(col("vec_id") % 100 =!= 0)
+          .crossJoin(broadcast(eval_))
+          .withColumn("cos", cosine("embedding", "pe"))
+          .filter(col("cos") > 0.25)
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_eval_hits"),
+            round(max(col("cos")), 4).as("max_cos"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS pe
+              |            FROM embeddings WHERE vec_id % 100 = 0),
+              |s AS (SELECT e.vec_id, $cosSql AS cos
+              |      FROM embeddings e, ev
+              |      WHERE e.vec_id % 100 <> 0)
+              |SELECT vec_id, COUNT(*) AS n_eval_hits,
+              |  ROUND(MAX(cos), 4) AS max_cos
+              |FROM s WHERE cos > 0.25
+              |GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
     // ---- corpus-LM document scoring (quality-filter shape) -------------
     // The n-gram-LM quality filter a training pipeline runs (the KenLM
     // stage): score every document by how typical its bigrams are of
