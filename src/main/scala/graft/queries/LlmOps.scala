@@ -503,6 +503,58 @@ object LlmOps {
               |SELECT a_id, b_id, bucket, ROUND(cos, 4) AS cosine FROM s
               |WHERE cos > 0.35 ORDER BY a_id, b_id""".stripMargin)),
 
+    // ---- kNN graph construction (bucketed, TopKPerKey-pruned) ----------
+    // The neighbor-graph builder under graph-based near-dup and
+    // clustering (SemDeDup-style pipelines, HNSW bootstrap): every
+    // vector's top-2 nearest neighbors WITHIN its LSH sign bucket —
+    // declared semantics include the blocking key (as in
+    // q_cosine_pairs), so both engines rank identical bounded candidate
+    // sets and per-bucket work is (N/16)², never global N². The
+    // per-vector cut goes through TopKPerKey (map-side ≤ k rows per
+    // vector reach the shuffle; a bare window would sort each bucket's
+    // full pair set in one partition); the rn label is then a window
+    // over ≤ 2 rows per vector.
+    QueryDef("q_knn_graph",
+      (s, dir) => {
+        vecReady(s)
+        val e = rd(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            signBucket("embedding").as("bucket"))
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("bucket"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("bucket"))
+        val scored = a.join(b, Seq("bucket"))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos", cosine("ea", "eb"))
+        val w = Window.partitionBy("a_id")
+          .orderBy(col("cos").desc, col("b_id"))
+        graft.plans.TopK.perKey(scored, Seq("a_id"),
+            Seq(col("cos").desc, col("b_id").asc), 2)
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .select(col("a_id"), col("rn"), col("b_id"), col("bucket"),
+            round(col("cos"), 4).as("cosine"))
+          .orderBy("a_id", "rn")
+      },
+      Some(s"""WITH bk AS (SELECT vec_id, embedding, $signBucketSql AS bucket
+              |            FROM embeddings),
+              |s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket,
+              |  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              |                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+              |  / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              |                           list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+              |     * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+              |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+              |    AS cos
+              |  FROM bk a JOIN bk b
+              |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+              |r AS (SELECT a_id, b_id, bucket, cos,
+              |        CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+              |          ORDER BY cos DESC, b_id) AS INTEGER) AS rn
+              |      FROM s)
+              |SELECT a_id, rn, b_id, bucket, ROUND(cos, 4) AS cosine
+              |FROM r WHERE rn <= 2 ORDER BY a_id, rn""".stripMargin)),
+
     // ---- transitive dedup clusters (connected components) --------------
     // Pairwise near-dup matches → transitive clusters via the iterative
     // min-label operator (graft.operators.ConnectedComponents); cluster

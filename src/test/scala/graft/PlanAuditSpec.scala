@@ -200,6 +200,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("TopKPerKey"), s"no map-side budget prune:\n$s")
   }
 
+  test("q_knn_graph prunes per-vector candidates map-side, no cartesian") {
+    val s = plan("q_knn_graph").toString
+    // the per-vector top-2 must go through the TopKPerKey partial prune
+    // (a bare window would sort each bucket's full pair set in one
+    // partition), and the bucketed self-join must be an equi-join
+    assert(s.contains("TopKPerKey"), s"no map-side neighbor prune:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"bucket join degenerated to a cross product:\n$s")
+  }
+
+  test("q_semantic_decon broadcasts the eval side, never shuffles the corpus") {
+    val s = plan("q_semantic_decon").toString
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      s"eval side not broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      s"corpus shuffled for the eval join:\n$s")
+  }
+
   test("q_centroids partial-aggregates per dimension before the shuffle") {
     val s = plan("q_centroids").toString
     // the (label, dim) sums must pre-reduce map-side so the exchange
