@@ -593,6 +593,53 @@ object StreamingOps {
              |        ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
              |SELECT new_id, old_id, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
              |FROM p WHERE CAST(i AS DOUBLE) / u > 0.5
-             |ORDER BY new_id, old_id""".stripMargin))
+             |ORDER BY new_id, old_id""".stripMargin)),
+
+    // ---- streaming semantic decontamination (ingest-time) --------------
+    // q_semantic_decon made ONLINE, the same batch→stream promotion as
+    // s_incr_dedup: fresh embeddings arrive on a stream (vec_id % 10 =
+    // 0, excluding the eval slice) and are scored at ingest against the
+    // broadcast held-out eval set. Entirely STATELESS — a stream-static
+    // broadcast join plus a map-side cosine and threshold filter, so
+    // append mode emits every flagged pair exactly once with zero state
+    // store; at 100 TB/day the cost is one codegen cosine per
+    // (arrival × eval vector), embarrassingly parallel. Emits the flat
+    // (vec_id, eval_id) pair stream (the per-vector aggregate is batch
+    // post-processing downstream); shares declared semantics with the
+    // batch twin so the oracle pins the two implementations to each
+    // other through the same IEEE cosine replay.
+    QueryDef("s_semantic_decon",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+        val fresh = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(col("vec_id") % 10 === 0 && col("vec_id") % 100 =!= 0)
+        val eval_ = s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("pe"))
+        val flagged = fresh.crossJoin(broadcast(eval_))
+          .withColumn("cos",
+            graft.functions.VectorFunctions.vecCosine(col("embedding"), col("pe")))
+          .filter(col("cos") > 0.25)
+          .select(col("vec_id"), col("eval_id"), round(col("cos"), 4).as("cosine"))
+        runToFileSink(s, flagged, "s_semantic_decon")
+          .orderBy("vec_id", "eval_id")
+      },
+      Some("""WITH ev AS (SELECT vec_id AS eval_id, embedding AS pe
+             |            FROM embeddings WHERE vec_id % 100 = 0),
+             |s AS (SELECT e.vec_id, ev.eval_id,
+             |  list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             |                   list_transform(pe, x -> CAST(x AS DOUBLE)))
+             |  / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             |                           list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+             |     * sqrt(list_dot_product(list_transform(pe, x -> CAST(x AS DOUBLE)),
+             |                             list_transform(pe, x -> CAST(x AS DOUBLE)))))
+             |    AS cos
+             |  FROM embeddings e, ev
+             |  WHERE e.vec_id % 10 = 0 AND e.vec_id % 100 <> 0)
+             |SELECT vec_id, eval_id, ROUND(cos, 4) AS cosine
+             |FROM s WHERE cos > 0.25
+             |ORDER BY vec_id, eval_id""".stripMargin))
   )
 }
