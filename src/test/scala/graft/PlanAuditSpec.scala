@@ -254,6 +254,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sides.values.forall(_ > 0), sides.toString)
   }
 
+  test("q_table_stats computes all column stats in ONE deduped table scan") {
+    val p = plan("q_table_stats")
+    val lineitemScans = scans(p).count(
+      _.relation.location.inputFiles.headOption.exists(
+        _.contains("lineitem.parquet")))
+    assert(lineitemScans == 1,
+      s"ANALYZE pass must scan once, found $lineitemScans scans:\n$p")
+    // the naive multi-DISTINCT plan multiplies rows 6x through an Expand
+    // before the shuffle; the unpivot+dedup shape must not
+    assert(!p.toString.contains("Expand"), s"Expand row-blowup in:\n$p")
+    // a PARTIAL aggregate keyed on (col_name, v) dedups map-side, so the
+    // shuffle is bounded by total ndv, not table size
+    def subtree(n: SparkPlan): Seq[SparkPlan] = n +: n.children.flatMap(subtree)
+    val partialDedup = subtree(p).collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if h.groupingExpressions.size == 2 &&
+          h.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => h
+    }
+    assert(partialDedup.nonEmpty, s"no map-side partial dedup on (col_name, v):\n$p")
+    // the scan reads exactly the 6 profiled columns
+    val s = scanOf(p, "lineitem")
+    assert(s.requiredSchema.fieldNames.length == 6,
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
