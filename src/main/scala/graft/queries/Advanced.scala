@@ -504,6 +504,61 @@ object Advanced {
              |  UNION ALL SELECT 'l_quantity', cnt - c4, mn4, mx4, d4, TRUE FROM a
              |  UNION ALL SELECT 'l_extendedprice', cnt - c5, mn5, mx5, d5, TRUE FROM a
              |  UNION ALL SELECT 'l_discount', cnt - c6, mn6, mx6, d6, TRUE FROM a)
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // ---- random-projection embedding compression (JL transform) -------
+    // Johnson–Lindenstrauss dimensionality reduction 64 → 16 with a
+    // dense ±1 sign matrix (Achlioptas 2003): y_j = (1/√16) Σ_i v_i·s_ij.
+    // The matrix is DETERMINISTIC — s_ij from the first md5 nibble of
+    // "jl_j_i" — computed ONCE on the driver and shipped as a plan
+    // literal (the broadcast-the-matrix shape; at 100 TB the projection
+    // is a pure map stage appended to any scan: no shuffle, no state,
+    // 16 fused fold loops per row under whole-stage codegen). The
+    // oracle re-derives the SAME matrix from md5 inside DuckDB and
+    // replays the identical left-to-right IEEE folds, so the projected
+    // components and norms compare bit-for-bit — a wrong sign, fold
+    // order, or scale constant fails the hash. 1/√16 = 0.25 is exact
+    // binary, so the scale step is one lossless multiply.
+    QueryDef("q_jl_project",
+      (s, dir) => {
+        val (kOut, dIn) = (16, 64)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def sign(j: Int, i: Int): Int = {
+          val h = md.digest(s"jl_${j}_$i".getBytes("UTF-8"))
+          if (((h(0) >> 4) & 0xF) >= 8) 1 else -1
+        }
+        val mat = (0 until kOut).map(j =>
+          (0 until dIn).map(i => sign(j, i)).mkString("array(", ", ", ")"))
+          .mkString("array(", ", ", ")")
+        rd(s, dir, "embeddings")
+          .withColumn("y", expr(
+            s"""transform(sequence(0, ${kOut - 1}), j ->
+               |  0.25D * aggregate(sequence(0, ${dIn - 1}), 0.0D,
+               |    (a, i) -> a + CAST(element_at(embedding, i + 1) AS DOUBLE)
+               |      * element_at(element_at($mat, j + 1), i + 1)))""".stripMargin))
+          .select(col("vec_id"),
+            expr("y[0]").as("y0"), expr("y[1]").as("y1"),
+            expr("y[2]").as("y2"), expr("y[3]").as("y3"),
+            expr("aggregate(y, 0.0D, (a, t) -> a + t * t)").as("ynorm2"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH mj AS (SELECT unnest(range(0, 16)) AS j),
+             |m AS (SELECT j, list_transform(range(0, 64), i ->
+             |        CASE WHEN strpos('89abcdef',
+             |            substring(md5('jl_' || j || '_' || i), 1, 1)) > 0
+             |          THEN 1 ELSE -1 END) AS srow
+             |      FROM mj),
+             |mm AS (SELECT list(srow ORDER BY j) AS mat FROM m),
+             |p AS (SELECT vec_id,
+             |        list_transform(range(0, 16), j ->
+             |          0.25 * list_reduce(list_prepend(0.0::DOUBLE,
+             |            list_transform(range(0, 64), i ->
+             |              CAST(embedding[i + 1] AS DOUBLE) * mat[j + 1][i + 1])),
+             |            (a, b) -> a + b)) AS y
+             |      FROM embeddings, mm)
+             |SELECT vec_id, y[1] AS y0, y[2] AS y1, y[3] AS y2, y[4] AS y3,
+             |  list_reduce(list_prepend(0.0::DOUBLE,
+             |    list_transform(y, t -> t * t)), (a, b) -> a + b) AS ynorm2
+             |FROM p ORDER BY vec_id""".stripMargin))
   )
 }
