@@ -555,6 +555,104 @@ object LlmOps {
               |SELECT a_id, rn, b_id, bucket, ROUND(cos, 4) AS cosine
               |FROM r WHERE rn <= 2 ORDER BY a_id, rn""".stripMargin)),
 
+    // ---- PageRank authority scoring over the kNN graph -----------------
+    // Iterative graph scoring (the corpus-weighting primitive: a
+    // document linked by many well-linked near-neighbors carries more
+    // authority) over the same directed top-2 edge set q_knn_graph
+    // builds. All arithmetic is FIXED-POINT INTEGER — ranks scaled by
+    // 10^12, every division a truncating integer DIV, damping 0.85 as
+    // (17·x) DIV 20 — so three unrolled iterations stay bit-exact
+    // against the oracle's identical integer CTE chain (float PageRank
+    // would drift per-iteration with aggregation order). Each iteration
+    // is ONE shuffle: contributions aggregate on dst with map-side
+    // combine; edges/degrees are computed once and reused. Dangling
+    // mass is dropped (the standard simplification), mirrored in the
+    // oracle. At many iterations the DataFrame loop would re-plan per
+    // round — the RDD fixpoint shape of ConnectedComponents.runStar is
+    // the swap-in — but at 3 unrolled rounds Catalyst plans once.
+    QueryDef("q_pagerank",
+      (s, dir) => {
+        vecReady(s)
+        val SCALE = 1000000000000L
+        val e = rd(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            signBucket("embedding").as("bucket"))
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("bucket"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("bucket"))
+        val scored = a.join(b, Seq("bucket"))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos", cosine("ea", "eb"))
+        val edges = graft.plans.TopK.perKey(scored, Seq("a_id"),
+            Seq(col("cos").desc, col("b_id").asc), 2)
+          .select(col("a_id"), col("b_id")).cache()
+        val nodes = rd(s, dir, "embeddings").select(col("vec_id"))
+        val n = nodes.count()
+        val deg = edges.groupBy("a_id").agg(count(lit(1)).as("d"))
+        val base = (3L * SCALE) / (20L * n)
+        var ranks = nodes.withColumn("r", lit(SCALE / n))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(ranks.withColumnRenamed("vec_id", "a_id"), "a_id")
+            .join(deg, "a_id")
+            .groupBy("b_id").agg(sum(expr("r DIV d")).as("sc"))
+          ranks = nodes
+            .join(contrib.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+            .select(col("vec_id"),
+              (lit(base) + expr("(17 * coalesce(sc, 0L)) DIV 20")).as("r"))
+        }
+        ranks.select(col("vec_id"), col("r").as("rank_fp"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH bk AS (SELECT vec_id, embedding, $signBucketSql AS bucket
+              |            FROM embeddings),
+              |sc AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              |                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+              |  / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              |                           list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+              |     * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+              |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+              |    AS cos
+              |  FROM bk a JOIN bk b
+              |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+              |rk AS (SELECT a_id, b_id,
+              |        ROW_NUMBER() OVER (PARTITION BY a_id
+              |          ORDER BY cos DESC, b_id) AS rn
+              |      FROM sc),
+              |e AS (SELECT a_id, b_id FROM rk WHERE rn <= 2),
+              |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+              |deg AS (SELECT a_id, COUNT(*) AS d FROM e GROUP BY a_id),
+              |r0 AS (SELECT vec_id, 1000000000000::BIGINT // nn.n AS r
+              |       FROM embeddings, nn),
+              |r1 AS (SELECT v.vec_id,
+              |         3000000000000::BIGINT // (20 * nn.n)
+              |           + (17 * COALESCE(c.s, 0)) // 20 AS r
+              |       FROM embeddings v CROSS JOIN nn
+              |       LEFT JOIN (SELECT e.b_id, SUM(r0.r // deg.d) AS s
+              |                  FROM e JOIN r0 ON e.a_id = r0.vec_id
+              |                         JOIN deg ON e.a_id = deg.a_id
+              |                  GROUP BY e.b_id) c ON c.b_id = v.vec_id),
+              |r2 AS (SELECT v.vec_id,
+              |         3000000000000::BIGINT // (20 * nn.n)
+              |           + (17 * COALESCE(c.s, 0)) // 20 AS r
+              |       FROM embeddings v CROSS JOIN nn
+              |       LEFT JOIN (SELECT e.b_id, SUM(r1.r // deg.d) AS s
+              |                  FROM e JOIN r1 ON e.a_id = r1.vec_id
+              |                         JOIN deg ON e.a_id = deg.a_id
+              |                  GROUP BY e.b_id) c ON c.b_id = v.vec_id),
+              |r3 AS (SELECT v.vec_id,
+              |         3000000000000::BIGINT // (20 * nn.n)
+              |           + (17 * COALESCE(c.s, 0)) // 20 AS r
+              |       FROM embeddings v CROSS JOIN nn
+              |       LEFT JOIN (SELECT e.b_id, SUM(r2.r // deg.d) AS s
+              |                  FROM e JOIN r2 ON e.a_id = r2.vec_id
+              |                         JOIN deg ON e.a_id = deg.a_id
+              |                  GROUP BY e.b_id) c ON c.b_id = v.vec_id)
+              |SELECT vec_id, CAST(r AS BIGINT) AS rank_fp
+              |FROM r3 ORDER BY vec_id""".stripMargin)),
+
     // ---- transitive dedup clusters (connected components) --------------
     // Pairwise near-dup matches → transitive clusters via the iterative
     // min-label operator (graft.operators.ConnectedComponents); cluster
