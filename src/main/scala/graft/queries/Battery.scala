@@ -563,6 +563,103 @@ object Battery {
              |    AS DOUBLE) / SUM(len(string_split(text, ' '))) AS bpe_per_ws
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- BPE tokenizer training (merge induction) -----------------------
+    // Learns the first 3 BPE merges from corpus word frequencies — the
+    // tokenizer-TRAINING step (q_token_bpe only counts with a fixed
+    // rule). Structure is the one production BPE trainers scale by: the
+    // corpus-sized pass happens ONCE (word-type counts: one shuffle with
+    // map-side combine); every merge iteration then runs on the vocab
+    // TYPES weighted by count — bounded by |V|, not corpus size. Each
+    // word is a '<sym><sym>' boundary-wrapped string, so applying a
+    // merge is replace('<l><r>' -> '<lr>'), and both engines' replace
+    // is left-to-right non-overlapping on disjoint boundaries — exactly
+    // greedy BPE ('<a><b><a><b>' merges BOTH pairs; a space-joined
+    // encoding would lose the second to the shared delimiter). The
+    // per-step argmax is a 2-value driver scalar (house scalar rule);
+    // ties break (cnt DESC, l, r) in both engines. Single-char words
+    // are excluded up front: they carry no pairs, and Spark's INCLUSIVE
+    // sequence(1, 0) would count DOWN rather than produce the empty
+    // pair list. Oracle = the identical 3 steps as unrolled CTEs.
+    QueryDef("q_bpe_train",
+      (s, dir) => {
+        val w0 = rd(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word").rlike("^[a-z]{2,}$"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .withColumn("str", concat(lit("<"),
+            expr("array_join(transform(sequence(1, length(word)), " +
+              "i -> substring(word, i, 1)), '><')"), lit(">")))
+          .select("cnt", "str").cache()
+        var w = w0
+        val merges = Seq.newBuilder[(Int, String, String, Long)]
+        for (step <- 1 to 3) {
+          val top = w
+            .select(col("cnt"),
+              split(expr("substring(str, 2, length(str) - 2)"), "><").as("syms"))
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), i -> " +
+                "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+              .as("pr"))
+            .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+            .agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("l"), col("r"))
+            .head
+          val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((step, l, r, c))
+          w = w.withColumn("str", expr(s"replace(str, '<$l><$r>', '<$l$r>')"))
+        }
+        import s.implicits._
+        merges.result().toDF("step", "l", "r", "pair_cnt").orderBy("step")
+      },
+      Some("""WITH w0 AS (
+             |  SELECT COUNT(*) AS cnt,
+             |    '<' || list_aggregate(list_transform(range(1, length(tok) + 1),
+             |        i -> tok[i]), 'string_agg', '><') || '>' AS str
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  WHERE regexp_matches(tok, '^[a-z]{2,}$')
+             |  GROUP BY tok),
+             |p1 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS c FROM (
+             |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+             |      i -> [syms[i], syms[i+1]])) AS pr
+             |    FROM (SELECT cnt,
+             |            string_split(substring(str, 2, length(str) - 2), '><') AS syms
+             |          FROM w0))
+             |  GROUP BY 1, 2),
+             |m1 AS (SELECT 1 AS step, l, r, CAST(c AS BIGINT) AS pair_cnt
+             |       FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+             |w1 AS (SELECT cnt, replace(str,
+             |         '<' || m1.l || '><' || m1.r || '>',
+             |         '<' || m1.l || m1.r || '>') AS str
+             |       FROM w0 CROSS JOIN m1),
+             |p2 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS c FROM (
+             |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+             |      i -> [syms[i], syms[i+1]])) AS pr
+             |    FROM (SELECT cnt,
+             |            string_split(substring(str, 2, length(str) - 2), '><') AS syms
+             |          FROM w1))
+             |  GROUP BY 1, 2),
+             |m2 AS (SELECT 2 AS step, l, r, CAST(c AS BIGINT) AS pair_cnt
+             |       FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+             |w2 AS (SELECT cnt, replace(str,
+             |         '<' || m2.l || '><' || m2.r || '>',
+             |         '<' || m2.l || m2.r || '>') AS str
+             |       FROM w1 CROSS JOIN m2),
+             |p3 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS c FROM (
+             |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+             |      i -> [syms[i], syms[i+1]])) AS pr
+             |    FROM (SELECT cnt,
+             |            string_split(substring(str, 2, length(str) - 2), '><') AS syms
+             |          FROM w2))
+             |  GROUP BY 1, 2),
+             |m3 AS (SELECT 3 AS step, l, r, CAST(c AS BIGINT) AS pair_cnt
+             |       FROM p3 ORDER BY c DESC, l, r LIMIT 1)
+             |SELECT * FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+             |               UNION ALL SELECT * FROM m3)
+             |ORDER BY step""".stripMargin)),
+
     // ---- heavy hitters via a mergeable SpaceSaving sketch --------------
     // Frequent-items completes the sketch family (HLL distinct,
     // quantile sketch, now top-k): constant-size mergeable counter
