@@ -466,7 +466,7 @@ object Advanced {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_quantity", "l_extendedprice", "l_discount")
         val unpivot = cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
-        rd(s, dir, "lineitem")
+        val grouped = rd(s, dir, "lineitem")
           .select(expr(s"stack(${cols.size}, $unpivot)")
             .as(Seq("col_name", "v")))
           .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
@@ -476,10 +476,17 @@ object Advanced {
             min(col("v")).as("min_v"), max(col("v")).as("max_v"),
             count(when(col("v").isNotNull, lit(1))).as("ndv"),
             approx_count_distinct(col("v"), 0.02).as("andv"))
-          .select(col("col_name"), col("n_nulls"), col("min_v"),
-            col("max_v"), col("ndv"),
-            (abs(col("andv") - col("ndv")) <=
-              greatest(lit(3.0), col("ndv") * 0.1)).as("est_ok"))
+        // a stats report lists every profiled column even when the table
+        // is empty (a grouped agg alone would emit zero rows there, while
+        // the oracle's global-aggregate shape still emits one per column)
+        import s.implicits._
+        cols.toDF("col_name").join(grouped, Seq("col_name"), "left")
+          .select(col("col_name"),
+            coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+            col("min_v"), col("max_v"),
+            coalesce(col("ndv"), lit(0L)).as("ndv"),
+            (abs(coalesce(col("andv"), lit(0L)) - coalesce(col("ndv"), lit(0L))) <=
+              greatest(lit(3.0), coalesce(col("ndv"), lit(0L)) * 0.1)).as("est_ok"))
           .orderBy("col_name")
       },
       Some("""WITH a AS (SELECT COUNT(*) AS cnt,

@@ -592,7 +592,8 @@ object Battery {
           .select("cnt", "str").cache()
         var w = w0
         val merges = Seq.newBuilder[(Int, String, String, Long)]
-        for (step <- 1 to 3) {
+        var exhausted = false
+        for (step <- 1 to 3 if !exhausted) {
           val top = w
             .select(col("cnt"),
               split(expr("substring(str, 2, length(str) - 2)"), "><").as("syms"))
@@ -603,10 +604,14 @@ object Battery {
             .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
             .agg(sum(col("cnt")).as("c"))
             .orderBy(col("c").desc, col("l"), col("r"))
-            .head
-          val (l, r, c) = (top.getString(0), top.getString(1), top.getLong(2))
-          merges += ((step, l, r, c))
-          w = w.withColumn("str", expr(s"replace(str, '<$l><$r>', '<$l$r>')"))
+            .limit(1).collect()
+          if (top.isEmpty) exhausted = true // vocab fully merged / empty corpus
+          else {
+            val (l, r, c) =
+              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            merges += ((step, l, r, c))
+            w = w.withColumn("str", expr(s"replace(str, '<$l><$r>', '<$l$r>')"))
+          }
         }
         import s.implicits._
         merges.result().toDF("step", "l", "r", "pair_cnt").orderBy("step")

@@ -588,7 +588,8 @@ object LlmOps {
             Seq(col("cos").desc, col("b_id").asc), 2)
           .select(col("a_id"), col("b_id")).cache()
         val nodes = rd(s, dir, "embeddings").select(col("vec_id"))
-        val n = nodes.count()
+        // empty corpus: no nodes to rank (and SCALE/n would divide by 0)
+        val n = math.max(nodes.count(), 1L)
         val deg = edges.groupBy("a_id").agg(count(lit(1)).as("d"))
         val base = (3L * SCALE) / (20L * n)
         var ranks = nodes.withColumn("r", lit(SCALE / n))

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Round-6 additions over an EMPTY corpus: a production pipeline hits
+ * zero-row partitions and empty snapshot versions routinely, and every
+ * driver-side scalar (argmax `.head`, count-based sizing) is a crash
+ * site there. Each query must return its empty result, not throw —
+ * q_pagerank sizes ranks by 1/N, q_bpe_train argmaxes a possibly-empty
+ * pair set, q_bloom_join builds a filter from possibly-zero keys.
+ */
+class DegenerateInputSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+
+  private lazy val emptyDir: String = {
+    val dir = s"/tmp/graft-test-empty-${ProcessHandle.current().pid()}"
+    def write(table: String, schema: StructType): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    write("documents", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+    write("embeddings", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+    write("customer", StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))))
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))))
+    write("lineitem", StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType))))
+    dir
+  }
+
+  for (q <- Seq("q_bloom_join", "q_bpe_train", "q_pagerank", "q_jl_project"))
+    test(s"$q returns empty, not a crash, on an empty corpus") {
+      assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
+    }
+
+  test("q_table_stats reports all-null stats rows on an empty table") {
+    val rows = SparkEntry.queries("q_table_stats")(spark, emptyDir).collect()
+    // one row per profiled column, each with 0 nulls counted, 0 ndv
+    assert(rows.length == 6, rows.mkString(";"))
+    assert(rows.forall(r => r.getLong(r.fieldIndex("ndv")) == 0L))
+  }
+}
