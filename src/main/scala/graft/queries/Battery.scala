@@ -17,6 +17,47 @@ import Q._
  */
 object Battery {
 
+  /** Learn the first `k` BPE merges from corpus word frequencies (the
+   * q_bpe_train loop, shared with q_bpe_apply): one corpus-sized pass
+   * for word-type counts, then per-merge argmaxes over vocab TYPES.
+   * Returns (step, left, right, pair_count) rows; stops early if the
+   * vocabulary exhausts. */
+  private def bpeMerges(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): Seq[(Int, String, String, Long)] = {
+    val w0 = Q.rd(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]{2,}$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("str", concat(lit("<"),
+        expr("array_join(transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1)), '><')"), lit(">")))
+      .select("cnt", "str").cache()
+    var w = w0
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to k if !exhausted) {
+      val top = w
+        .select(col("cnt"),
+          split(expr("substring(str, 2, length(str) - 2)"), "><").as("syms"))
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // vocab fully merged / empty corpus
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, c))
+        w = w.withColumn("str", expr(s"replace(str, '<$l><$r>', '<$l$r>')"))
+      }
+    }
+    merges.result()
+  }
+
   val defs: Vector[QueryDef] = Vector(
 
     // ---- pivot (conditional aggregation) ------------------------------
@@ -582,39 +623,8 @@ object Battery {
     // pair list. Oracle = the identical 3 steps as unrolled CTEs.
     QueryDef("q_bpe_train",
       (s, dir) => {
-        val w0 = rd(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("word"))
-          .filter(col("word").rlike("^[a-z]{2,}$"))
-          .groupBy("word").agg(count(lit(1)).as("cnt"))
-          .withColumn("str", concat(lit("<"),
-            expr("array_join(transform(sequence(1, length(word)), " +
-              "i -> substring(word, i, 1)), '><')"), lit(">")))
-          .select("cnt", "str").cache()
-        var w = w0
-        val merges = Seq.newBuilder[(Int, String, String, Long)]
-        var exhausted = false
-        for (step <- 1 to 3 if !exhausted) {
-          val top = w
-            .select(col("cnt"),
-              split(expr("substring(str, 2, length(str) - 2)"), "><").as("syms"))
-            .select(col("cnt"), explode(expr(
-              "transform(sequence(1, size(syms) - 1), i -> " +
-                "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
-              .as("pr"))
-            .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-            .agg(sum(col("cnt")).as("c"))
-            .orderBy(col("c").desc, col("l"), col("r"))
-            .limit(1).collect()
-          if (top.isEmpty) exhausted = true // vocab fully merged / empty corpus
-          else {
-            val (l, r, c) =
-              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-            merges += ((step, l, r, c))
-            w = w.withColumn("str", expr(s"replace(str, '<$l><$r>', '<$l$r>')"))
-          }
-        }
         import s.implicits._
-        merges.result().toDF("step", "l", "r", "pair_cnt").orderBy("step")
+        bpeMerges(s, dir, 3).toDF("step", "l", "r", "pair_cnt").orderBy("step")
       },
       Some("""WITH w0 AS (
              |  SELECT COUNT(*) AS cnt,
@@ -664,6 +674,106 @@ object Battery {
              |SELECT * FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
              |               UNION ALL SELECT * FROM m3)
              |ORDER BY step""".stripMargin)),
+
+    // ---- BPE tokenizer application (the other half of train) -----------
+    // Applies the 3 learned merges to every token of every document —
+    // the tokenize-the-corpus pass that consumes q_bpe_train's merge
+    // table. The apply pass is corpus-sized but MAP-ONLY (three chained
+    // replaces on the boundary-wrapped symbol string, in trained order,
+    // then a symbol count), so at 100 TB it pipelines into the scan
+    // with no shuffle before the per-source rollup. Result: per-source
+    // symbols-per-char compression, with the merges re-derived
+    // identically on both sides (the oracle chains the train CTEs into
+    // the same three replaces). Single-char tokens ride along
+    // untouched — a merge pattern needs two symbols to match.
+    QueryDef("q_bpe_apply",
+      (s, dir) => {
+        val ms = bpeMerges(s, dir, 3)
+        val wrapped = rd(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok").rlike("^[a-z]+$"))
+          .withColumn("str", concat(lit("<"),
+            expr("array_join(transform(sequence(1, length(tok)), " +
+              "i -> substring(tok, i, 1)), '><')"), lit(">")))
+        val applied = ms.foldLeft(wrapped) { case (df, (_, l, r, _)) =>
+          df.withColumn("str", expr(s"replace(str, '<$l><$r>', '<$l$r>')"))
+        }
+        applied
+          .select(col("source"), length(col("tok")).cast("long").as("nc"),
+            size(split(expr("substring(str, 2, length(str) - 2)"), "><"))
+              .cast("long").as("ns"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("nc")).as("n_chars"),
+            sum(col("ns")).as("n_symbols"),
+            (sum(col("ns")).cast("double") / sum(col("nc"))).as("syms_per_char"))
+          .orderBy("source")
+      },
+      Some("""WITH w0 AS (
+             |  SELECT COUNT(*) AS cnt,
+             |    '<' || list_aggregate(list_transform(range(1, length(tok) + 1),
+             |        i -> tok[i]), 'string_agg', '><') || '>' AS str
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  WHERE regexp_matches(tok, '^[a-z]{2,}$')
+             |  GROUP BY tok),
+             |p1 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS c FROM (
+             |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+             |      i -> [syms[i], syms[i+1]])) AS pr
+             |    FROM (SELECT cnt,
+             |            string_split(substring(str, 2, length(str) - 2), '><') AS syms
+             |          FROM w0))
+             |  GROUP BY 1, 2),
+             |m1 AS (SELECT l, r FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+             |w1 AS (SELECT cnt, replace(str,
+             |         '<' || m1.l || '><' || m1.r || '>',
+             |         '<' || m1.l || m1.r || '>') AS str
+             |       FROM w0 CROSS JOIN m1),
+             |p2 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS c FROM (
+             |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+             |      i -> [syms[i], syms[i+1]])) AS pr
+             |    FROM (SELECT cnt,
+             |            string_split(substring(str, 2, length(str) - 2), '><') AS syms
+             |          FROM w1))
+             |  GROUP BY 1, 2),
+             |m2 AS (SELECT l, r FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+             |w2 AS (SELECT cnt, replace(str,
+             |         '<' || m2.l || '><' || m2.r || '>',
+             |         '<' || m2.l || m2.r || '>') AS str
+             |       FROM w1 CROSS JOIN m2),
+             |p3 AS (
+             |  SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS c FROM (
+             |    SELECT cnt, unnest(list_transform(range(1, len(syms)),
+             |      i -> [syms[i], syms[i+1]])) AS pr
+             |    FROM (SELECT cnt,
+             |            string_split(substring(str, 2, length(str) - 2), '><') AS syms
+             |          FROM w2))
+             |  GROUP BY 1, 2),
+             |m3 AS (SELECT l, r FROM p3 ORDER BY c DESC, l, r LIMIT 1),
+             |t AS (
+             |  SELECT source, tok,
+             |    '<' || list_aggregate(list_transform(range(1, length(tok) + 1),
+             |        i -> tok[i]), 'string_agg', '><') || '>' AS str
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  WHERE regexp_matches(tok, '^[a-z]+$')),
+             |ap AS (
+             |  SELECT source, nc,
+             |    len(string_split(substring(str2, 2, length(str2) - 2), '><')) AS ns
+             |  FROM (
+             |    SELECT source, length(tok) AS nc,
+             |      replace(replace(replace(str,
+             |        '<' || m1.l || '><' || m1.r || '>', '<' || m1.l || m1.r || '>'),
+             |        '<' || m2.l || '><' || m2.r || '>', '<' || m2.l || m2.r || '>'),
+             |        '<' || m3.l || '><' || m3.r || '>', '<' || m3.l || m3.r || '>')
+             |        AS str2
+             |    FROM t CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3))
+             |SELECT source, COUNT(*) AS n_tokens,
+             |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+             |  CAST(SUM(ns) AS BIGINT) AS n_symbols,
+             |  CAST(SUM(ns) AS DOUBLE) / SUM(nc) AS syms_per_char
+             |FROM ap GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- heavy hitters via a mergeable SpaceSaving sketch --------------
     // Frequent-items completes the sketch family (HLL distinct,

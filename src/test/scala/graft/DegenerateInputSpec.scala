@@ -52,7 +52,8 @@ class DegenerateInputSpec extends AnyFunSuite {
     dir
   }
 
-  for (q <- Seq("q_bloom_join", "q_bpe_train", "q_pagerank", "q_jl_project"))
+  for (q <- Seq("q_bloom_join", "q_bpe_train", "q_bpe_apply", "q_pagerank",
+      "q_jl_project"))
     test(s"$q returns empty, not a crash, on an empty corpus") {
       assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
     }
