@@ -513,6 +513,46 @@ object Advanced {
              |  UNION ALL SELECT 'l_discount', cnt - c6, mn6, mx6, d6, TRUE FROM a)
              |ORDER BY col_name""".stripMargin)),
 
+    // ---- count-min sketch point-frequency estimates --------------------
+    // Completes the sketch quartet (HLL distinct, quantile sketch,
+    // SpaceSaving top-k, now CMS point queries) with Spark's built-in
+    // `count_min_sketch` aggregate: counter arrays sum associatively, so
+    // the sketch merges across partitions in any order and a fixed seed
+    // makes every estimate deterministic. The gate result carries the
+    // exact top-10 part frequencies plus an est_ok bit pinning each CMS
+    // estimate to [exact, exact + max(3, ceil(eps·N))] — the one-sided
+    // overestimate guarantee CMS actually makes — so a hash-function or
+    // merge regression hash-fails the gate (the q_approx_distinct
+    // pattern). Probing is 10 driver-side lookups against the 8 KB-scale
+    // sketch; at 100 TB the sketch build is ONE map-side-combined
+    // aggregation, never a distinct-key shuffle.
+    QueryDef("q_cms_counts",
+      (s, dir) => {
+        val keys = rd(s, dir, "lineitem").select(col("l_partkey"))
+        val agg = keys.agg(
+          expr("count_min_sketch(l_partkey, 0.0001d, 0.99d, 42)").as("cms"),
+          count(lit(1)).as("n")).head
+        val total = agg.getLong(1)
+        val slack = math.max(3L, math.ceil(0.0001 * total).toLong)
+        val cms =
+          if (agg.isNullAt(0)) None
+          else Some(org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](0))))
+        val top = keys.groupBy("l_partkey").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("l_partkey"))
+          .limit(10).collect()
+        import s.implicits._
+        top.toSeq.map { r =>
+          val (k, exact) = (r.getLong(0), r.getLong(1))
+          val est = cms.map(_.estimateCount(k)).getOrElse(0L)
+          (k, exact, est >= exact && est <= exact + slack)
+        }.toDF("l_partkey", "exact_cnt", "est_ok")
+          .orderBy(col("exact_cnt").desc, col("l_partkey"))
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS exact_cnt, TRUE AS est_ok
+             |FROM lineitem GROUP BY l_partkey
+             |ORDER BY exact_cnt DESC, l_partkey LIMIT 10""".stripMargin)),
+
     // ---- random-projection embedding compression (JL transform) -------
     // Johnson–Lindenstrauss dimensionality reduction 64 → 16 with a
     // dense ±1 sign matrix (Achlioptas 2003): y_j = (1/√16) Σ_i v_i·s_ij.
