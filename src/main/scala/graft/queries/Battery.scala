@@ -138,6 +138,55 @@ object Battery {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- robust outlier detection (median / MAD) -----------------------
+    // The data-quality pass that survives skew: flag events whose
+    // |value − median| exceeds 3× the median absolute deviation, per
+    // event_type. Two grouped EXACT percentiles (median, then MAD over
+    // deviations) with the per-type scalars broadcast back — never a
+    // per-row sort or window. All arithmetic runs in integer CENTS
+    // (round(value·100)): percentile interpolation over small integers
+    // yields exact dyadic halves in BOTH engines regardless of their
+    // interpolation formula (lower+(upper−lower)·f vs (lower+upper)/2
+    // differ by an ulp on arbitrary doubles — the q_percentiles
+    // integer-domain precedent), so medians, deviations, the 3×MAD
+    // threshold, and every comparison are bit-exact against the oracle.
+    QueryDef("q_outlier_mad",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(vc, 0.5)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("vc") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max(col("med")).as("median_cents"),
+            max(col("mad")).as("mad_cents"),
+            sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |              CAST(round(value * 100) AS BIGINT) AS vc
+             |            FROM events),
+             |med AS (SELECT event_type, quantile_cont(vc, 0.5) AS med
+             |        FROM ev GROUP BY event_type),
+             |d AS (SELECT ev.event_type, ev.vc, med.med,
+             |        abs(ev.vc - med.med) AS adev
+             |      FROM ev JOIN med USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+             |        FROM d GROUP BY event_type)
+             |SELECT d.event_type, COUNT(*) AS n,
+             |  MAX(d.med) AS median_cents, MAX(mad.mad) AS mad_cents,
+             |  CAST(SUM(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM d JOIN mad USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
+
     // ---- mergeable approximate percentiles (the 100 TB form) -----------
     // q_percentiles above is the exact, oracle-matchable form, but its
     // per-group state is every value (a sort per group). percentile_approx
