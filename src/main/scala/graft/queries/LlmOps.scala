@@ -40,6 +40,17 @@ object LlmOps {
       .withColumn("sh", expr(shingleExpr))
       .select("doc_id", "sh")
 
+  /** 32-permutation MinHash signature per doc over a (doc_id, sh)
+   * frame — shingles hash ONCE inside the array (longs, not strings,
+   * cross the Generate), then the single-pass MinHashAgg folds all 32
+   * permutation minima into one state. Shared by neardupPairs (LSH
+   * banding) and q_minhash_est (estimator accuracy pin). */
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
+
   /** MinHash-LSH candidate generation + exact-Jaccard scoring over a
    * (doc_id, sh) frame — shared by q_neardup_pairs and the corpus
    * pipeline. Returns (a_id, b_id, jaccard) for pairs above `threshold`
@@ -54,10 +65,7 @@ object LlmOps {
     // one signature state — one aggregation state/pass instead of 32 agg
     // expressions (the shuffle already carried 32 partial-min longs
     // per doc either way; the win is plan width and per-row CPU)
-    val exploded = docs.select(col("doc_id"),
-      explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
-    val sigs = exploded.groupBy("doc_id")
-      .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
+    val sigs = minhashSigs(docs)
     val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
       xxhash64(element_at(col("sig"), 2 * b + 1),
         element_at(col("sig"), 2 * b + 2)).as("bv")))
@@ -212,6 +220,45 @@ object LlmOps {
              |        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
              |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
              |SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard
+             |FROM p WHERE CAST(i AS DOUBLE) / u > 0.5
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- MinHash estimator accuracy (the sketch's own contract) --------
+    // q_neardup_pairs uses MinHash only to GENERATE candidates and
+    // verifies with exact Jaccard; this entry pins the ESTIMATOR itself
+    // — matching-component fraction of the 32-perm signatures — within
+    // ±0.3 of exact Jaccard for every surfaced pair (σ ≈ 0.09 at
+    // J ≈ 0.55, so the bound is ~3.4σ; fixed xxhash64 seeds make every
+    // estimate deterministic, pre-validated at all three sfs). The
+    // MinHash analog of the HLL/CMS/quantile est_ok pins: a permutation
+    // or fold regression in MinHashAgg now hash-fails the gate, not
+    // just MinHashAggSpec. Signatures join back to the 25-pair
+    // candidate set — 64 longs per pair, never shingle sets.
+    QueryDef("q_minhash_est",
+      (s, dir) => {
+        val docs = docsWithShingles(s, dir).cache()
+        val sigs = minhashSigs(docs)
+        neardupPairs(docs, threshold = 0.5)
+          .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
+          .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
+          .withColumn("est", expr(
+            "size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v)) / 32.0D"))
+          .select(col("a_id"), col("b_id"),
+            round(col("jaccard"), 4).as("jaccard"),
+            (abs(col("est") - col("jaccard")) <= 0.3).as("est_ok"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |                 for i in range(1, len(ts) - 1)]) AS s
+             |  FROM tok),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |        len(list_intersect(a.s, b.s)) AS i,
+             |        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+             |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, ROUND(CAST(i AS DOUBLE) / u, 4) AS jaccard,
+             |  TRUE AS est_ok
              |FROM p WHERE CAST(i AS DOUBLE) / u > 0.5
              |ORDER BY a_id, b_id""".stripMargin)),
 
