@@ -262,6 +262,64 @@ object LlmOps {
              |FROM p WHERE CAST(i AS DOUBLE) / u > 0.5
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // ---- asymmetric containment join (prefix filter, EXACT) ----------
+    // Finds docs mostly CONTAINED in another doc — C(A,B) = |sh(A) ∩
+    // sh(B)| / |sh(A)| ≥ 0.8 — the decontamination / quote-detection
+    // case MinHash-LSH structurally misses (a small doc inside a big
+    // one has low Jaccard but high containment). Candidates come from
+    // the PPJoin prefix filter, which is EXACT, not probabilistic: if
+    // C(A,B) ≥ t then B misses at most (1−t)·|A| of A's shingles, so A
+    // and B must share one of A's ⌊(1−t)·|A|⌋+1 first shingles under
+    // ANY fixed global order. We order by (global df asc, hash asc) —
+    // rarest first — so each probe key's inverted-index posting list is
+    // the SHORTEST available, bounding candidates per doc at any corpus
+    // size (the common-shingle hot keys are exactly the ones the prefix
+    // never probes). Shuffles carry 8-byte shingle hashes; the string
+    // arrays appear only in the final candidate-only verify join (the
+    // neardupPairs posture). Per-doc window sorts are bounded by doc
+    // length, never corpus size.
+    QueryDef("q_containment",
+      (s, dir) => {
+        val docs = docsWithShingles(s, dir)
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"), col("sh")).cache()
+        val ex = docs.select(col("doc_id"),
+          explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+        val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+        val prefix = ex.join(dfreq, "h")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
+          .join(docs.select(col("doc_id"), size(col("sh")).as("sz")), "doc_id")
+          .filter(col("rk") <= floor(col("sz") * lit(0.2)).cast("int") + lit(1))
+          .select(col("doc_id").as("a_id"), col("h"))
+        val cand = prefix
+          .join(ex.select(col("doc_id").as("b_id"), col("h")), "h")
+          .filter(col("a_id") =!= col("b_id"))
+          .select("a_id", "b_id").distinct()
+        cand
+          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+          .withColumn("containment",
+            size(array_intersect(col("sa"), col("sb"))).cast("double")
+              / size(col("sa")))
+          .filter(col("containment") >= 0.8)
+          .select(col("a_id"), col("b_id"),
+            round(col("containment"), 4).as("containment"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |                 for i in range(1, len(ts) - 1)]) AS s
+             |  FROM tok)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 4)
+             |    AS containment
+             |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             |WHERE len(a.s) > 0 AND len(b.s) > 0
+             |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // ---- token frequencies: top-5 per language -----------------------
     QueryDef("q_text_tokens",
       (s, dir) => {
@@ -306,6 +364,47 @@ object LlmOps {
              |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_words,
              |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- per-doc unigram entropy (information-density filter) ---------
+    // Shannon entropy of each document's token distribution in bits —
+    // the standard low-information filter (boilerplate / keyword-stuffed
+    // / template docs score low, natural prose high). One map-side
+    // explode + (doc_id, tok) count + per-doc agg: shuffles carry
+    // (doc, token-hashable) count rows, never text bodies, and every
+    // aggregation is partial-merge-friendly — the same two-shuffle shape
+    // at any corpus size. Float determinism: H = log2(n) − (Σ c·log2 c)/n
+    // keeps log2 applied only to exact integers (identical IEEE inputs
+    // in both engines); the per-row c·log2(c) term is rounded onto a
+    // 6-dp decimal grid so the SUM is order-independent (the Q.dsumS
+    // policy), and the final `+ 0.0` collapses any −0.0 from the
+    // rounding so both engines print the same zero.
+    QueryDef("q_token_entropy",
+      (s, dir) => {
+        val cnt = rd(s, dir, "documents")
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        cnt.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            Q.dsumS(col("c").cast("double") * log2(col("c").cast("double")), 6)
+              .as("slc"))
+          .withColumn("entropy_bits",
+            round(log2(col("n_tokens").cast("double"))
+              - col("slc") / col("n_tokens").cast("double"), 4) + lit(0.0))
+          .select("doc_id", "n_tokens", "n_distinct", "entropy_bits")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+             |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |        COUNT(*) AS n_distinct,
+             |        ${Q.dsumSqlS("CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))", 6)} AS slc
+             |      FROM c GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_distinct,
+             |  ROUND(log2(CAST(n_tokens AS DOUBLE))
+             |        - slc / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS entropy_bits
+             |FROM a ORDER BY doc_id""".stripMargin)),
 
     // ---- per-doc quality scores (stopword ratio, TTR, token count) ---
     QueryDef("q_text_quality",

@@ -53,7 +53,8 @@ class DegenerateInputSpec extends AnyFunSuite {
   }
 
   for (q <- Seq("q_bloom_join", "q_bpe_train", "q_bpe_apply", "q_pagerank",
-      "q_jl_project", "q_cms_counts", "q_minhash_est"))
+      "q_jl_project", "q_cms_counts", "q_minhash_est", "q_token_entropy",
+      "q_containment", "q_pmi_bigrams"))
     test(s"$q returns empty, not a crash, on an empty corpus") {
       assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
     }
