@@ -280,6 +280,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s.requiredSchema.fieldNames.mkString(","))
   }
 
+  test("q_containment joins on hash keys, never a doc×doc product") {
+    val s = plan("q_containment").toString
+    // prefix→inverted-index candidate generation and both verify joins
+    // must all be equi-joins; a cartesian here is the O(corpus²) failure
+    // the prefix filter exists to prevent
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"containment degenerated to an all-pairs product:\n$s")
+    assert(s.contains("partial_"), s"df counting has no map-side partial:\n$s")
+  }
+
+  test("q_pmi_bigrams broadcasts vocab joins and cuts top-k by TakeOrdered") {
+    val s = plan("q_pmi_bigrams").toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"global top-20 planned as a full sort:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"unigram-count joins not broadcast:\n$s")
+    assert(s.contains("partial_"), s"counts have no map-side partial:\n$s")
+  }
+
+  test("q_token_entropy reads only the two referenced document columns") {
+    val p = plan("q_token_entropy")
+    val s = scanOf(p, "documents")
+    assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s.requiredSchema.fieldNames.mkString(","))
+    assert(p.toString.contains("partial_"),
+      s"token counts have no map-side partial:\n$p")
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
