@@ -187,6 +187,60 @@ object Battery {
              |FROM d JOIN mad USING (event_type)
              |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
 
+    // ---- two-sample KS drift statistic (distribution monitoring) -------
+    // Kolmogorov–Smirnov distance between the value distributions of two
+    // event slices — the standard drift alarm between data batches /
+    // sources in a training pipeline (did this week's 'click' values
+    // shift vs 'purchase'-like reference?). Plan: values land on the
+    // integer-cents grid (the q_outlier_mad precedent — exact in both
+    // engines), counts aggregate per distinct cents value FIRST (one
+    // map-side-combined shuffle; the result is VALUE-DOMAIN-sized, ≪
+    // corpus at any scale), and only that compact table flows through
+    // the unpartitioned prefix-sum window — the window sorts the value
+    // domain, never the event log. Determinism: empirical-CDF gaps are
+    // integer ratios (identical IEEE division), max/argmax over
+    // identical doubles; ties on the gap break to the smallest cents in
+    // both engines.
+    QueryDef("q_ks_drift",
+      (s, dir) => {
+        val cnt = rd(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy("cents")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+        val tot = cnt.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        val w = Window.orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cnt.crossJoin(broadcast(tot))
+          .withColumn("gap",
+            abs(sum(col("c1")).over(w).cast("double") / col("n1").cast("double")
+              - sum(col("c2")).over(w).cast("double") / col("n2").cast("double")))
+          .orderBy(col("gap").desc, col("cents").asc)
+          .limit(1)
+          .select(col("n1"), col("n2"), round(col("gap"), 6).as("ks_stat"),
+            col("cents").as("ks_at_cents"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |             CAST(round(value * 100) AS BIGINT) AS cents
+             |           FROM events
+             |           WHERE event_type IN ('click', 'purchase')),
+             |c AS (SELECT cents,
+             |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+             |      FROM e GROUP BY cents),
+             |n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |        CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+             |d AS (SELECT cents, n1, n2,
+             |        ABS(CAST(SUM(c1) OVER w AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |          - CAST(SUM(c2) OVER w AS DOUBLE) / CAST(n2 AS DOUBLE)) AS gap
+             |      FROM c CROSS JOIN n
+             |      WINDOW w AS (ORDER BY cents
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT n1, n2, ROUND(gap, 6) AS ks_stat, cents AS ks_at_cents
+             |FROM d ORDER BY gap DESC, cents LIMIT 1""".stripMargin)),
+
     // ---- mergeable approximate percentiles (the 100 TB form) -----------
     // q_percentiles above is the exact, oracle-matchable form, but its
     // per-group state is every value (a sort per group). percentile_approx

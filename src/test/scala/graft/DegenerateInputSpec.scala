@@ -39,6 +39,11 @@ class DegenerateInputSpec extends AnyFunSuite {
       StructField("o_totalprice", DoubleType),
       StructField("o_orderdate", TimestampType),
       StructField("o_orderpriority", StringType))))
+    write("events", StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))))
     write("lineitem", StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
       StructField("l_suppkey", LongType),
@@ -54,7 +59,7 @@ class DegenerateInputSpec extends AnyFunSuite {
 
   for (q <- Seq("q_bloom_join", "q_bpe_train", "q_bpe_apply", "q_pagerank",
       "q_jl_project", "q_cms_counts", "q_minhash_est", "q_token_entropy",
-      "q_containment", "q_pmi_bigrams"))
+      "q_containment", "q_pmi_bigrams", "q_ks_drift"))
     test(s"$q returns empty, not a crash, on an empty corpus") {
       assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
     }
