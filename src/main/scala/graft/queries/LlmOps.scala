@@ -800,6 +800,92 @@ object LlmOps {
               |SELECT vec_id, CAST(r AS BIGINT) AS rank_fp
               |FROM r3 ORDER BY vec_id""".stripMargin)),
 
+    // ---- triangle count over the kNN graph (graph density) -------------
+    // Triangles measure local clustering in the neighbor graph — dense
+    // triangle neighborhoods flag semantic near-dup clusters that
+    // pairwise thresholds miss, and the count is the canonical
+    // graph-density health metric. Algorithm: degree-ordered
+    // orientation — every undirected edge points from its smaller
+    // (degree, id) endpoint to the larger, a DAG under a total order —
+    // then each triangle is counted EXACTLY once as a wedge
+    // (a→b, a→c) closed by the oriented edge between b and c. Out-degree
+    // under this orientation is O(√m) regardless of hubs (a
+    // high-in-degree kNN hub never fans out), so the wedge self-join is
+    // Σ outdeg² — bounded at any scale where the naive shared-endpoint
+    // join (Σ deg²) explodes. The oracle counts the same triangles with
+    // the simple a<b<c triple join — same set, sf-scale cost.
+    QueryDef("q_triangles",
+      (s, dir) => {
+        vecReady(s)
+        val e = rd(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            signBucket("embedding").as("bucket"))
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("bucket"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("bucket"))
+        val scored = a.join(b, Seq("bucket"))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos", cosine("ea", "eb"))
+        val und = graft.plans.TopK.perKey(scored, Seq("a_id"),
+            Seq(col("cos").desc, col("b_id").asc), 2)
+          .select(least(col("a_id"), col("b_id")).as("u"),
+            greatest(col("a_id"), col("b_id")).as("v"))
+          .distinct().cache()
+        val deg = und.select(col("u").as("node"))
+          .union(und.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val oriented = und
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(
+            when(col("du") < col("dv")
+              || (col("du") === col("dv") && col("u") < col("v")),
+              col("u")).otherwise(col("v")).as("s"),
+            when(col("du") < col("dv")
+              || (col("du") === col("dv") && col("u") < col("v")),
+              col("v")).otherwise(col("u")).as("d"))
+          .cache()
+        val e1 = oriented.select(col("s").as("a"), col("d").as("b"))
+        val e2 = oriented.select(col("s").as("a"), col("d").as("c"))
+        val e3 = oriented.select(col("s").as("b"), col("d").as("c"))
+        val tri = e1.join(e2, "a").filter(col("b") =!= col("c"))
+          .join(e3, Seq("b", "c"))
+          .agg(count(lit(1)).as("n_triangles"))
+        und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+          .distinct().agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(tri)
+      },
+      Some(s"""WITH bk AS (SELECT vec_id, embedding, $signBucketSql AS bucket
+              |            FROM embeddings),
+              |sc AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              |                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+              |  / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              |                           list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+              |     * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+              |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+              |    AS cos
+              |  FROM bk a JOIN bk b
+              |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+              |rk AS (SELECT a_id, b_id,
+              |        ROW_NUMBER() OVER (PARTITION BY a_id
+              |          ORDER BY cos DESC, b_id) AS rn
+              |      FROM sc),
+              |und AS (SELECT DISTINCT LEAST(a_id, b_id) AS u,
+              |          GREATEST(a_id, b_id) AS v
+              |        FROM rk WHERE rn <= 2),
+              |nodes AS (SELECT u AS node FROM und
+              |          UNION SELECT v AS node FROM und),
+              |tri AS (SELECT COUNT(*) AS n_triangles
+              |        FROM und ab JOIN und bc ON ab.v = bc.u
+              |             JOIN und ac ON ac.u = ab.u AND ac.v = bc.v)
+              |SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+              |  (SELECT COUNT(*) FROM und) AS n_edges,
+              |  n_triangles
+              |FROM tri""".stripMargin)),
+
     // ---- transitive dedup clusters (connected components) --------------
     // Pairwise near-dup matches → transitive clusters via the iterative
     // min-label operator (graft.operators.ConnectedComponents); cluster
