@@ -280,16 +280,27 @@ object LlmOps {
     // length, never corpus size.
     QueryDef("q_containment",
       (s, dir) => {
+        // shingle strings are hashed ONCE at the scan into long arrays
+        // and never appear again — the inverted index, the prefix, and
+        // the verify all run over 8-byte hashes (the neardupPairs
+        // explode lesson: long Generate output measured ~5x faster, and
+        // the verify's array_intersect over longs beats string compare).
+        // 64-bit collisions across a corpus's distinct shingles are
+        // ~1e-9-probability; the sf0.01 oracle pass pins the actual data.
         val docs = docsWithShingles(s, dir)
           .filter(size(col("sh")) > 0)
-          .select(col("doc_id"), col("sh")).cache()
-        val ex = docs.select(col("doc_id"),
-          explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+          .select(col("doc_id"),
+            expr("transform(sh, x -> xxhash64(x))").as("hs"))
+          .cache()
+        // one explode, cached: feeds the df count, the prefix ranking,
+        // and the inverted-index side of the candidate join. sz rides
+        // the Generate so the prefix cut needs no extra join.
+        val ex = docs.select(col("doc_id"), size(col("hs")).as("sz"),
+          explode(col("hs")).as("h")).cache()
         val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
         val prefix = ex.join(dfreq, "h")
           .withColumn("rk", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
-          .join(docs.select(col("doc_id"), size(col("sh")).as("sz")), "doc_id")
           .filter(col("rk") <= floor(col("sz") * lit(0.2)).cast("int") + lit(1))
           .select(col("doc_id").as("a_id"), col("h"))
         val cand = prefix
@@ -297,11 +308,11 @@ object LlmOps {
           .filter(col("a_id") =!= col("b_id"))
           .select("a_id", "b_id").distinct()
         cand
-          .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-          .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+          .join(docs.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+          .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
           .withColumn("containment",
-            size(array_intersect(col("sa"), col("sb"))).cast("double")
-              / size(col("sa")))
+            size(array_intersect(col("ha"), col("hb"))).cast("double")
+              / size(col("ha")))
           .filter(col("containment") >= 0.8)
           .select(col("a_id"), col("b_id"),
             round(col("containment"), 4).as("containment"))
