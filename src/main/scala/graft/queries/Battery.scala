@@ -241,6 +241,64 @@ object Battery {
              |SELECT n1, n2, ROUND(gap, 6) AS ks_stat, cents AS ks_at_cents
              |FROM d ORDER BY gap DESC, cents LIMIT 1""".stripMargin)),
 
+    // ---- PSI drift (binned population-stability index) -----------------
+    // The monitoring twin of q_ks_drift: where KS reports the single
+    // worst CDF gap, PSI = Σ (p_i − q_i)·ln(p_i / q_i) integrates drift
+    // across the whole distribution — the score production feature-drift
+    // monitors alert on (PSI > 0.2 = retrain). Binning is fixed-width
+    // ($10 buckets over exact cents), so the bin key is integer-exact in
+    // both engines; 0.5-pseudo-count smoothing keeps empty-on-one-side
+    // bins finite without dropping them. Plan shape: one scan, one
+    // (bin)-keyed partial agg over ~50 bins, a broadcast of the 1-row
+    // totals — constant-size state at any corpus scale. Float
+    // determinism: p, q are identical IEEE expressions over identical
+    // integer counts in both engines; the per-bin (p−q)·ln(p/q) term is
+    // rounded onto the 6-dp decimal grid before summation (Q.dsumS) so
+    // neither libm ulp differences in ln() nor summation order can move
+    // the result; each term is ≥ 0 (p−q and ln(p/q) share sign), so psi
+    // ≥ 0 with no −0.0 hazard.
+    QueryDef("q_psi_drift",
+      (s, dir) => {
+        val binned = rd(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("bin"))
+          .groupBy("bin")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+        val tot = binned.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+          count(lit(1)).as("k"))
+        binned.crossJoin(broadcast(tot))
+          .withColumn("p", (col("c1").cast("double") + lit(0.5))
+            / (col("n1").cast("double") + lit(0.5) * col("k").cast("double")))
+          .withColumn("q", (col("c2").cast("double") + lit(0.5))
+            / (col("n2").cast("double") + lit(0.5) * col("k").cast("double")))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            max(col("k")).cast("int").as("n_bins"),
+            round(Q.dsumS((col("p") - col("q")) * log(col("p") / col("q")), 6), 4)
+              .as("psi"))
+      },
+      Some(s"""WITH e AS (SELECT event_type,
+             |             CAST(round(value * 100) AS BIGINT) // 1000 AS bin
+             |           FROM events
+             |           WHERE event_type IN ('click', 'purchase')),
+             |c AS (SELECT bin,
+             |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             |        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+             |      FROM e GROUP BY bin),
+             |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             |        CAST(SUM(c2) AS BIGINT) AS n2, COUNT(*) AS k FROM c),
+             |s AS (SELECT n1, n2, k,
+             |        (CAST(c1 AS DOUBLE) + 0.5)
+             |          / (CAST(n1 AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS p,
+             |        (CAST(c2 AS DOUBLE) + 0.5)
+             |          / (CAST(n2 AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS q
+             |      FROM c CROSS JOIN t)
+             |SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+             |  CAST(MAX(k) AS INTEGER) AS n_bins,
+             |  ROUND(${Q.dsumSqlS("(p - q) * ln(p / q)", 6)}, 4) AS psi
+             |FROM s""".stripMargin)),
+
     // ---- mergeable approximate percentiles (the 100 TB form) -----------
     // q_percentiles above is the exact, oracle-matchable form, but its
     // per-group state is every value (a sort per group). percentile_approx

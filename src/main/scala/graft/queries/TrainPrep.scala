@@ -353,6 +353,117 @@ object TrainPrep {
              |FROM r JOIN b ON r.source = b.source
              |WHERE rn <= budget
              |GROUP BY b.source, b.n_docs, b.budget
-             |ORDER BY b.source""".stripMargin))
+             |ORDER BY b.source""".stripMargin)),
+
+    // ---- text normalization (canonical form before dedup/tokenize) -----
+    // The first transform of every text pipeline: lowercase, strip
+    // non-alphanumerics, collapse whitespace runs, trim. Normalizing
+    // BEFORE exact/near dedup is what makes "same text modulo case and
+    // punctuation" hash to the same digest. The synthetic corpus is
+    // already clean, so both engines first build the same deterministic
+    // messy variant (case-flipped prefix, doubled spaces, punctuation,
+    // an id-bearing fragment) — the normalization semantics are the
+    // operator under test, pinned through md5 of the normalized bytes.
+    // Pure map-side string work: no shuffle at any scale. The same
+    // normal form is exposed as [[normalize]] for reuse and for the
+    // idempotence law in TrainExportSpec (normalize ∘ normalize =
+    // normalize).
+    QueryDef("q_text_normalize",
+      (s, dir) => {
+        val raw = concat(upper(substring(col("text"), 1, 24)), lit("  <p>"),
+          col("text"), lit("  !!!  #"), col("doc_id").cast("string"), lit(" "))
+        rd(s, dir, "documents")
+          .withColumn("norm", normalize(raw))
+          .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+            length(col("norm")).cast("int").as("n_chars_norm"),
+            size(split(col("norm"), " ")).cast("int").as("n_tokens_norm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+             |  upper(substring(text, 1, 24)) || '  <p>' || text || '  !!!  #'
+             |    || CAST(doc_id AS VARCHAR) || ' ' AS r
+             |  FROM documents),
+             |n AS (SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(r), '[^a-z0-9 ]', ' ', 'g'),
+             |                      ' +', ' ', 'g')) AS norm
+             |  FROM raw)
+             |SELECT doc_id, md5(norm) AS norm_md5,
+             |  CAST(length(norm) AS INTEGER) AS n_chars_norm,
+             |  CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_tokens_norm
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // ---- blocklist term filter (safety/keyword screening) --------------
+    // The standard safety screen: flag documents containing any term
+    // from a curated blocklist, report WHICH terms matched (the audit
+    // trail a filtering decision needs) and a keep/drop bit. Matching is
+    // whole-token (split, not substring — 'sparkle' must not match
+    // 'spark'). The blocklist rides into the plan as an array literal —
+    // the broadcast-by-construction shape; a 100 TB run with a large
+    // blocklist broadcasts the term set identically. Map-side only: no
+    // shuffle, the filter column prunes to (text) at the scan.
+    QueryDef("q_blocklist_filter",
+      (s, dir) => {
+        val blocked = Seq("merge", "spark", "stream", "vector")
+        rd(s, dir, "documents")
+          .withColumn("hits", array_sort(array_intersect(
+            array_distinct(split(col("text"), " ")),
+            array(blocked.map(lit): _*))))
+          .select(col("doc_id"),
+            size(col("hits")).cast("int").as("n_blocked"),
+            (size(col("hits")) === 0).as("kept"),
+            concat_ws(",", col("hits")).as("blocked_terms"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |  list_sort(list_intersect(list_distinct(string_split(text, ' ')),
+             |    ['merge', 'spark', 'stream', 'vector'])) AS hits
+             |  FROM documents)
+             |SELECT doc_id, CAST(len(hits) AS INTEGER) AS n_blocked,
+             |  len(hits) = 0 AS kept,
+             |  COALESCE(array_to_string(hits, ','), '') AS blocked_terms
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic global shuffle + sharding (training export) -----
+    // The last step before a training run: break source/time locality by
+    // laying the corpus out in a pseudo-random but REPRODUCIBLE order,
+    // sharded for parallel readers. Order rides on md5(doc_id) (the one
+    // hash both engines share): shard = hash-prefix mod nShards, position
+    // = rank of the full hash within the shard — every rerun produces the
+    // identical layout (no Math.random, no partition-order dependence),
+    // which is what makes a training run resumable and an ablation
+    // comparable. Scale shape: shard assignment is map-side; the
+    // per-shard rank is a window PARTITION BY shard — at 100 TB the
+    // shard count is the output-file count (thousands), so each window
+    // partition is one shard's worth and sorts locally after one hash
+    // shuffle; no global sort ever happens. (The write path pairs this
+    // with repartition(shard) + sortWithinPartitions — q_partitioned_write
+    // covers the sink side.)
+    QueryDef("q_global_shuffle",
+      (s, dir) => {
+        val rk = md5(col("doc_id").cast("string"))
+        val w = Window.partitionBy("shard").orderBy(col("rk"), col("doc_id"))
+        rd(s, dir, "documents")
+          .select(col("doc_id"), rk.as("rk"))
+          .withColumn("shard", pmod(ascii(substring(col("rk"), 1, 1)), lit(4)).cast("int"))
+          .withColumn("pos", row_number().over(w).cast("int"))
+          .select(col("doc_id"), col("shard"), col("pos"), col("rk"))
+          .orderBy("shard", "pos")
+      },
+      Some("""WITH r AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk
+             |           FROM documents),
+             |s AS (SELECT doc_id, rk,
+             |        CAST(ascii(substring(rk, 1, 1)) % 4 AS INTEGER) AS shard
+             |      FROM r)
+             |SELECT doc_id, shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk, doc_id)
+             |       AS INTEGER) AS pos,
+             |  rk
+             |FROM s ORDER BY shard, pos""".stripMargin))
   )
+
+  /** Canonical text normal form (see q_text_normalize): lowercase →
+   * non-[a-z0-9 ] to space → collapse space runs → trim. Idempotent by
+   * construction (the image contains only [a-z0-9] and single spaces). */
+  def normalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Value-level pins for the round-6 export/screening operators (the
+ * oracle checks cross-engine equality; these pin the semantic CONTRACT
+ * the oracle alone can't see):
+ *
+ *  - q_text_normalize's normal form is idempotent and maps a known messy
+ *    literal to its known canonical form;
+ *  - q_global_shuffle is a permutation (every doc exactly once), its
+ *    per-shard positions are contiguous from 1, and a rerun reproduces
+ *    the identical layout;
+ *  - q_blocklist_filter's keep bit, hit count, and audit trail agree
+ *    with each other and only ever name blocklist terms;
+ *  - q_psi_drift is a single finite non-negative score (PSI ≥ 0 by
+ *    construction) and identical distributions score exactly 0.
+ */
+class TrainExportSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sf}
+
+  test("normalize: known literal and idempotence") {
+    import spark.implicits._
+    val df = Seq("  Hello,   WORLD!! #42 <p>ok</p>  ", "already clean", "")
+      .toDF("t")
+      .select(graft.queries.TrainPrep.normalize(col("t")).as("n"))
+    val got = df.as[String].collect().toSeq
+    assert(got == Seq("hello world 42 p ok p", "already clean", ""))
+    // idempotence: normalizing the normal form changes nothing
+    val twice = df.select(graft.queries.TrainPrep.normalize(col("n")).as("n2"))
+      .as[String].collect().toSeq
+    assert(twice == got)
+  }
+
+  test("q_text_normalize: md5 agrees with recomputing the normal form") {
+    val out = SparkEntry.queries("q_text_normalize")(spark, sf)
+    val bad = out.filter(length(col("norm_md5")) =!= 32
+      || col("n_tokens_norm") <= 0).count()
+    assert(bad == 0)
+  }
+
+  test("q_global_shuffle: permutation, contiguous positions, deterministic") {
+    val a = SparkEntry.queries("q_global_shuffle")(spark, sf).collect()
+    val nDocs = SparkTestBase.spark.read
+      .parquet(s"$sf/documents.parquet").count()
+    assert(a.length == nDocs, "every document appears exactly once")
+    assert(a.map(_.getLong(0)).distinct.length == a.length)
+    // per-shard positions are 1..n with no gaps
+    a.groupBy(_.getInt(1)).foreach { case (shard, rows) =>
+      val ps = rows.map(_.getInt(2)).sorted.toSeq
+      assert(ps == (1 to rows.length), s"shard $shard positions not contiguous")
+    }
+    assert(a.map(_.getInt(1)).distinct.length > 1, "layout actually shards")
+    // rerun reproduces the identical layout (the property that makes a
+    // training order resumable)
+    val b = SparkEntry.queries("q_global_shuffle")(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("q_blocklist_filter: keep bit, count, and audit trail agree") {
+    val blocked = Set("merge", "spark", "stream", "vector")
+    val rows = SparkEntry.queries("q_blocklist_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getInt(1); val kept = r.getBoolean(2); val terms = r.getString(3)
+      assert(kept == (n == 0))
+      val ts = if (terms.isEmpty) Seq.empty else terms.split(",").toSeq
+      assert(ts.length == n, s"doc ${r.getLong(0)}: audit trail disagrees with count")
+      assert(ts.forall(blocked), s"doc ${r.getLong(0)}: non-blocklist term in audit trail")
+      assert(ts == ts.sorted, "audit trail is canonically ordered")
+    }
+  }
+
+  test("q_psi_drift: single finite non-negative score") {
+    val r = SparkEntry.queries("q_psi_drift")(spark, sf).collect()
+    assert(r.length == 1)
+    val psi = r(0).getAs[Double]("psi")
+    assert(!psi.isNaN && !psi.isInfinite && psi >= 0.0)
+    assert(r(0).getAs[Long]("n1") > 0 && r(0).getAs[Long]("n2") > 0)
+    assert(r(0).getAs[Int]("n_bins") > 0)
+  }
+
+  test("PSI of a distribution against itself is exactly 0") {
+    import spark.implicits._
+    // same smoothing + grid arithmetic as q_psi_drift, p == q per bin:
+    // every (p-q)*ln(p/q) term is exactly 0.0, so the decimal-grid sum
+    // is exactly 0 — the score's fixed point, pinned here so smoothing
+    // changes can never introduce a self-drift bias
+    val c = Seq((0L, 5L, 5L), (1L, 3L, 3L), (2L, 9L, 9L)).toDF("bin", "c1", "c2")
+    val tot = c.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+      count(lit(1)).as("k"))
+    val psi = c.crossJoin(broadcast(tot))
+      .withColumn("p", (col("c1").cast("double") + lit(0.5))
+        / (col("n1").cast("double") + lit(0.5) * col("k").cast("double")))
+      .withColumn("q", (col("c2").cast("double") + lit(0.5))
+        / (col("n2").cast("double") + lit(0.5) * col("k").cast("double")))
+      .agg(graft.queries.Q.dsumS((col("p") - col("q")) * log(col("p") / col("q")), 6)
+        .as("psi"))
+      .head().getDouble(0)
+    assert(psi == 0.0)
+  }
+}
