@@ -417,6 +417,45 @@ object LlmOps {
              |        - slc / CAST(n_tokens AS DOUBLE), 4) + 0.0 AS entropy_bits
              |FROM a ORDER BY doc_id""".stripMargin)),
 
+    // ---- tokenizer vocabulary coverage (OOV rate per source) ----------
+    // The tokenizer-health metric a pipeline checks before committing to
+    // a vocab: with vocab = the top-k corpus tokens (deterministic cut:
+    // count desc, token asc — a TOTAL order, so the rank-k boundary
+    // cannot wobble between engines), what fraction of each source's
+    // token OCCURRENCES falls outside it? Plan shape: one explode →
+    // (token)-keyed partial-agg counts (vocab-sized ≪ corpus), top-k via
+    // TakeOrdered, vocab BROADCAST back over the token stream (a real
+    // vocab is ≤ a few hundred k entries — always broadcastable), one
+    // (source)-keyed agg. OOV rate is a ratio of exact integers —
+    // bit-identical IEEE in both engines.
+    QueryDef("q_oov_rate",
+      (s, dir) => {
+        val tok = rd(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok").asc).limit(10)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM t
+             |        GROUP BY tok ORDER BY c DESC, tok LIMIT 10)),
+             |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |        CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+             |             AS BIGINT) AS n_oov
+             |      FROM t LEFT JOIN v ON t.tok = v.tok
+             |      GROUP BY source)
+             |SELECT source, n_tokens, n_oov,
+             |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+             |FROM a ORDER BY source""".stripMargin)),
+
     // ---- per-doc quality scores (stopword ratio, TTR, token count) ---
     QueryDef("q_text_quality",
       (s, dir) => {
@@ -964,6 +1003,66 @@ object LlmOps {
              |SELECT LEAST(src, MIN(dst)) AS cluster_id, src AS doc_id
              |FROM reach GROUP BY src
              |ORDER BY cluster_id, doc_id""".stripMargin)),
+
+    // ---- cluster representative selection (the dedup OUTPUT step) ------
+    // What production dedup actually emits: ONE kept document per
+    // transitive near-dup cluster (the longest member — most content —
+    // ties to the smallest doc_id), singletons kept as their own
+    // representative. Completes the cluster family: q_neardup_pairs
+    // finds edges, q_dedup_clusters labels components, THIS picks the
+    // survivors. The per-cluster argmax is a partial-aggregating
+    // max(struct(n_chars, -doc_id)) — skew-safe (a pathological
+    // mega-cluster combines map-side, no per-cluster window sort; the
+    // q_seg_dedup min(struct) precedent), and the shuffle carries one
+    // struct per (cluster × map partition), never text. The cluster
+    // labels come from the GraphX CC operator (graph-sized input —
+    // pairs, not corpus); the left join back to the corpus keeps every
+    // unpaired doc with cluster_id = its own id.
+    QueryDef("q_cluster_rep",
+      (s, dir) => {
+        val docs = docsWithShingles(s, dir).cache()
+        val pairs = neardupPairs(docs, threshold = 0.5).select("a_id", "b_id")
+        val comp = graft.operators.ConnectedComponents.runGraphX(pairs)
+          .withColumnRenamed("id", "doc_id")
+        rd(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("comp"), col("doc_id")))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"))
+          .select(col("cluster_id"), (-col("m.neg_id")).as("rep_doc_id"),
+            col("n_members"), col("m.n_chars").as("rep_chars"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+             |                       FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+             |                 for i in range(1, len(ts) - 1)]) AS s
+             |  FROM tok),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0.5),
+             |e AS (SELECT a_id AS src, b_id AS dst FROM p
+             |      UNION SELECT b_id, a_id FROM p),
+             |reach AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+             |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+             |         FROM reach GROUP BY src),
+             |lab AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             |          d.n_chars
+             |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+             |r AS (SELECT cluster_id, doc_id, n_chars,
+             |        ROW_NUMBER() OVER (PARTITION BY cluster_id
+             |          ORDER BY n_chars DESC, doc_id) AS rn,
+             |        COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+             |      FROM lab)
+             |SELECT cluster_id, doc_id AS rep_doc_id,
+             |  CAST(n_members AS BIGINT) AS n_members, n_chars AS rep_chars
+             |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
 
     // ---- incremental dedup: new batch vs existing corpus ---------------
     // The ingestion shape: an incoming batch (simulated as doc_id % 10

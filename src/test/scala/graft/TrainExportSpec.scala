@@ -82,6 +82,38 @@ class TrainExportSpec extends AnyFunSuite {
     assert(r(0).getAs[Int]("n_bins") > 0)
   }
 
+  test("q_cluster_rep: representatives partition the corpus") {
+    val reps = SparkEntry.queries("q_cluster_rep")(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // every document lands in exactly one cluster
+    assert(reps.map(_.getAs[Long]("n_members")).sum == nDocs)
+    assert(reps.map(_.getAs[Long]("cluster_id")).distinct.length == reps.length)
+    // min-id labeling: the label can never exceed the representative
+    reps.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") <= r.getAs[Long]("rep_doc_id"))
+    }
+    // the multi-member clusters agree with the oracle-checked cluster map
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("cluster_id")).map { case (c, rs) => c -> rs.length.toLong }
+    val multi = reps.filter(_.getAs[Long]("n_members") > 1L)
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_members")).toMap
+    assert(multi == clusters)
+  }
+
+  test("q_oov_rate: rates are consistent ratios strictly inside (0, 1)") {
+    val rows = SparkEntry.queries("q_oov_rate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val oov = r.getAs[Long]("n_oov")
+      val rate = r.getAs[Double]("oov_rate")
+      assert(n > 0 && oov >= 0 && oov <= n)
+      assert(rate == oov.toDouble / n.toDouble)
+      // a 10-token vocab over the ~31-token synthetic vocabulary must
+      // leave both in-vocab and OOV mass in every source slice
+      assert(rate > 0.0 && rate < 1.0)
+    }
+  }
+
   test("PSI of a distribution against itself is exactly 0") {
     import spark.implicits._
     // same smoothing + grid arithmetic as q_psi_drift, p == q per bin:
