@@ -737,6 +737,150 @@ object Battery {
              |FROM d GROUP BY cohort, day
              |ORDER BY cohort, day_offset""".stripMargin)),
 
+    // ---- sequential conversion funnel (view → click → purchase) -------
+    // The product-analytics staple missing from the event family: how
+    // many users progressed through an ORDERED stage sequence. Sequential
+    // semantics, not set semantics — a click only counts if it happens
+    // strictly AFTER the user's first view, a purchase only strictly
+    // after that qualifying click — so each stage is a (user)-keyed min
+    // over events filtered by the PREVIOUS stage's timestamp. Three
+    // same-key shuffles (user_id, naturally high-cardinality); stage
+    // frames shrink monotonically, so each join is smaller than the
+    // last. Conversion ratios are exact-integer divisions, IEEE-identical
+    // in both engines. (Timestamp comparisons ride the same µs model as
+    // q_asof_last_signup / q_sessionize.)
+    QueryDef("q_funnel",
+      (s, dir) => {
+        val e = events(s, dir).select("user_id", "event_type", "ts")
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val t2 = e.filter(col("event_type") === "click")
+          .join(t1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val t3 = e.filter(col("event_type") === "purchase")
+          .join(t2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        val nAll = e.agg(countDistinct(col("user_id")).as("n_users"))
+        val c1 = t1.agg(count(lit(1)).as("n_viewed"))
+        val c2 = t2.agg(count(lit(1)).as("n_clicked"))
+        val c3 = t3.agg(count(lit(1)).as("n_converted"))
+        nAll.crossJoin(broadcast(c1)).crossJoin(broadcast(c2))
+          .crossJoin(broadcast(c3))
+          .withColumn("view_to_click",
+            col("n_clicked").cast("double") / col("n_viewed").cast("double"))
+          .withColumn("click_to_purchase",
+            col("n_converted").cast("double") / col("n_clicked").cast("double"))
+      },
+      Some("""WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             |            WHERE event_type = 'view' GROUP BY user_id),
+             |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             |       JOIN t1 ON e.user_id = t1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts > t1.t1
+             |       GROUP BY e.user_id),
+             |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             |       JOIN t2 ON e.user_id = t2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+             |       GROUP BY e.user_id)
+             |SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+             |  (SELECT COUNT(*) FROM t1) AS n_viewed,
+             |  (SELECT COUNT(*) FROM t2) AS n_clicked,
+             |  (SELECT COUNT(*) FROM t3) AS n_converted,
+             |  CAST((SELECT COUNT(*) FROM t2) AS DOUBLE)
+             |    / CAST((SELECT COUNT(*) FROM t1) AS DOUBLE) AS view_to_click,
+             |  CAST((SELECT COUNT(*) FROM t3) AS DOUBLE)
+             |    / CAST((SELECT COUNT(*) FROM t2) AS DOUBLE) AS click_to_purchase"""
+        .stripMargin)),
+
+    // ---- χ² independence test (event_type ⟂ value bucket?) ------------
+    // The categorical drift/data-quality complement of q_ks_drift (two
+    // numeric samples) and q_psi_drift (one numeric feature over time):
+    // is the VALUE distribution independent of EVENT TYPE? Pearson χ² =
+    // Σ (O−E)²/E over the (type × $50-value-bucket) contingency table.
+    // One scan → (type, bucket) partial-agg counts (table is
+    // |types|·|buckets| ≪ corpus, constant at any scale); marginals and
+    // the statistic derive from the tiny table driver-free via two more
+    // aggregations. O is integer-exact; E = row·col/N and each cell term
+    // are identical IEEE over exact integers, rounded onto the 6-dp
+    // decimal grid before the final sum (dsumS) so summation order and
+    // libm cannot move the statistic.
+    QueryDef("q_chi2_independence",
+      (s, dir) => {
+        val cells = rd(s, dir, "events")
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT) DIV 5000").as("bucket"))
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
+          .cache()
+        val rows = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+        val cols = cells.groupBy("bucket").agg(sum(col("o")).as("ct"))
+        val tot = cells.agg(sum(col("o")).as("n"))
+        cells.join(broadcast(rows), "event_type")
+          .join(broadcast(cols), "bucket")
+          .crossJoin(broadcast(tot))
+          .withColumn("e", col("rt").cast("double") * col("ct").cast("double")
+            / col("n").cast("double"))
+          .withColumn("term",
+            (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+              / col("e"))
+          .agg(max(col("n")).as("n_events"),
+            countDistinct(col("event_type")).cast("long").as("n_types"),
+            countDistinct(col("bucket")).cast("long").as("n_buckets"),
+            round(Q.dsumS(col("term"), 6), 4).as("chi2"))
+      },
+      Some(s"""WITH c AS (SELECT event_type,
+             |             CAST(round(value * 100) AS BIGINT) // 5000 AS bucket,
+             |             COUNT(*) AS o
+             |           FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, SUM(o) AS rt FROM c GROUP BY event_type),
+             |col AS (SELECT bucket, SUM(o) AS ct FROM c GROUP BY bucket),
+             |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+             |s AS (SELECT c.o, c.event_type, c.bucket, t.n,
+             |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             |          / CAST(n AS DOUBLE) AS e
+             |      FROM c JOIN r USING (event_type) JOIN col USING (bucket)
+             |      CROSS JOIN t)
+             |SELECT MAX(n) AS n_events,
+             |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             |  CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+             |  ROUND(${Q.dsumSqlS(
+                 "(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e", 6)}, 4)
+             |    AS chi2
+             |FROM s""".stripMargin)),
+
+    // ---- Gini concentration of source contribution --------------------
+    // The corpus-balance monitor for training mixes: how concentrated is
+    // the corpus across sources? Gini over per-source doc counts via the
+    // sorted-cumulative formula G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n with xᵢ
+    // ascending (ties broken by source name — a total order, so ranks
+    // are identical in both engines). The windowed rank runs over the
+    // SOURCE-level aggregate (20 rows here; thousands at most in any
+    // real corpus — never the corpus itself), so the unpartitioned
+    // window is constant-sized at any scale. All sums are exact
+    // integers; the two final divisions are identical IEEE.
+    QueryDef("q_gini_sources",
+      (s, dir) => {
+        val x = rd(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("x").asc, col("source").asc)
+        x.withColumn("i", row_number().over(w).cast("long"))
+          .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("n_docs"),
+            round(lit(2.0) * sum(col("i") * col("x")).cast("double")
+              / (count(lit(1)).cast("double") * sum(col("x")).cast("double"))
+              - (count(lit(1)).cast("double") + lit(1.0))
+                / count(lit(1)).cast("double"), 6)
+              .as("gini"))
+      },
+      Some("""WITH x AS (SELECT source, COUNT(*) AS x FROM documents
+             |           GROUP BY source),
+             |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, source) AS i
+             |      FROM x)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+             |  CAST(SUM(x) AS BIGINT) AS n_docs,
+             |  ROUND(2.0 * CAST(SUM(i * x) AS DOUBLE)
+             |          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+             |        - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+             |          / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+             |FROM r""".stripMargin)),
+
     // ---- regex (BPE-ish) tokenizer vs whitespace tokenizer ------------
     // The "token counting: whitespace + a BPE-ish regex" north-star
     // item: a word/punctuation-class regex (the GPT-2 pre-tokenizer

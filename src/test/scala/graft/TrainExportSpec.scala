@@ -114,6 +114,50 @@ class TrainExportSpec extends AnyFunSuite {
     }
   }
 
+  test("q_funnel: stages shrink monotonically and stay non-vacuous") {
+    val r = SparkEntry.queries("q_funnel")(spark, sf).collect()(0)
+    val (n, v, c, p) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_viewed"),
+      r.getAs[Long]("n_clicked"), r.getAs[Long]("n_converted"))
+    assert(n >= v && v >= c && c >= p,
+      "sequential funnel stages must shrink monotonically")
+    assert(p > 0, "funnel is vacuous: nobody converted")
+    assert(r.getAs[Double]("view_to_click") == c.toDouble / v.toDouble)
+    assert(r.getAs[Double]("click_to_purchase") == p.toDouble / c.toDouble)
+  }
+
+  test("q_chi2_independence: finite non-negative statistic over a real table") {
+    val r = SparkEntry.queries("q_chi2_independence")(spark, sf).collect()(0)
+    val chi2 = r.getAs[Double]("chi2")
+    assert(!chi2.isNaN && !chi2.isInfinite && chi2 >= 0.0)
+    assert(r.getAs[Long]("n_types") > 1 && r.getAs[Long]("n_buckets") > 1,
+      "contingency table degenerated to one row/column")
+  }
+
+  test("q_gini_sources: coefficient in [0, 1) and accounts for every doc") {
+    val r = SparkEntry.queries("q_gini_sources")(spark, sf).collect()(0)
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.getAs[Long]("n_docs") == nDocs)
+  }
+
+  test("Gini of a perfectly uniform distribution is exactly 0") {
+    import spark.implicits._
+    // same sorted-cumulative formula as q_gini_sources on equal counts:
+    // (2·Σ i·x)/(n·Σx) − (n+1)/n = (2·x·n(n+1)/2)/(n·n·x) − (n+1)/n = 0,
+    // all in exact integer arithmetic until the final divisions
+    val x = Seq(("a", 7L), ("b", 7L), ("c", 7L), ("d", 7L)).toDF("source", "x")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").asc, col("source").asc)
+    val g = x.withColumn("i", row_number().over(w).cast("long"))
+      .agg((lit(2.0) * sum(col("i") * col("x")).cast("double")
+        / (count(lit(1)).cast("double") * sum(col("x")).cast("double"))
+        - (count(lit(1)).cast("double") + lit(1.0))
+          / count(lit(1)).cast("double")).as("g"))
+      .head().getDouble(0)
+    assert(g == 0.0)
+  }
+
   test("PSI of a distribution against itself is exactly 0") {
     import spark.implicits._
     // same smoothing + grid arithmetic as q_psi_drift, p == q per bin:
