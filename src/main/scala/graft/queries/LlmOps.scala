@@ -1761,6 +1761,107 @@ object LlmOps {
               |r AS (SELECT vec_id, sab, cos_q, $cosSql AS cos FROM top)
               |SELECT vec_id, sab AS coarse_dot, ROUND(cos_q, 4) AS cos_q,
               |  ROUND(cos, 4) AS cosine
-              |FROM r ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin))
+              |FROM r ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // ---- MMR diversified rerank (relevance − redundancy top-k) --------
+    // Maximal Marginal Relevance (Carbonell & Goldstein '98), the
+    // standard diversified-retrieval rerank: greedily pick argmax
+    // λ·rel(c) − (1−λ)·max_{s∈chosen} sim(c, s) — relevance first, then
+    // penalize redundancy with what's already selected (plain top-k
+    // returns near-duplicate neighbors; MMR is why result pages don't).
+    // Two stages with the standard serving split: (1) DISTRIBUTED
+    // candidate generation — one corpus pass, map-side codegen cosine,
+    // TakeOrdered(12) — this is the part that sees 100 TB; (2) greedy
+    // selection of 4 from the 12 collected candidates — O(k²·dim)
+    // driver arithmetic on a constant-size set (the IVF probe-routing
+    // precedent: bounded, corpus-independent — reranking k candidates
+    // is client-side work in every production retrieval stack).
+    // Determinism: rel comes from the FloatVecCosine kernel and the
+    // driver-side sims run the identical sequential double fold, so
+    // scores are bit-identical to the oracle's unrolled 4-step greedy
+    // (same IEEE expression 0.7·rel − 0.3·GREATEST(sims), ties to the
+    // smaller vec_id); ROUND touches only display columns.
+    QueryDef("q_mmr_rerank",
+      (s, dir) => {
+        vecReady(s)
+        import s.implicits._
+        val e = rd(s, dir, "embeddings")
+        val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pe"))
+        val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+          .withColumn("rel", cosine("embedding", "pe"))
+          .orderBy(col("rel").desc, col("vec_id"))
+          .limit(12)
+          .select(col("vec_id"), col("embedding"), col("rel"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+          .toVector
+        // identical arithmetic to FloatVecCosine / DuckDB's
+        // list_dot_product chain: three sequential index-order folds
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        var remaining = cand
+        var chosen = Vector.empty[(Long, Array[Float], Double, Double)]
+        for (_ <- 1 to math.min(4, cand.length)) {
+          val best = remaining.map { case (id, emb, rel) =>
+            val msim = if (chosen.isEmpty) 0.0
+              else chosen.map(c => cos(emb, c._2)).max
+            (id, emb, rel, 0.7 * rel - 0.3 * msim)
+          }.minBy { case (id, _, _, score) => (-score, id) }
+          chosen :+= best
+          remaining = remaining.filterNot(_._1 == best._1)
+        }
+        chosen.zipWithIndex
+          .map { case ((id, _, rel, score), i) => (i + 1, id, rel, score) }
+          .toDF("step", "vec_id", "relevance", "mmr_score")
+          .select(col("step"), col("vec_id"),
+            round(col("relevance"), 4).as("relevance"),
+            round(col("mmr_score"), 4).as("mmr_score"))
+          .orderBy("step")
+      },
+      Some {
+        def cp(a: String, b: String): String =
+          s"""(list_dot_product(list_transform($a, x -> CAST(x AS DOUBLE)),
+             |                  list_transform($b, x -> CAST(x AS DOUBLE)))
+             | / (sqrt(list_dot_product(list_transform($a, x -> CAST(x AS DOUBLE)),
+             |                          list_transform($a, x -> CAST(x AS DOUBLE))))
+             |    * sqrt(list_dot_product(list_transform($b, x -> CAST(x AS DOUBLE)),
+             |                            list_transform($b, x -> CAST(x AS DOUBLE))))))"""
+            .stripMargin
+        s"""WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+           |sc AS (SELECT vec_id, embedding AS emb, ${cp("embedding", "pe")} AS rel
+           |       FROM embeddings, p WHERE vec_id <> 0),
+           |c AS (SELECT * FROM sc ORDER BY rel DESC, vec_id LIMIT 12),
+           |s1 AS (SELECT vec_id, emb, rel, 0.7 * rel AS score FROM c
+           |       ORDER BY 0.7 * rel DESC, vec_id LIMIT 1),
+           |r2 AS (SELECT c.vec_id, c.emb, c.rel, ${cp("c.emb", "s1.emb")} AS msim
+           |       FROM c, s1 WHERE c.vec_id <> s1.vec_id),
+           |s2 AS (SELECT vec_id, emb, rel, 0.7 * rel - 0.3 * msim AS score
+           |       FROM r2 ORDER BY 0.7 * rel - 0.3 * msim DESC, vec_id LIMIT 1),
+           |r3 AS (SELECT c.vec_id, c.emb, c.rel,
+           |         GREATEST(${cp("c.emb", "s1.emb")}, ${cp("c.emb", "s2.emb")})
+           |           AS msim
+           |       FROM c, s1, s2 WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+           |s3 AS (SELECT vec_id, emb, rel, 0.7 * rel - 0.3 * msim AS score
+           |       FROM r3 ORDER BY 0.7 * rel - 0.3 * msim DESC, vec_id LIMIT 1),
+           |r4 AS (SELECT c.vec_id, c.emb, c.rel,
+           |         GREATEST(${cp("c.emb", "s1.emb")}, ${cp("c.emb", "s2.emb")},
+           |                  ${cp("c.emb", "s3.emb")}) AS msim
+           |       FROM c, s1, s2, s3
+           |       WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)),
+           |s4 AS (SELECT vec_id, emb, rel, 0.7 * rel - 0.3 * msim AS score
+           |       FROM r4 ORDER BY 0.7 * rel - 0.3 * msim DESC, vec_id LIMIT 1)
+           |SELECT 1 AS step, vec_id, ROUND(rel, 4) AS relevance,
+           |  ROUND(score, 4) AS mmr_score FROM s1
+           |UNION ALL SELECT 2, vec_id, ROUND(rel, 4), ROUND(score, 4) FROM s2
+           |UNION ALL SELECT 3, vec_id, ROUND(rel, 4), ROUND(score, 4) FROM s3
+           |UNION ALL SELECT 4, vec_id, ROUND(rel, 4), ROUND(score, 4) FROM s4
+           |ORDER BY step""".stripMargin
+      })
   )
 }

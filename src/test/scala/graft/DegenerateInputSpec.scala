@@ -59,9 +59,20 @@ class DegenerateInputSpec extends AnyFunSuite {
 
   for (q <- Seq("q_bloom_join", "q_bpe_train", "q_bpe_apply", "q_pagerank",
       "q_jl_project", "q_cms_counts", "q_minhash_est", "q_token_entropy",
-      "q_containment", "q_pmi_bigrams", "q_ks_drift"))
+      "q_containment", "q_pmi_bigrams", "q_ks_drift",
+      "q_cluster_rep", "q_oov_rate", "q_global_shuffle",
+      "q_blocklist_filter", "q_text_normalize", "q_mmr_rerank"))
     test(s"$q returns empty, not a crash, on an empty corpus") {
       assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
+    }
+
+  // global-aggregate scorecards keep their one summary row on empty
+  // input (nulls/zeros, never a crash) — the shape a scheduled monitor
+  // job needs when a partition comes up empty
+  for (q <- Seq("q_psi_drift", "q_chi2_independence", "q_gini_sources",
+      "q_funnel"))
+    test(s"$q survives an empty corpus with its single summary row") {
+      assert(SparkEntry.queries(q)(spark, emptyDir).count() == 1L)
     }
 
   test("q_table_stats reports all-null stats rows on an empty table") {

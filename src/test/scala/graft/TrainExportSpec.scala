@@ -158,6 +158,24 @@ class TrainExportSpec extends AnyFunSuite {
     assert(g == 0.0)
   }
 
+  test("q_mmr_rerank: greedy MMR invariants") {
+    val rows = SparkEntry.queries("q_mmr_rerank")(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 4,
+      "MMR must never select the same candidate twice")
+    // the first pick is pure relevance — it must equal the kNN top-1
+    // (q_knn_cosine is oracle-checked, so this ties MMR to a verified
+    // ranking)
+    val top1 = SparkEntry.queries("q_knn_cosine")(spark, sf)
+      .collect()(0).getAs[Long]("vec_id")
+    assert(rows(0).getAs[Long]("vec_id") == top1)
+    // the greedy max is non-increasing: penalties only grow as the
+    // chosen set grows, and each step's winner was available earlier
+    val scores = rows.sortBy(_.getAs[Int]("step")).map(_.getAs[Double]("mmr_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"greedy MMR scores increased: ${scores.mkString(",")}")
+  }
+
   test("PSI of a distribution against itself is exactly 0") {
     import spark.implicits._
     // same smoothing + grid arithmetic as q_psi_drift, p == q per bin:
