@@ -442,6 +442,89 @@ object Battery {
               |  WHERE c2.c_nationkey = c.c_nationkey)
               |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- join-key skew report (the diagnostic BEFORE q_salted_join) ----
+    // The profiling pass that decides between a plain shuffle join,
+    // AQE skew-split, and explicit salting: the heaviest join keys and
+    // each one's skew factor (its row count over the mean rows/key).
+    // One (key)-keyed partial agg (count rows, key-domain-sized), the
+    // two totals broadcast back, TakeOrdered(5) — no sort of the key
+    // domain, no corpus-sized shuffle. skew_factor = c·n_keys/n_rows is
+    // a ratio of exact integers, IEEE-identical in both engines.
+    QueryDef("q_skew_report",
+      (s, dir) => {
+        val r = rd(s, dir, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("c"))
+        val t = r.agg(count(lit(1)).as("nk"), sum(col("c")).as("nr"))
+        r.crossJoin(broadcast(t))
+          .withColumn("skew_factor", col("c").cast("double")
+            * col("nk").cast("double") / col("nr").cast("double"))
+          .orderBy(col("c").desc, col("o_custkey").asc)
+          .limit(5)
+          .select(col("o_custkey").as("key"), col("c").as("n_rows"),
+            round(col("skew_factor"), 6).as("skew_factor"))
+      },
+      Some("""WITH r AS (SELECT o_custkey, COUNT(*) AS c FROM orders
+             |           GROUP BY o_custkey),
+             |t AS (SELECT COUNT(*) AS nk, CAST(SUM(c) AS BIGINT) AS nr FROM r)
+             |SELECT o_custkey AS key, c AS n_rows,
+             |  ROUND(CAST(c AS DOUBLE) * CAST(nk AS DOUBLE)
+             |        / CAST(nr AS DOUBLE), 6) AS skew_factor
+             |FROM r CROSS JOIN t
+             |ORDER BY c DESC, o_custkey LIMIT 5""".stripMargin)),
+
+    // ---- PPS systematic sample (integer-exact weighted sampling) -------
+    // Probability-proportional-to-size sampling — long documents are
+    // worth more training signal, so sample ∝ n_chars — via the
+    // SYSTEMATIC design: walk the cumulative weight line with a fixed
+    // integer stride; a document is drawn once per stride boundary its
+    // weight interval covers (n_hits is its exact multiplicity, weights
+    // larger than the stride draw multiple times — the PPS contract).
+    // Chosen over exponential-key (A-ES) weighted reservoirs precisely
+    // because it is INTEGER-exact end to end: no pow()/ln() in the
+    // selection rule, so the sample is bit-reproducible across engines
+    // and runs. The cumulative sum is computed HIERARCHICALLY — block
+    // partial sums, block prefix offsets (a window over the block
+    // aggregate, 100× smaller than the corpus; deeper levels apply the
+    // same step again when even that is large), then a within-block
+    // running sum (windows partitioned by block) — the multi-level
+    // scan shape that never funnels the corpus through one partition;
+    // the flat global cumsum the oracle runs is the same function,
+    // which is the point of the check.
+    QueryDef("q_pps_sample",
+      (s, dir) => {
+        val d = rd(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            expr("doc_id DIV 100").as("blk"))
+        val bs = d.groupBy("blk").agg(sum(col("n_chars")).as("bw"))
+        val wOff = Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = bs.withColumn("boff", coalesce(sum(col("bw")).over(wOff), lit(0L)))
+        val tot = bs.agg(sum(col("bw")).as("tw"))
+        val wIn = Window.partitionBy("blk").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.join(boff.select("blk", "boff"), "blk")
+          .crossJoin(broadcast(tot))
+          .withColumn("ci", col("boff") + sum(col("n_chars")).over(wIn))
+          .withColumn("step", expr("tw DIV 50"))
+          .withColumn("n_hits",
+            (expr("ci DIV step") - expr("(ci - n_chars) DIV step")).cast("int"))
+          .filter(col("n_hits") > 0)
+          .select(col("doc_id"), col("n_chars"), col("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars FROM documents),
+             |t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tw FROM d),
+             |c AS (SELECT doc_id, n_chars,
+             |        SUM(n_chars) OVER (ORDER BY doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS ci
+             |      FROM d),
+             |s AS (SELECT doc_id, n_chars,
+             |        CAST(ci // (tw // 50)
+             |          - (ci - n_chars) // (tw // 50) AS INTEGER) AS n_hits
+             |      FROM c CROSS JOIN t)
+             |SELECT doc_id, n_chars, n_hits FROM s
+             |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin)),
+
     // ---- skew-salted join, promoted into the oracle gate ---------------
     // graft.operators.Joins.salted spreads each (hot) left key over 8
     // deterministic sub-keys and replicates the right side 8x, so no

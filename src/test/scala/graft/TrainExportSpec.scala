@@ -176,6 +176,31 @@ class TrainExportSpec extends AnyFunSuite {
       s"greedy MMR scores increased: ${scores.mkString(",")}")
   }
 
+  test("q_pps_sample: exact draw count and stride-proportional hits") {
+    val rows = SparkEntry.queries("q_pps_sample")(spark, sf).collect()
+    // systematic PPS draws exactly floor(total/step) ≈ n samples in
+    // total multiplicity (the stride walks the whole weight line)
+    val totalHits = rows.map(_.getAs[Int]("n_hits")).sum
+    assert(totalHits == 50 || totalHits == 49,
+      s"systematic stride must draw ~n times, got $totalHits")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_hits") >= 1)
+      // multiplicity k requires weight covering at least k-1 full strides
+      assert(r.getAs[Long]("n_chars") >= (r.getAs[Int]("n_hits") - 1).toLong)
+    }
+    // deterministic rerun
+    val again = SparkEntry.queries("q_pps_sample")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("q_skew_report: factors ordered, ≥ 1 for the heaviest key") {
+    val rows = SparkEntry.queries("q_skew_report")(spark, sf).collect()
+    assert(rows.length == 5)
+    val fs = rows.map(_.getAs[Double]("skew_factor"))
+    assert(fs.zip(fs.tail).forall { case (a, b) => a >= b })
+    assert(fs.head >= 1.0, "the heaviest key is at least the mean")
+  }
+
   test("PSI of a distribution against itself is exactly 0") {
     import spark.implicits._
     // same smoothing + grid arithmetic as q_psi_drift, p == q per bin:
