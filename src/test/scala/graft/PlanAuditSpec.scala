@@ -308,6 +308,86 @@ class PlanAuditSpec extends AnyFunSuite {
       s"token counts have no map-side partial:\n$p")
   }
 
+  test("q_global_shuffle reads ONLY doc_id — no text bytes for a layout op") {
+    // the epoch-shuffle layout derives everything from md5(doc_id); a
+    // scan that dragged text along would move the corpus to lay out ids
+    val s = scanOf(plan("q_global_shuffle"), "documents")
+    assert(s.requiredSchema.fieldNames.toSet == Set("doc_id"),
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("q_blocklist_filter and q_text_normalize prune to (doc_id, text)") {
+    for (q <- Seq("q_blocklist_filter", "q_text_normalize")) {
+      val s = scanOf(plan(q), "documents")
+      assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+        s"$q: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
+  test("q_oov_rate broadcasts the vocab and cuts it by TakeOrdered") {
+    val p = plan("q_oov_rate")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      s"vocab cut is not a TakeOrdered:\n$p")
+    assert(p.toString.contains("BroadcastHashJoin"),
+      s"vocab membership join is not broadcast:\n$p")
+    val s = scanOf(p, "documents")
+    assert(s.requiredSchema.fieldNames.toSet == Set("source", "text"),
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("q_funnel prunes events to the three funnel columns everywhere") {
+    // every one of the stage scans must read (user_id, event_type, ts)
+    // at most — value and props never move
+    val p = plan("q_funnel")
+    val es = scans(p).filter(_.relation.location.inputFiles.headOption
+      .exists(_.contains("events.parquet")))
+    assert(es.nonEmpty)
+    es.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet.subsetOf(
+        Set("user_id", "event_type", "ts")),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
+
+  test("drift/skew scorecards prune their scans and broadcast totals") {
+    // q_chi2_independence caches its contingency table, so its parquet
+    // scan hides inside the InMemoryRelation — walk cached plans too
+    def scansDeep(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[FileSourceScanExec]
+      def walk(n: SparkPlan): Unit = {
+        n match {
+          case f: FileSourceScanExec => buf += f
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            walk(m.relation.cachedPlan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case _ =>
+        }
+        n.children.foreach(walk); n.subqueries.foreach(walk)
+      }
+      walk(p); buf.toSeq
+    }
+    for ((q, tbl, cols) <- Seq(
+        ("q_psi_drift", "events", Set("event_type", "value")),
+        ("q_chi2_independence", "events", Set("event_type", "value")),
+        ("q_skew_report", "orders", Set("o_custkey")))) {
+      val p = plan(q)
+      val s = scansDeep(p).find(_.relation.location.inputFiles.headOption
+        .exists(_.contains(s"$tbl.parquet"))).getOrElse(
+        fail(s"$q: no scan of $tbl in:\n$p"))
+      assert(s.requiredSchema.fieldNames.toSet == cols,
+        s"$q: ${s.requiredSchema.fieldNames.mkString(",")}")
+      assert(p.toString.contains("Broadcast"),
+        s"$q: totals not broadcast:\n$p")
+    }
+  }
+
+  test("q_pps_sample reads only (doc_id, n_chars) for the weight walk") {
+    val s = scanOf(plan("q_pps_sample"), "documents")
+    assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "n_chars"),
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
