@@ -442,6 +442,44 @@ object Battery {
               |  WHERE c2.c_nationkey = c.c_nationkey)
               |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- SCD2 dimension build (validity intervals from an event log) ---
+    // The warehouse staple: turn a mutation log into a slowly-changing-
+    // dimension type-2 table — one row per STATE CHANGE with
+    // [valid_from, valid_to) and an is_current flag, consecutive
+    // repeats collapsed (an event that re-asserts the same type opens
+    // no new version). Two windows, both partitioned by user_id
+    // (naturally high-cardinality; per-user partitions are event-count
+    // bounded): lag() to detect changes, then lead() OVER THE SURVIVING
+    // CHANGE ROWS for each version's end — the second window sorts only
+    // change rows, a fraction of the log. Deterministic order: (ts,
+    // event_id) is a total key.
+    QueryDef("q_scd2",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, dir)
+          .select("user_id", "event_type", "ts", "event_id")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull
+            || col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+             |        LAG(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS prev_type
+             |      FROM events),
+             |f AS (SELECT user_id, event_type, ts, event_id FROM c
+             |      WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id, event_type, ts AS valid_from,
+             |  LEAD(ts) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS valid_to,
+             |  LEAD(ts) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) IS NULL AS is_current
+             |FROM f ORDER BY user_id, valid_from""".stripMargin)),
+
     // ---- join-key skew report (the diagnostic BEFORE q_salted_join) ----
     // The profiling pass that decides between a plain shuffle join,
     // AQE skew-split, and explicit salting: the heaviest join keys and

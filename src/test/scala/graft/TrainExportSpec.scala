@@ -201,6 +201,29 @@ class TrainExportSpec extends AnyFunSuite {
     assert(fs.head >= 1.0, "the heaviest key is at least the mean")
   }
 
+  test("q_scd2: per-user version chains are contiguous and collapse repeats") {
+    val rows = SparkEntry.queries("q_scd2")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("valid_from"),
+        Option(r.getAs[java.sql.Timestamp]("valid_to"))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, vs) =>
+      val chain = vs.sortBy(_._3.getTime)
+      // exactly one open (current) version per user, and it is the last
+      assert(chain.count(_._4.isEmpty) == 1, s"user $user: open versions != 1")
+      assert(chain.last._4.isEmpty, s"user $user: current version not last")
+      // each version ends exactly where the next begins (no gaps or
+      // overlaps — the SCD2 interval contract)
+      chain.zip(chain.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"user $user: chain broken at ${a._3}")
+      }
+      // consecutive versions always change the attribute
+      chain.zip(chain.tail).foreach { case (a, b) =>
+        assert(a._2 != b._2, s"user $user: repeat not collapsed")
+      }
+    }
+  }
+
   test("PSI of a distribution against itself is exactly 0") {
     import spark.implicits._
     // same smoothing + grid arithmetic as q_psi_drift, p == q per bin:
