@@ -103,6 +103,45 @@ object Advanced {
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // ---- HLL sketch ROLLUP (mergeable-sketch algebra in batch) --------
+    // The 100 TB distinct-count rollup pattern: distinct users per day
+    // CANNOT be summed into distinct users overall (sum_day_users
+    // double-counts returnees — emitted as a column to pin exactly why
+    // naive rollup is wrong), but DataSketches HLL sketches CAN be
+    // unioned: one sketch per day, hll_union_agg over the day sketches,
+    // one estimate — the re-aggregation is sketch-sized, never a second
+    // pass over the log. This is the batch twin of s_approx_users'
+    // streaming HLL and the algebra that lets a 100 TB pipeline keep
+    // daily sketches and answer any date-range distinct query from
+    // them. est_ok gate (the q_approx_distinct pattern): the union
+    // estimate must land within max(3, 5%) of the exact distinct —
+    // DataSketches HLL at default lgK=12 is ~1.6% rse, so the bound is
+    // ~3σ; deterministic for a fixed input.
+    QueryDef("q_hll_rollup",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .withColumn("day", date_trunc("day", col("ts")))
+          .groupBy("day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+            countDistinct(col("user_id")).as("du"))
+        val total = daily.agg(
+          count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_total"),
+          sum(col("du")).as("sum_day_users"))
+        val exact = events(s, dir)
+          .agg(countDistinct(col("user_id")).as("exact_total"))
+        total.crossJoin(broadcast(exact))
+          .select(col("n_days"), col("exact_total"), col("sum_day_users"),
+            (abs(col("est_total") - col("exact_total")) <=
+              greatest(lit(3.0), col("exact_total") * lit(0.05))).as("est_ok"))
+      },
+      Some("""WITH d AS (SELECT date_trunc('day', ts) AS day,
+             |        COUNT(DISTINCT user_id) AS du FROM events GROUP BY 1)
+             |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+             |  (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_total,
+             |  (SELECT CAST(SUM(du) AS BIGINT) FROM d) AS sum_day_users,
+             |  TRUE AS est_ok""".stripMargin)),
+
     // ---- SimHash document fingerprint (dedup primitive) --------------
     // 32-bit simhash over distinct tokens, each bit voted by an
     // md5-nibble of the token — md5 is the one hash both engines share,

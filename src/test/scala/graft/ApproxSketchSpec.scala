@@ -29,4 +29,14 @@ class ApproxSketchSpec extends AnyFunSuite {
     assert(rows.length == 3)
     rows.foreach(r => assert(r.getAs[Boolean]("est_ok"), s"estimate drifted: $r"))
   }
+
+  test("q_hll_rollup: union of day sketches estimates the true total") {
+    val r = SparkEntry.queries("q_hll_rollup")(spark, sf).collect()(0)
+    assert(r.getAs[Boolean]("est_ok"), s"HLL union estimate drifted: $r")
+    assert(r.getAs[Long]("n_days") > 1, "rollup is vacuous with one day")
+    // the column that motivates sketches: summing per-day distincts
+    // overcounts returning users, so it must strictly exceed the truth
+    // (every user here is active on more than one day)
+    assert(r.getAs[Long]("sum_day_users") > r.getAs[Long]("exact_total"))
+  }
 }
