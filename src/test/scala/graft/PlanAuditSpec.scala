@@ -14,8 +14,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   import SparkTestBase.{spark, sf}
 
-  private def plan(name: String): SparkPlan =
+  private def plan(name: String): SparkPlan = {
+    // suites sharing this session may have left cached relations behind;
+    // a cache hit would wrap the parquet scan in an InMemoryRelation and
+    // make the scan-shape assertions below vacuous or order-dependent
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+  }
 
   private def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[FileSourceScanExec]
