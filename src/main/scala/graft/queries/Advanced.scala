@@ -645,6 +645,138 @@ object Advanced {
              |SELECT vec_id, y[1] AS y0, y[2] AS y1, y[3] AS y2, y[4] AS y3,
              |  list_reduce(list_prepend(0.0::DOUBLE,
              |    list_transform(y, t -> t * t)), (a, b) -> a + b) AS ynorm2
-             |FROM p ORDER BY vec_id""".stripMargin))
+             |FROM p ORDER BY vec_id""".stripMargin)),
+
+    // ---- market-basket co-occurrence (association rules) --------------
+    // Item-pair support + lift over order baskets: the co-occurrence
+    // primitive under "frequently bought together", negative-pair
+    // mining, and co-citation graphs. The fact table is shuffled
+    // EXACTLY ONCE — groupBy(order).collect_set builds the distinct
+    // basket per order (collect_set dedups, so no separate distinct
+    // pass), and the cached basket frame (one row per order, corpus/
+    // avg-basket-size smaller) then feeds all three derived aggregates:
+    // per-item order counts, the order total, and the pair expansion.
+    // Pair fanout is MAP-SIDE over each sorted basket (≤ C(basket,2) —
+    // baskets are order-sized, never corpus-sized, so this never
+    // degenerates to a cross product), pair counts partial-aggregate
+    // map-side, and the item-count join is dim-sized (ndv(partkey)
+    // rows — broadcast at gate scale; drop the hint and AQE shuffles
+    // it if the part dimension outgrows the threshold). Top-100 cut is
+    // a TakeOrderedAndProject, never a global sort. lift =
+    // pair_cnt·N / (cnt1·cnt2): exact BIGINT products, ONE IEEE
+    // division — identical in both engines.
+    QueryDef("q_cooccur",
+      (s, dir) => {
+        val baskets = rd(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+          .cache()
+        val items = baskets.select(explode(col("parts")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+        val tot = baskets.agg(count(lit(1)).as("n_orders"))
+        val pairs = baskets
+          .filter(size(col("parts")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(parts) - 1), i ->
+              |  transform(sequence(i + 1, size(parts)), j ->
+              |    struct(element_at(parts, i) AS pk1,
+              |           element_at(parts, j) AS pk2))))""".stripMargin)).as("p"))
+          .groupBy(col("p.pk1").as("pk1"), col("p.pk2").as("pk2"))
+          .agg(count(lit(1)).as("pair_cnt"))
+        pairs
+          .join(broadcast(items.select(col("pk").as("pk1"),
+            col("cnt").as("cnt1"))), Seq("pk1"))
+          .join(broadcast(items.select(col("pk").as("pk2"),
+            col("cnt").as("cnt2"))), Seq("pk2"))
+          .crossJoin(broadcast(tot))
+          .withColumn("lift",
+            (col("pair_cnt") * col("n_orders")).cast("double") /
+              (col("cnt1") * col("cnt2")).cast("double"))
+          .orderBy(col("pair_cnt").desc, col("pk1"), col("pk2"))
+          .limit(100)
+          .select("pk1", "pk2", "pair_cnt", "lift")
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |ic AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS cnt
+             |       FROM b GROUP BY 1),
+             |tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+             |          AS n_orders FROM b),
+             |p AS (SELECT a.l_partkey AS pk1, c.l_partkey AS pk2,
+             |        CAST(count(*) AS BIGINT) AS pair_cnt
+             |      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+             |        AND a.l_partkey < c.l_partkey
+             |      GROUP BY 1, 2)
+             |SELECT pk1, pk2, pair_cnt,
+             |  CAST(pair_cnt * n_orders AS DOUBLE)
+             |    / CAST(i1.cnt * i2.cnt AS DOUBLE) AS lift
+             |FROM p
+             |JOIN ic i1 ON p.pk1 = i1.pk
+             |JOIN ic i2 ON p.pk2 = i2.pk
+             |CROSS JOIN tot
+             |ORDER BY pair_cnt DESC, pk1, pk2 LIMIT 100""".stripMargin)),
+
+    // ---- exact-substring duplication scan ------------------------------
+    // The char-level ExactSubstr signal (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): per document, what
+    // fraction of its k-char windows (k=30) also occurs elsewhere in the
+    // corpus — catching boilerplate and quotation overlap that
+    // whole-doc/segment hashing (q_dedup_exact, q_seg_dedup) and
+    // shingle-Jaccard (q_neardup_pairs) both miss. The suffix-array
+    // approach of the paper is replaced by the Spark-expressible
+    // gram-hash plan: windows fingerprint to xxhash64 INSIDE the
+    // explode (the shuffle carries (doc_id, 8-byte long) pairs, never
+    // text — and never 32-char md5 hex either: the long keys halved
+    // the sf0.1 wall time), per-doc gram counts partial-aggregate
+    // map-side, and the corpus-frequency join is equi on the digest —
+    // big-big but co-partitioned, no skew (hash keys are uniform).
+    // The oracle needs no matching hash at all: it groups the RAW
+    // 30-char windows, pinning the Spark side's fingerprint grouping
+    // to exact-string semantics (a 64-bit collision would shift a
+    // count and hash-fail the gate; at gate scale ~250k distinct
+    // windows that chance is ~1e-9, and at 100 TB a collision only
+    // perturbs a dup-ratio STATISTIC, not a kept/dropped identity).
+    // At 100 TB stride-1 windows are the cost knob: raise the stride
+    // (sample every s-th window) and the plan is unchanged while the
+    // scan shrinks s-fold. Counts are exact integers; the one double
+    // division is identical IEEE in both engines.
+    QueryDef("q_substr_dedup",
+      (s, dir) => {
+        val k = 30
+        val g1 = rd(s, dir, "documents")
+          // docs shorter than k have no windows (and Spark's
+          // sequence(1, 0) would step DOWNWARD, not come back empty)
+          .filter(length(col("text")) >= k)
+          .select(col("doc_id"), explode(expr(
+            s"""transform(sequence(1, length(text) - ${k - 1}),
+               |  i -> xxhash64(substring(text, i, $k)))""".stripMargin)).as("h"))
+          .groupBy(col("doc_id"), col("h"))
+          .agg(count(lit(1)).as("pos_cnt"))
+        val freq = g1.groupBy(col("h")).agg(sum(col("pos_cnt")).as("tot"))
+        g1.join(freq, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("pos_cnt")).as("gram_cnt"),
+            sum(when(col("tot") >= 2, col("pos_cnt")).otherwise(0L))
+              .as("dup_gram_cnt"))
+          .withColumn("dup_ratio",
+            col("dup_gram_cnt").cast("double") / col("gram_cnt").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, substr(text, i, 30) AS h
+             |  FROM documents CROSS JOIN LATERAL (
+             |    SELECT unnest(generate_series(1, length(text) - 29)) AS i) u
+             |  WHERE length(text) >= 30),
+             |g1 AS (SELECT doc_id, h, CAST(count(*) AS BIGINT) AS pos_cnt
+             |       FROM g GROUP BY 1, 2),
+             |freq AS (SELECT h, CAST(sum(pos_cnt) AS BIGINT) AS tot
+             |         FROM g1 GROUP BY 1)
+             |SELECT g1.doc_id,
+             |  CAST(sum(pos_cnt) AS BIGINT) AS gram_cnt,
+             |  CAST(sum(CASE WHEN tot >= 2 THEN pos_cnt ELSE 0 END) AS BIGINT)
+             |    AS dup_gram_cnt,
+             |  CAST(sum(CASE WHEN tot >= 2 THEN pos_cnt ELSE 0 END) AS DOUBLE)
+             |    / CAST(sum(pos_cnt) AS DOUBLE) AS dup_ratio
+             |FROM g1 JOIN freq USING (h)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -25,7 +25,18 @@ class PlanAuditSpec extends AnyFunSuite {
   private def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[FileSourceScanExec]
     def walk(n: SparkPlan): Unit = {
-      n match { case f: FileSourceScanExec => buf += f; case _ => }
+      n match {
+        case f: FileSourceScanExec => buf += f
+        // a query that caches an intermediate (e.g. q_cooccur's basket
+        // frame) plans reuses as InMemoryTableScan; the parquet scan
+        // whose pruning we pin lives inside the cached plan (itself
+        // wrapped in a not-yet-executed AdaptiveSparkPlan)
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          walk(i.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ =>
+      }
       n.children.foreach(walk); n.subqueries.foreach(walk)
     }
     walk(p); buf.toSeq
@@ -390,6 +401,55 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q_pps_sample reads only (doc_id, n_chars) for the weight walk") {
     val s = scanOf(plan("q_pps_sample"), "documents")
     assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "n_chars"),
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("q_cooccur prunes the scan, broadcasts dims, cuts top-100 by TakeOrdered") {
+    val p = plan("q_cooccur")
+    val s = scanOf(p, "lineitem")
+    assert(s.requiredSchema.fieldNames.toSet == Set("l_orderkey", "l_partkey"),
+      s.requiredSchema.fieldNames.mkString(","))
+    val str = p.toString
+    assert(str.contains("TakeOrderedAndProject"),
+      s"top-100 pair cut planned as a global sort:\n$str")
+    assert(str.contains("BroadcastHashJoin"),
+      s"item-count joins not broadcast:\n$str")
+    assert(str.contains("partial_"),
+      s"pair counting has no map-side partial:\n$str")
+    // pair expansion must be the map-side basket explode, never a
+    // basket×basket product (the 1-row n_orders broadcast is a
+    // BroadcastNestedLoop by construction and is fine)
+    assert(!str.contains("CartesianProduct"),
+      s"pair expansion degenerated to a cartesian:\n$str")
+  }
+
+  test("q_substr_dedup shuffles window digests, never document text") {
+    val df = SparkEntry.queries("q_substr_dedup")(spark, sf)
+    df.count()
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          buf += e
+        case _ =>
+      }
+      unwrap(n).children.map(unwrap).foreach(walk)
+    }
+    walk(unwrap(df.queryExecution.executedPlan))
+    assert(buf.nonEmpty, s"no exchange found:\n${df.queryExecution.executedPlan}")
+    // windows hash to md5 inside the explode — every exchange carries
+    // (doc_id, digest, counts); text crossing a shuffle would move the
+    // corpus to score it
+    buf.foreach(e => assert(!e.output.map(_.name).contains("text"),
+      s"text column crosses the shuffle: ${e.output.map(_.name)}"))
+    val s = scanOf(plan("q_substr_dedup"), "documents")
+    assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
       s.requiredSchema.fieldNames.mkString(","))
   }
 

@@ -28,7 +28,7 @@ class QueryBatterySpec extends AnyFunSuite {
     "q_lang_id", "q_rolling_hash", "q_media_pipeline", "q_knn_ivf_kmeans",
     "ddl_extended", "q_decimal_agg", "s_approx_users",
     "q_decontaminate", "q_lm_score", "q_stratified_sample", "q_repetition",
-    "q_vec_quantize")
+    "q_vec_quantize", "q_cooccur", "q_substr_dedup")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
@@ -60,6 +60,35 @@ class QueryBatterySpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q_neardup_pairs")(spark, sf).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Double]("jaccard") > 0.5))
+  }
+
+  test("q_cooccur lift is positive and some pair genuinely co-occurs twice") {
+    val rows = SparkEntry.queries("q_cooccur")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pk1") < r.getAs[Long]("pk2"), s"unordered pair: $r")
+      assert(r.getAs[Double]("lift") > 0.0, s"non-positive lift: $r")
+    }
+    // the top-100 cut is count-descending; a corpus where every pair
+    // count is 1 would make the association signal vacuous
+    assert(rows.head.getAs[Long]("pair_cnt") >= 2,
+      "no pair co-occurs more than once — association mining is vacuous")
+  }
+
+  test("q_substr_dedup finds real duplicated spans with sane ratios") {
+    val rows = SparkEntry.queries("q_substr_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (g, d) = (r.getAs[Long]("gram_cnt"), r.getAs[Long]("dup_gram_cnt"))
+      assert(d >= 0 && d <= g, s"dup count outside [0, gram_cnt]: $r")
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0, s"ratio outside [0, 1]: $r")
+    }
+    assert(rows.exists(_.getAs[Long]("dup_gram_cnt") > 0),
+      "no duplicated 30-char window anywhere — signal is vacuous")
+    assert(rows.exists(r => r.getAs[Long]("dup_gram_cnt") <
+        r.getAs[Long]("gram_cnt")),
+      "every window duplicated — threshold k is too small to discriminate")
   }
 
   test("query names are unique (toMap must not drop an operator)") {
