@@ -777,6 +777,180 @@ object Advanced {
              |  CAST(sum(CASE WHEN tot >= 2 THEN pos_cnt ELSE 0 END) AS DOUBLE)
              |    / CAST(sum(pos_cnt) AS DOUBLE) AS dup_ratio
              |FROM g1 JOIN freq USING (h)
-             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- Markov transition mining over event sequences ----------------
+    // First-order behavior model: P(next event type | current event
+    // type) from per-user event streams — the primitive under
+    // next-event prediction datasets, funnel leak analysis, and session
+    // simulators. The lag step is a per-user window (partition size =
+    // one user's event count, bounded at any corpus scale); transition
+    // counting is one map-side-combined shuffle whose key space is
+    // |types|² (25 here), and the row-normalizing window runs over that
+    // transition MATRIX, never the event log. Counts are exact longs;
+    // each probability is ONE IEEE division of exact integers —
+    // identical in both engines.
+    QueryDef("q_markov_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val t = events(s, dir)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val wp = Window.partitionBy("prev_type")
+        t.withColumn("p",
+            col("cnt").cast("double") / sum(col("cnt")).over(wp).cast("double"))
+          .select("prev_type", "next_type", "cnt", "p")
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |             epoch_us(ts) AS us
+             |           FROM events),
+             |l AS (SELECT event_type AS next_type,
+             |        LAG(event_type, 1) OVER (PARTITION BY user_id
+             |          ORDER BY us, event_id) AS prev_type
+             |      FROM e),
+             |t AS (SELECT prev_type, next_type,
+             |        CAST(count(*) AS BIGINT) AS cnt
+             |      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, next_type, cnt,
+             |  CAST(cnt AS DOUBLE) /
+             |    CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+             |FROM t ORDER BY prev_type, next_type""".stripMargin)),
+
+    // ---- winsorization (robust clipping at dyadic percentiles) --------
+    // The data-cleaning TRANSFORM that complements q_outlier_mad's
+    // flagging: clip each event value into [p12.5, p87.5] of its
+    // event_type. Two grouped exact percentiles with per-type scalars
+    // broadcast back — never a per-row window sort. Exactness: values
+    // live on the integer-cents grid and 1/8, 7/8 are DYADIC quantile
+    // positions — (n−1)·k/8 interpolation weights are exact binary
+    // fractions over integer operands, so Spark `percentile` and DuckDB
+    // `quantile_cont` agree bit-for-bit whatever their formula
+    // factoring (the q_percentiles integer-domain precedent; p5/p95
+    // would NOT be safe — 0.05 has no finite binary form). Clipped
+    // values sit on the 1/8-cent grid, so the per-type sum is exact
+    // through a decimal(18,3) cast.
+    QueryDef("q_winsorize",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        val pct = ev.groupBy("event_type")
+          .agg(expr("percentile(vc, 0.125)").as("lo"),
+            expr("percentile(vc, 0.875)").as("hi"))
+        ev.join(broadcast(pct), "event_type")
+          .withColumn("w", least(greatest(col("vc").cast("double"),
+            col("lo")), col("hi")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            max(col("lo")).as("lo_cents"),
+            max(col("hi")).as("hi_cents"),
+            sum(when(col("vc") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+            sum(when(col("vc") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+            sum(col("w").cast(org.apache.spark.sql.types.DecimalType(18, 3)))
+              .cast("double").as("wsum_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |              CAST(round(value * 100) AS BIGINT) AS vc
+             |            FROM events),
+             |p AS (SELECT event_type,
+             |        quantile_cont(vc, 0.125) AS lo,
+             |        quantile_cont(vc, 0.875) AS hi
+             |      FROM ev GROUP BY event_type),
+             |c AS (SELECT ev.event_type, ev.vc, p.lo, p.hi,
+             |        least(greatest(CAST(ev.vc AS DOUBLE), p.lo), p.hi) AS w
+             |      FROM ev JOIN p USING (event_type))
+             |SELECT event_type, COUNT(*) AS n,
+             |  MAX(lo) AS lo_cents, MAX(hi) AS hi_cents,
+             |  CAST(SUM(CASE WHEN vc < lo THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clip_lo,
+             |  CAST(SUM(CASE WHEN vc > hi THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clip_hi,
+             |  CAST(SUM(CAST(w AS DECIMAL(18,3))) AS DOUBLE) AS wsum_cents
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- ANN quality self-evaluation: recall@10 of the IVF path -------
+    // The eval harness AS an operator: per probe, how much of the exact
+    // brute-force top-10 the sign-bucket IVF path (probe its own cell
+    // only — q_knn_ivf's routing) actually returns. Production tunes
+    // nprobe/recall curves with exactly this query, so it belongs in
+    // the engine, not a notebook. ONE scored frame (corpus × broadcast
+    // probes, codegen cosine) is cached and feeds both rankings — the
+    // eval probe set is a SAMPLE by construction, so the cached frame
+    // is |sample|·corpus-bounded, and both cuts go through the
+    // TopKPerKey map-side prune (≤ 10 rows per probe per partition
+    // cross the shuffle — never a corpus-sized window sort). The
+    // intersection is an equi-join of two 10-row-per-probe sets;
+    // recall is exact-integer hits over the fixed k=10. Oracle replays
+    // the identical cosine/bucket arithmetic and both rankings with
+    // the same (cos DESC, vec_id) tie-break.
+    QueryDef("q_ann_recall",
+      (s, dir) => {
+        graft.functions.VectorFunctions.register(s)
+        val bucket = (c: String) =>
+          expr(s"""CAST(element_at($c, 1) > 0 AS INT)
+                  |+ 2 * CAST(element_at($c, 2) > 0 AS INT)
+                  |+ 4 * CAST(element_at($c, 3) > 0 AS INT)
+                  |+ 8 * CAST(element_at($c, 4) > 0 AS INT)""".stripMargin)
+        val e = rd(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+            bucket("embedding").as("pb"))
+        val scored = e.filter(col("vec_id") >= 5)
+          .withColumn("bucket", bucket("embedding"))
+          .crossJoin(broadcast(probes))
+          .withColumn("cos",
+            graft.functions.VectorFunctions.vecCosine(col("embedding"), col("pe")))
+          .select("probe_id", "pb", "vec_id", "bucket", "cos")
+          .cache()
+        val exact = graft.plans.TopK.perKey(scored, Seq("probe_id"),
+          Seq(col("cos").desc, col("vec_id").asc), 10).select("probe_id", "vec_id")
+        val approx = graft.plans.TopK.perKey(
+          scored.filter(col("bucket") === col("pb")), Seq("probe_id"),
+          Seq(col("cos").desc, col("vec_id").asc), 10).select("probe_id", "vec_id")
+        val hits = exact.join(approx, Seq("probe_id", "vec_id"))
+          .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+        probes.select("probe_id")
+          .join(hits, Seq("probe_id"), "left")
+          .na.fill(0L, Seq("hits"))
+          .withColumn("recall_at_10", col("hits").cast("double") / 10.0)
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe,
+              |  CAST(embedding[1] > 0 AS INTEGER) + 2 * CAST(embedding[2] > 0 AS INTEGER)
+              |  + 4 * CAST(embedding[3] > 0 AS INTEGER) + 8 * CAST(embedding[4] > 0 AS INTEGER)
+              |    AS pb
+              |  FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id, embedding,
+              |  CAST(embedding[1] > 0 AS INTEGER) + 2 * CAST(embedding[2] > 0 AS INTEGER)
+              |  + 4 * CAST(embedding[3] > 0 AS INTEGER) + 8 * CAST(embedding[4] > 0 AS INTEGER)
+              |    AS bucket
+              |  FROM embeddings WHERE vec_id >= 5),
+              |sc AS (SELECT probe_id, pb, c.vec_id, bucket,
+              |  list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              |                   list_transform(pe, x -> CAST(x AS DOUBLE)))
+              |  / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+              |                           list_transform(embedding, x -> CAST(x AS DOUBLE))))
+              |     * sqrt(list_dot_product(list_transform(pe, x -> CAST(x AS DOUBLE)),
+              |                             list_transform(pe, x -> CAST(x AS DOUBLE)))))
+              |    AS cos
+              |  FROM c, p),
+              |ex AS (SELECT probe_id, vec_id FROM (
+              |  SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+              |    ORDER BY cos DESC, vec_id) AS rn FROM sc) WHERE rn <= 10),
+              |ap AS (SELECT probe_id, vec_id FROM (
+              |  SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+              |    ORDER BY cos DESC, vec_id) AS rn FROM sc WHERE bucket = pb)
+              |  WHERE rn <= 10),
+              |h AS (SELECT ex.probe_id, CAST(count(*) AS BIGINT) AS hits
+              |      FROM ex JOIN ap USING (probe_id, vec_id) GROUP BY 1)
+              |SELECT p.probe_id AS probe_id, COALESCE(hits, 0) AS hits,
+              |  CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+              |FROM p LEFT JOIN h ON p.probe_id = h.probe_id
+              |ORDER BY p.probe_id""".stripMargin))
   )
 }

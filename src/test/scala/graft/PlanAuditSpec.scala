@@ -453,6 +453,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s.requiredSchema.fieldNames.mkString(","))
   }
 
+  test("q_markov_transitions prunes the event scan to the sequence columns") {
+    val s = scanOf(plan("q_markov_transitions"), "events")
+    assert(s.requiredSchema.fieldNames.toSet ==
+      Set("event_id", "ts", "user_id", "event_type"),
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("q_winsorize broadcasts per-type clip scalars, no per-row window") {
+    val p = plan("q_winsorize")
+    val str = p.toString
+    assert(str.contains("BroadcastHashJoin"),
+      s"percentile scalars not broadcast back:\n$str")
+    assert(!str.contains("SortMergeJoin"),
+      s"the event log shuffled for a scalar join:\n$str")
+    // the clip is an aggregate over the joined frame — a Window here
+    // would sort each event_type's full partition
+    assert(!str.contains("Window"), s"per-row window sort planned:\n$str")
+    val s = scanOf(p, "events")
+    assert(s.requiredSchema.fieldNames.toSet == Set("event_type", "value"),
+      s.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("q_ann_recall prunes both rankings map-side via TopKPerKey") {
+    val s = plan("q_ann_recall").toString
+    // both the exact and the bucket-restricted cut must go through the
+    // partial prune (two TopKPerKey nodes), never a corpus-wide
+    // per-probe window sort
+    assert("TopKPerKey".r.findAllIn(s).size >= 2,
+      s"expected two map-side top-k prunes:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"probe scoring degenerated to a cartesian:\n$s")
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather

@@ -28,7 +28,8 @@ class QueryBatterySpec extends AnyFunSuite {
     "q_lang_id", "q_rolling_hash", "q_media_pipeline", "q_knn_ivf_kmeans",
     "ddl_extended", "q_decimal_agg", "s_approx_users",
     "q_decontaminate", "q_lm_score", "q_stratified_sample", "q_repetition",
-    "q_vec_quantize", "q_cooccur", "q_substr_dedup")
+    "q_vec_quantize", "q_cooccur", "q_substr_dedup", "q_markov_transitions",
+    "q_winsorize", "q_ann_recall")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
@@ -89,6 +90,50 @@ class QueryBatterySpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("dup_gram_cnt") <
         r.getAs[Long]("gram_cnt")),
       "every window duplicated — threshold k is too small to discriminate")
+  }
+
+  test("q_markov_transitions rows are distributions: per-prev probabilities sum to 1") {
+    val rows = SparkEntry.queries("q_markov_transitions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cnt") > 0L)
+      val p = r.getAs[Double]("p")
+      assert(p > 0.0 && p <= 1.0, s"probability outside (0, 1]: $r")
+    }
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (pt, rs) =>
+      val tot = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"row $pt sums to $tot")
+    }
+  }
+
+  test("q_winsorize clips both tails and keeps the sum inside the clip band") {
+    val rows = SparkEntry.queries("q_winsorize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getAs[Long]("n"), r.getAs[Double]("lo_cents"),
+        r.getAs[Double]("hi_cents"))
+      assert(lo < hi, s"degenerate clip band: $r")
+      // 12.5%/87.5% cuts must actually clip on a 150+-row type
+      assert(r.getAs[Long]("n_clip_lo") > 0 && r.getAs[Long]("n_clip_hi") > 0,
+        s"winsorization clipped nothing: $r")
+      val sum = r.getAs[Double]("wsum_cents")
+      assert(sum >= n * lo && sum <= n * hi,
+        s"winsorized sum outside [n*lo, n*hi]: $r")
+    }
+  }
+
+  test("q_ann_recall is discriminative: some hit, nothing above 1.0") {
+    val rows = SparkEntry.queries("q_ann_recall")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall outside [0, 1]: $r")
+      assert(math.abs(rec - r.getAs[Long]("hits") / 10.0) < 1e-12)
+    }
+    assert(rows.exists(_.getAs[Long]("hits") > 0L),
+      "single-bucket IVF found nothing the exact ranking found — vacuous eval")
+    assert(rows.exists(_.getAs[Long]("hits") < 10L),
+      "perfect recall everywhere — the eval cannot discriminate configurations")
   }
 
   test("query names are unique (toMap must not drop an operator)") {
