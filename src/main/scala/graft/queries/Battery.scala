@@ -480,6 +480,64 @@ object Battery {
              |    ORDER BY ts, event_id) IS NULL AS is_current
              |FROM f ORDER BY user_id, valid_from""".stripMargin)),
 
+    // ---- point-in-time join against the SCD2 dimension -----------------
+    // The feature-store lookup that PREVENTS training-data leakage: each
+    // purchase joins to the account-status version (an SCD2 dimension
+    // over the signup/error status stream, q_scd2's build restricted to
+    // status events) that was valid AT the purchase timestamp — never a
+    // later one — and purchases before the user's first status event
+    // keep a NULL state (the "no feature yet" case a naive latest-value
+    // join silently leaks across). Shape: equi-join on user_id with the
+    // half-open interval [valid_from, valid_to) as a filter — per-user
+    // version counts are change-bounded, so the fanout is bounded and
+    // the join stays co-partitioned on user at any scale (no as-of sort
+    // of facts×dim, no cartesian). Intervals partition each user's
+    // timeline, so every fact matches at most one version and the
+    // output is exactly one row per purchase.
+    QueryDef("q_pit_join",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val dim = events(s, dir)
+          .filter(col("event_type").isin("signup", "error"))
+          .select("user_id", "event_type", "ts", "event_id")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNull
+            || col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id").as("d_user_id"),
+            col("event_type").as("state"),
+            col("ts").as("valid_from"), col("valid_to"))
+        val facts = events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        // the interval predicate must live IN the join condition: a
+        // post-filter after a user-only left join would drop purchases
+        // whose user has versions but none valid yet, where PIT
+        // semantics demand a NULL-state row
+        facts.join(dim,
+            facts("user_id") === dim("d_user_id") &&
+              dim("valid_from") <= facts("ts") &&
+              (dim("valid_to").isNull || facts("ts") < dim("valid_to")),
+            "left")
+          .select("event_id", "user_id", "ts", "state", "valid_from")
+          .orderBy("event_id")
+      },
+      Some("""WITH st AS (SELECT user_id, event_type, ts, event_id,
+             |        LAG(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS pt
+             |      FROM events WHERE event_type IN ('signup', 'error')),
+             |d AS (SELECT user_id, event_type AS state, ts AS valid_from,
+             |        LEAD(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS valid_to
+             |      FROM st WHERE pt IS NULL OR pt <> event_type),
+             |f AS (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase')
+             |SELECT f.event_id, f.user_id, f.ts, d.state, d.valid_from
+             |FROM f LEFT JOIN d ON f.user_id = d.user_id
+             |  AND d.valid_from <= f.ts
+             |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+             |ORDER BY f.event_id""".stripMargin)),
+
     // ---- join-key skew report (the diagnostic BEFORE q_salted_join) ----
     // The profiling pass that decides between a plain shuffle join,
     // AQE skew-split, and explicit salting: the heaviest join keys and

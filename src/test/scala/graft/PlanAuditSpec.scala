@@ -475,6 +475,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s.requiredSchema.fieldNames.mkString(","))
   }
 
+  test("q_pit_join keeps the user equi-key: interval join, never a product") {
+    val p = plan("q_pit_join")
+    val str = p.toString
+    // the half-open interval predicate rides ON the user_id equi-join
+    // (hash or sort-merge); losing the equi-key would plan facts×dim as
+    // a BroadcastNestedLoop/Cartesian — the thing that dies at 100 TB
+    assert(str.contains("SortMergeJoin") || str.contains("BroadcastHashJoin"),
+      s"no equi-join on user_id:\n$str")
+    assert(!str.contains("BroadcastNestedLoop") && !str.contains("CartesianProduct"),
+      s"interval join degenerated to a product:\n$str")
+    // both sides are the events table: facts pruned + pushed to
+    // purchases, the dimension build pushed to the status stream
+    val ss = scans(p).filter(_.relation.location.inputFiles.headOption
+      .exists(_.contains("events.parquet")))
+    assert(ss.length == 2, s"expected two events scans, got ${ss.length}")
+    ss.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet ==
+        Set("event_id", "ts", "user_id", "event_type"),
+        s.requiredSchema.fieldNames.mkString(","))
+      assert(s.metadata.getOrElse("PushedFilters", "").contains("event_type"),
+        s"event_type filter not pushed: ${s.metadata.getOrElse("PushedFilters", "")}")
+    }
+  }
+
   test("q_ann_recall prunes both rankings map-side via TopKPerKey") {
     val s = plan("q_ann_recall").toString
     // both the exact and the bucket-restricted cut must go through the

@@ -29,7 +29,7 @@ class QueryBatterySpec extends AnyFunSuite {
     "ddl_extended", "q_decimal_agg", "s_approx_users",
     "q_decontaminate", "q_lm_score", "q_stratified_sample", "q_repetition",
     "q_vec_quantize", "q_cooccur", "q_substr_dedup", "q_markov_transitions",
-    "q_winsorize", "q_ann_recall")
+    "q_winsorize", "q_ann_recall", "q_pit_join")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
@@ -120,6 +120,33 @@ class QueryBatterySpec extends AnyFunSuite {
       assert(sum >= n * lo && sum <= n * hi,
         s"winsorized sum outside [n*lo, n*hi]: $r")
     }
+  }
+
+  test("q_pit_join is leak-free: one row per purchase, version valid AT ts") {
+    val purchases = graft.queries.Q.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    val rows = SparkEntry.queries("q_pit_join")(spark, sf).collect()
+    // intervals partition each user's timeline → the left join can never
+    // duplicate a fact; a count mismatch means fanout or a dropped fact
+    assert(rows.length.toLong == purchases,
+      s"${rows.length} rows for $purchases purchases")
+    var matched = 0
+    rows.foreach { r =>
+      val state = r.getAs[String]("state")
+      if (state == null) assert(r.isNullAt(r.fieldIndex("valid_from")))
+      else {
+        matched += 1
+        assert(Set("signup", "error")(state), s"non-status state: $r")
+        // the PIT contract: the joined version began AT OR BEFORE the
+        // fact's timestamp — a valid_from after ts is future leakage
+        assert(!r.getAs[java.sql.Timestamp]("valid_from")
+          .after(r.getAs[java.sql.Timestamp]("ts")), s"future leak: $r")
+      }
+    }
+    assert(matched > 0, "no purchase matched any status version")
+    assert(matched < rows.length,
+      "every purchase matched — the no-feature-yet NULL path is untested")
   }
 
   test("q_ann_recall is discriminative: some hit, nothing above 1.0") {
