@@ -458,7 +458,52 @@ object TrainPrep {
              |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY rk, doc_id)
              |       AS INTEGER) AS pos,
              |  rk
-             |FROM s ORDER BY shard, pos""".stripMargin))
+             |FROM s ORDER BY shard, pos""".stripMargin)),
+
+    // ---- leakage-safe target encoding ---------------------------------
+    // The categorical-feature encoder for tabular training sets: each
+    // row's category is replaced by the label mean of the OTHER rows in
+    // its category — leave-one-out, so a row never sees its own label
+    // (naive mean encoding leaks the target and inflates validation
+    // scores), plus the production variant smoothed toward the global
+    // prior (m=10) that tames high-variance rare categories. Shape: one
+    // 5-row grouped aggregate and a 1-row global aggregate, both
+    // broadcast back onto the fact scan — map-side partials, no fact
+    // shuffle, no per-row window; the same two-pass broadcast-stats
+    // shape as q_winsorize, which is exactly how it stays one scan at
+    // 100 TB. Arithmetic: counts/sums are exact BIGINTs; each output is
+    // a fixed double expression tree evaluated identically by both
+    // engines (every operand cast explicitly, one division per term).
+    QueryDef("q_target_encode",
+      (s, dir) => {
+        val o = rd(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"),
+          (col("o_orderstatus") === "F").cast("long").as("label"))
+        val cat = o.groupBy(col("o_orderpriority").as("cat"))
+          .agg(count(lit(1)).as("n"), sum("label").as("pos"))
+        val glob = o.agg(sum("label").as("gpos"), count(lit(1)).as("gn"))
+        o.join(broadcast(cat), col("o_orderpriority") === col("cat"))
+          .crossJoin(broadcast(glob))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("label"),
+            ((col("pos") - col("label")).cast("double")
+              / (col("n") - 1).cast("double")).as("loo_enc"),
+            (((col("pos") - col("label")).cast("double")
+              + lit(10.0) * (col("gpos").cast("double") / col("gn").cast("double")))
+              / ((col("n") - 1).cast("double") + lit(10.0))).as("sm_enc"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+             |        CAST(o_orderstatus = 'F' AS BIGINT) AS label FROM orders),
+             |c AS (SELECT o_orderpriority AS cat, COUNT(*) AS n,
+             |        SUM(label) AS pos FROM o GROUP BY 1),
+             |g AS (SELECT SUM(label) AS gpos, COUNT(*) AS gn FROM o)
+             |SELECT o.o_orderkey, o.o_orderpriority, o.label,
+             |  CAST(pos - label AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS loo_enc,
+             |  (CAST(pos - label AS DOUBLE)
+             |     + 10.0 * (CAST(gpos AS DOUBLE) / CAST(gn AS DOUBLE)))
+             |    / (CAST(n - 1 AS DOUBLE) + 10.0) AS sm_enc
+             |FROM o JOIN c ON o.o_orderpriority = c.cat CROSS JOIN g
+             |ORDER BY o.o_orderkey""".stripMargin))
   )
 
   /** Canonical text normal form (see q_text_normalize): lowercase →

@@ -499,6 +499,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_target_encode broadcasts category stats; the fact scan never shuffles") {
+    val p = plan("q_target_encode")
+    val str = p.toString
+    assert(str.contains("BroadcastHashJoin"),
+      s"category stats not broadcast onto the facts:\n$str")
+    assert(!str.contains("SortMergeJoin"),
+      s"the fact table shuffled for a 5-row stats join:\n$str")
+    assert(!str.contains("Window"),
+      s"per-row window planned where broadcast stats suffice:\n$str")
+    val facts = scans(p).find(
+      _.requiredSchema.fieldNames.contains("o_orderkey")).getOrElse(
+      fail(s"no fact scan of orders:\n$p"))
+    assert(facts.requiredSchema.fieldNames.toSet ==
+      Set("o_orderkey", "o_orderstatus", "o_orderpriority"),
+      facts.requiredSchema.fieldNames.mkString(","))
+  }
+
   test("q_ann_recall prunes both rankings map-side via TopKPerKey") {
     val s = plan("q_ann_recall").toString
     // both the exact and the bucket-restricted cut must go through the

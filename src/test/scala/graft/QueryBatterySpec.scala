@@ -29,7 +29,7 @@ class QueryBatterySpec extends AnyFunSuite {
     "ddl_extended", "q_decimal_agg", "s_approx_users",
     "q_decontaminate", "q_lm_score", "q_stratified_sample", "q_repetition",
     "q_vec_quantize", "q_cooccur", "q_substr_dedup", "q_markov_transitions",
-    "q_winsorize", "q_ann_recall", "q_pit_join")
+    "q_winsorize", "q_ann_recall", "q_pit_join", "q_target_encode")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
@@ -147,6 +147,27 @@ class QueryBatterySpec extends AnyFunSuite {
     assert(matched > 0, "no purchase matched any status version")
     assert(matched < rows.length,
       "every purchase matched — the no-feature-yet NULL path is untested")
+  }
+
+  test("q_target_encode is leave-one-out: a row's own label moves its encoding") {
+    val rows = SparkEntry.queries("q_target_encode")(spark, sf).collect()
+    val orders = graft.queries.Q.rd(spark, sf, "orders").count()
+    assert(rows.length.toLong == orders, "encoder dropped or duplicated rows")
+    rows.foreach { r =>
+      val e = r.getAs[Double]("loo_enc")
+      assert(e >= 0.0 && e <= 1.0, s"encoding outside [0,1]: $r")
+    }
+    // within a category the encoding depends ONLY on the row's own label
+    // (two distinct values), and excluding a positive must LOWER the
+    // mean-of-others — the signature that the row's label was held out
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (c, rs) =>
+      val byLabel = rs.groupBy(_.getAs[Long]("label"))
+        .map { case (l, g) => l -> g.map(_.getAs[Double]("loo_enc")).distinct }
+      assert(byLabel.values.forall(_.length == 1),
+        s"$c: same-label rows got different LOO encodings")
+      assert(byLabel(1L).head < byLabel(0L).head,
+        s"$c: holding out a positive did not lower the encoding")
+    }
   }
 
   test("q_ann_recall is discriminative: some hit, nothing above 1.0") {
