@@ -936,6 +936,95 @@ object LlmOps {
               |  n_triangles
               |FROM tri""".stripMargin)),
 
+    // ---- multi-source BFS over the kNN graph (seed expansion) ----------
+    // Bounded-hop breadth-first search from a seed set over the
+    // symmetrized top-2 kNN edge set — the label-propagation /
+    // contamination-spread primitive: "everything within h hops of a
+    // flagged document" (GPLD-style seed expansion; also the recall set
+    // for graph-based retrieval). Exact min-hop per reached node, three
+    // unrolled frontier rounds — each round is one equi-join of the
+    // CURRENT frontier (hop = k-1 only, never the whole visited set)
+    // against the edge list plus one min-aggregate, all map-side
+    // combined; frontier size is bounded by the reachable set, edges by
+    // 2N, so every shuffle is graph-sized at any corpus scale. Integer
+    // hops — no float anywhere; the oracle unrolls the identical
+    // d0→d1→d2→d3 chain. At h≫3 the DataFrame loop would re-plan per
+    // round — ConnectedComponents.runStar's RDD fixpoint is the
+    // documented swap-in, same as q_pagerank.
+    QueryDef("q_graph_bfs",
+      (s, dir) => {
+        vecReady(s)
+        val e = rd(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            signBucket("embedding").as("bucket"))
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("bucket"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+          col("bucket"))
+        val scored = a.join(b, Seq("bucket"))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("cos", cosine("ea", "eb"))
+        val und = graft.plans.TopK.perKey(scored, Seq("a_id"),
+            Seq(col("cos").desc, col("b_id").asc), 2)
+          .select(least(col("a_id"), col("b_id")).as("u"),
+            greatest(col("a_id"), col("b_id")).as("v"))
+          .distinct()
+        val sym = und.select(col("u").as("src"), col("v").as("dst"))
+          .union(und.select(col("v").as("src"), col("u").as("dst")))
+          .cache()
+        var dist = rd(s, dir, "embeddings").select(col("vec_id"))
+          .filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id"), lit(0).cast("int").as("hop"))
+        for (k <- 1 to 3) {
+          val next = dist.filter(col("hop") === k - 1)
+            .join(sym, col("vec_id") === col("src"))
+            .select(col("dst").as("vec_id"), lit(k).cast("int").as("hop"))
+          dist = dist.union(next).groupBy("vec_id")
+            .agg(min("hop").cast("int").as("hop"))
+        }
+        dist.orderBy("vec_id")
+      },
+      Some(s"""WITH bk AS (SELECT vec_id, embedding, $signBucketSql AS bucket
+              |            FROM embeddings),
+              |sc AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |  list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              |                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+              |  / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+              |                           list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+              |     * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+              |                             list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+              |    AS cos
+              |  FROM bk a JOIN bk b
+              |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+              |rk AS (SELECT a_id, b_id,
+              |        ROW_NUMBER() OVER (PARTITION BY a_id
+              |          ORDER BY cos DESC, b_id) AS rn
+              |      FROM sc),
+              |und AS (SELECT DISTINCT LEAST(a_id, b_id) AS u,
+              |          GREATEST(a_id, b_id) AS v
+              |        FROM rk WHERE rn <= 2),
+              |sym AS (SELECT u AS src, v AS dst FROM und
+              |        UNION ALL SELECT v AS src, u AS dst FROM und),
+              |d0 AS (SELECT vec_id, 0 AS hop FROM embeddings
+              |       WHERE vec_id % 50 = 0),
+              |d1 AS (SELECT vec_id, MIN(hop) AS hop FROM (
+              |         SELECT vec_id, hop FROM d0
+              |         UNION ALL
+              |         SELECT s.dst, 1 FROM d0 JOIN sym s ON d0.vec_id = s.src
+              |         WHERE d0.hop = 0) GROUP BY vec_id),
+              |d2 AS (SELECT vec_id, MIN(hop) AS hop FROM (
+              |         SELECT vec_id, hop FROM d1
+              |         UNION ALL
+              |         SELECT s.dst, 2 FROM d1 JOIN sym s ON d1.vec_id = s.src
+              |         WHERE d1.hop = 1) GROUP BY vec_id),
+              |d3 AS (SELECT vec_id, MIN(hop) AS hop FROM (
+              |         SELECT vec_id, hop FROM d2
+              |         UNION ALL
+              |         SELECT s.dst, 3 FROM d2 JOIN sym s ON d2.vec_id = s.src
+              |         WHERE d2.hop = 2) GROUP BY vec_id)
+              |SELECT vec_id, CAST(hop AS INTEGER) AS hop
+              |FROM d3 ORDER BY vec_id""".stripMargin)),
+
     // ---- transitive dedup clusters (connected components) --------------
     // Pairwise near-dup matches → transitive clusters via the iterative
     // min-label operator (graft.operators.ConnectedComponents); cluster

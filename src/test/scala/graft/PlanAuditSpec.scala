@@ -516,6 +516,18 @@ class PlanAuditSpec extends AnyFunSuite {
       facts.requiredSchema.fieldNames.mkString(","))
   }
 
+  test("q_graph_bfs builds edges bucketed and keeps every frontier join equi") {
+    val p = plan("q_graph_bfs")
+    val str = p.toString
+    // edge construction must ride the sign-bucket blocking + map-side
+    // top-k (never corpus²), and the three frontier expansions are
+    // equi-joins on src — a product anywhere dies at scale
+    assert(str.contains("TopKPerKey"),
+      s"kNN edge cut not pruned map-side:\n$str")
+    assert(!str.contains("CartesianProduct") && !str.contains("BroadcastNestedLoop"),
+      s"a join degenerated to a product:\n$str")
+  }
+
   test("q_ann_recall prunes both rankings map-side via TopKPerKey") {
     val s = plan("q_ann_recall").toString
     // both the exact and the bucket-restricted cut must go through the

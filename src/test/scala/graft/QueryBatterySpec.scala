@@ -29,7 +29,8 @@ class QueryBatterySpec extends AnyFunSuite {
     "ddl_extended", "q_decimal_agg", "s_approx_users",
     "q_decontaminate", "q_lm_score", "q_stratified_sample", "q_repetition",
     "q_vec_quantize", "q_cooccur", "q_substr_dedup", "q_markov_transitions",
-    "q_winsorize", "q_ann_recall", "q_pit_join", "q_target_encode")
+    "q_winsorize", "q_ann_recall", "q_pit_join", "q_target_encode",
+    "q_graph_bfs")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
@@ -168,6 +169,20 @@ class QueryBatterySpec extends AnyFunSuite {
       assert(byLabel(1L).head < byLabel(0L).head,
         s"$c: holding out a positive did not lower the encoding")
     }
+  }
+
+  test("q_graph_bfs hops are exact min distances from the seed set") {
+    val rows = SparkEntry.queries("q_graph_bfs")(spark, sf).collect()
+    val byId = rows.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Int]("hop")).toMap
+    assert(byId.values.forall(h => h >= 0 && h <= 3))
+    val seeds = byId.filter(_._2 == 0).keySet
+    assert(seeds == byId.keySet.filter(_ % 50 == 0),
+      "hop-0 set is not exactly the seed set")
+    // expansion is non-vacuous AND bounded: some node needed a real walk
+    assert(byId.values.exists(_ == 1) && byId.values.exists(_ > 1),
+      "BFS never left the seeds' immediate neighborhood")
+    assert(byId.size > seeds.size, "no node reached beyond the seeds")
   }
 
   test("q_ann_recall is discriminative: some hit, nothing above 1.0") {
