@@ -528,6 +528,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a join degenerated to a product:\n$str")
   }
 
+  test("q_quantile_bins: one pruned scan pair, broadcast cuts, no window") {
+    val p = plan("q_quantile_bins")
+    val str = p.toString
+    // the 1-row cut frame joins back as a broadcast (a 1-row BNL is the
+    // planner's literal-free cross join and is fine); the fact side must
+    // never shuffle for it, and binning must not plan a per-row window
+    assert(!str.contains("SortMergeJoin"),
+      s"orders shuffled against a 1-row cut frame:\n$str")
+    assert(!str.contains("Window"),
+      s"per-row window planned for a broadcast-scalar bin:\n$str")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet == Set("o_totalprice"),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
+
   test("q_ann_recall prunes both rankings map-side via TopKPerKey") {
     val s = plan("q_ann_recall").toString
     // both the exact and the bucket-restricted cut must go through the

@@ -30,7 +30,7 @@ class QueryBatterySpec extends AnyFunSuite {
     "q_decontaminate", "q_lm_score", "q_stratified_sample", "q_repetition",
     "q_vec_quantize", "q_cooccur", "q_substr_dedup", "q_markov_transitions",
     "q_winsorize", "q_ann_recall", "q_pit_join", "q_target_encode",
-    "q_graph_bfs")
+    "q_graph_bfs", "q_quantile_bins")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
@@ -183,6 +183,26 @@ class QueryBatterySpec extends AnyFunSuite {
     assert(byId.values.exists(_ == 1) && byId.values.exists(_ > 1),
       "BFS never left the seeds' immediate neighborhood")
     assert(byId.size > seeds.size, "no node reached beyond the seeds")
+  }
+
+  test("q_quantile_bins partitions the domain into 8 near-equal buckets") {
+    val rows = SparkEntry.queries("q_quantile_bins")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == (0 to 7),
+      s"expected bins 0..7: ${rows.mkString(",")}")
+    val total = rows.map(_.getAs[Long]("n")).sum
+    rows.foreach { r =>
+      // equal-frequency: every bucket within 2x of the ideal eighth
+      // (ties can shift mass, but never hollow a bucket out)
+      val n = r.getAs[Long]("n")
+      assert(n * 8 >= total / 2 && n * 8 <= total * 2,
+        s"bucket far from equal-frequency: $r (total $total)")
+      assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents"))
+    }
+    // buckets tile the axis in order without overlapping
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_cents") < b.getAs[Long]("lo_cents"),
+        s"bins overlap: $a then $b")
+    }
   }
 
   test("q_ann_recall is discriminative: some hit, nothing above 1.0") {
