@@ -601,6 +601,43 @@ object Battery {
              |  MIN(pc) AS lo_cents, MAX(pc) AS hi_cents
              |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // ---- time-decay (recency-weighted) aggregation ---------------------
+    // The feature-store recency feature: per event type, an engagement
+    // score that halves every week of age ("recent activity counts
+    // more"). Exact despite being a float-weighted sum: ages bucket to
+    // whole weeks capped at 4, so the weight set is the five dyadics
+    // {1, 1/2, 1/4, 1/8, 1/16}; each row contributes the INTEGER
+    // round(value·10⁴)·2^(4−wk), partial sums are exact BIGINTs
+    // (≤ 8·10¹³ at sf0.1, far under 2⁵³), and one final division by
+    // 16·10⁴ lands both engines on the identical double. Map-side
+    // partials over a 3-column scan; shuffle is |event_type| rows.
+    QueryDef("q_decay_agg",
+      (s, dir) => {
+        events(s, dir)
+          .select(col("event_type"),
+            expr("CAST(round(value * 10000) AS BIGINT)").as("v4"),
+            expr("least(datediff(DATE'2024-02-01', CAST(ts AS DATE)) DIV 7, 4)")
+              .as("wk"))
+          .withColumn("contrib",
+            col("v4") * expr("CAST(shiftleft(1L, CAST(4 - wk AS INT)) AS BIGINT)"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("contrib")).cast("double") / lit(160000.0))
+              .as("decayed_value"),
+            (sum(col("v4")).cast("double") / lit(10000.0)).as("raw_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(round(value * 10000) AS BIGINT) AS v4,
+             |    least(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7, 4)
+             |      AS wk
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(v4 * (1 << (4 - wk))) AS DOUBLE) / 160000.0
+             |    AS decayed_value,
+             |  CAST(SUM(v4) AS DOUBLE) / 10000.0 AS raw_value
+             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- join-key skew report (the diagnostic BEFORE q_salted_join) ----
     // The profiling pass that decides between a plain shuffle join,
     // AQE skew-split, and explicit salting: the heaviest join keys and

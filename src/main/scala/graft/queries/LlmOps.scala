@@ -1574,6 +1574,61 @@ object LlmOps {
               |SELECT vec_id, label, ROUND(cos, 4) AS cosine FROM s
               |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // ---- contrastive hard-negative mining -----------------------------
+    // The retrieval-training data op: for each anchor, the top-3
+    // most-similar vectors of a DIFFERENT class (the negatives that
+    // actually move an embedding model), each with its margin below the
+    // anchor's nearest same-class positive — margin ≤ 0 flags the
+    // "negative beats every positive" rows a curriculum samples first.
+    // ONE corpus pass scores all anchors (broadcast probe frame, fused
+    // codegen cosine, cached 4-column projection); the negative branch
+    // prunes map-side via TopKPerKey to ≤3 rows/anchor BEFORE any
+    // shuffle and the positive branch is a |anchors|-row max-agg with
+    // map-side combine — no vector ever shuffles, no per-anchor window
+    // over the scored corpus. Work is one scan × |anchors| regardless
+    // of corpus size; margins subtract identical IEEE doubles, rounded
+    // once for the pin.
+    QueryDef("q_hard_negatives",
+      (s, dir) => {
+        vecReady(s)
+        val e = rd(s, dir, "embeddings")
+        val anchors = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+            col("embedding").as("pe"))
+        val scored = e.filter(col("vec_id") >= 5).crossJoin(broadcast(anchors))
+          .withColumn("cos", cosine("embedding", "pe"))
+          .select("probe_id", "plabel", "vec_id", "label", "cos")
+          .cache()
+        val negs = graft.plans.TopK.perKey(
+          scored.filter(col("label") =!= col("plabel")),
+          Seq("probe_id"), Seq(col("cos").desc, col("vec_id").asc), 3)
+        val pos = scored.filter(col("label") === col("plabel"))
+          .groupBy(col("probe_id").as("pp")).agg(max("cos").as("pos_cos"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        negs.withColumn("rn", row_number().over(w).cast("int"))
+          .join(broadcast(pos), col("probe_id") === col("pp"))
+          .select(col("probe_id"), col("rn"), col("vec_id"), col("label"),
+            round(col("cos"), 4).as("neg_cos"),
+            round(col("pos_cos") - col("cos"), 4).as("margin"))
+          .orderBy("probe_id", "rn")
+      },
+      Some(s"""WITH a AS (SELECT vec_id AS probe_id, label AS plabel,
+              |             embedding AS pe
+              |           FROM embeddings WHERE vec_id < 5),
+              |sc AS (SELECT probe_id, plabel, vec_id, label, $cosSql AS cos
+              |       FROM embeddings, a WHERE vec_id >= 5),
+              |n AS (SELECT probe_id, vec_id, label, cos,
+              |        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              |          ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+              |      FROM sc WHERE label <> plabel),
+              |q AS (SELECT probe_id AS pp, MAX(cos) AS pos_cos
+              |      FROM sc WHERE label = plabel GROUP BY 1)
+              |SELECT probe_id, rn, vec_id, label,
+              |  ROUND(cos, 4) AS neg_cos, ROUND(pos_cos - cos, 4) AS margin
+              |FROM n JOIN q ON probe_id = pp
+              |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin)),
+
     // ---- semantic dedup: cluster-blocked embedding near-dup removal ---
     // The SemDeDup shape (embedding-space dedup before training): block
     // by cluster — here the corpus's label column stands in for the

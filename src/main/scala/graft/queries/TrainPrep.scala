@@ -503,7 +503,73 @@ object TrainPrep {
              |     + 10.0 * (CAST(gpos AS DOUBLE) / CAST(gn AS DOUBLE)))
              |    / (CAST(n - 1 AS DOUBLE) + 10.0) AS sm_enc
              |FROM o JOIN c ON o.o_orderpriority = c.cat CROSS JOIN g
-             |ORDER BY o.o_orderkey""".stripMargin))
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // ---- purged / embargoed time split ---------------------------------
+    // The time-series leakage guard q_train_split's hash split cannot
+    // give: train strictly precedes validation IN TIME, and a 2-month
+    // embargo window between them is dropped outright, so features
+    // computed with lookback/lookahead near the boundary (rolling means,
+    // as-of joins) cannot straddle it. Fixed cut dates make the split a
+    // pure map-side predicate — a partition-pruned scan when the table
+    // is date-partitioned at 100 TB; no shuffle beyond the 3-row agg.
+    // The per-split (min, max) bounds are IN the output so the oracle
+    // itself pins the no-overlap invariant; revenue rides the exact
+    // decimal grid.
+    QueryDef("q_purged_split",
+      (s, dir) => {
+        rd(s, dir, "orders")
+          .withColumn("d", to_date(col("o_orderdate")))
+          .withColumn("split",
+            when(col("d") < lit("2000-01-01"), "train")
+              .when(col("d") < lit("2000-03-01"), "embargo")
+              .otherwise("val"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"),
+            min("d").as("d_min"), max("d").as("d_max"),
+            dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("split")
+      },
+      Some(s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice
+              |           FROM orders)
+              |SELECT CASE WHEN d < DATE '2000-01-01' THEN 'train'
+              |            WHEN d < DATE '2000-03-01' THEN 'embargo'
+              |            ELSE 'val' END AS split,
+              |  COUNT(*) AS n, MIN(d) AS d_min, MAX(d) AS d_max,
+              |  ${dsumSql("o_totalprice")} AS revenue
+              |FROM o GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // ---- class weights for imbalanced training -------------------------
+    // The two standard reweighting schemes a classifier head trains
+    // with: inverse-frequency (total/(k·n_c) — weights average to 1
+    // over classes) and median-frequency balancing (median class count
+    // over n_c, the segmentation-literature variant that mutes the
+    // giant-class gradient without exploding rare ones). One
+    // class-keyed partial agg (map-side combine, |classes| rows
+    // shuffled), then a 1-row stats frame broadcast back onto the tiny
+    // class frame. Every weight is a single IEEE division of exact
+    // integers (the median of integer counts interpolates at the
+    // dyadic 0.5), so both engines emit identical doubles.
+    QueryDef("q_class_weights",
+      (s, dir) => {
+        val cls = rd(s, dir, "embeddings").select("label")
+          .groupBy("label").agg(count(lit(1)).as("n"))
+        val stats = cls.agg(sum("n").as("total"), count(lit(1)).as("k"),
+          expr("percentile(n, 0.5D)").as("med"))
+        cls.crossJoin(broadcast(stats))
+          .select(col("label"), col("n"),
+            (col("total").cast("double") / (col("k") * col("n")).cast("double"))
+              .as("inv_weight"),
+            (col("med") / col("n").cast("double")).as("mf_weight"))
+          .orderBy("label")
+      },
+      Some("""WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+             |s AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS k,
+             |        quantile_cont(n, 0.5) AS med FROM c)
+             |SELECT label, n,
+             |  CAST(total AS DOUBLE) / CAST(k * n AS DOUBLE) AS inv_weight,
+             |  med / CAST(n AS DOUBLE) AS mf_weight
+             |FROM c CROSS JOIN s ORDER BY label""".stripMargin))
   )
 
   /** Canonical text normal form (see q_text_normalize): lowercase →

@@ -544,6 +544,50 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_decay_agg is one pruned scan into a partial agg — no join, no window") {
+    val p = plan("q_decay_agg")
+    val str = p.toString
+    assert(!str.contains("Join") && !str.contains("Window"),
+      s"decay agg should be a single aggregation pass:\n$str")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet == Set("ts", "event_type", "value"),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
+
+  test("q_purged_split reads two columns and plans no join") {
+    val p = plan("q_purged_split")
+    assert(!p.toString.contains("Join"), s"split is a map-side predicate:\n$p")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet ==
+        Set("o_orderdate", "o_totalprice"),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
+
+  test("q_class_weights never shuffles for the 1-row stats frame") {
+    val p = plan("q_class_weights")
+    val str = p.toString
+    assert(!str.contains("SortMergeJoin"),
+      s"class frame shuffled against 1-row stats:\n$str")
+    assert(!str.contains("Window"), s"per-row window planned:\n$str")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet == Set("label"),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
+
+  test("q_hard_negatives prunes negatives map-side and broadcasts both sides") {
+    val str = plan("q_hard_negatives").toString
+    // the ≤3-per-anchor cut must plan as the TopKPerKey partial prune
+    // (never a window over the scored corpus), and the anchor/positive
+    // frames must ride broadcasts — a SortMergeJoin would shuffle the
+    // scored corpus for a 5-row side
+    assert(str.contains("TopKPerKey"), s"no map-side negative prune:\n$str")
+    assert(!str.contains("SortMergeJoin"),
+      s"scored corpus shuffled against a 5-row frame:\n$str")
+  }
+
   test("q_ann_recall prunes both rankings map-side via TopKPerKey") {
     val s = plan("q_ann_recall").toString
     // both the exact and the bucket-restricted cut must go through the

@@ -30,7 +30,8 @@ class QueryBatterySpec extends AnyFunSuite {
     "q_decontaminate", "q_lm_score", "q_stratified_sample", "q_repetition",
     "q_vec_quantize", "q_cooccur", "q_substr_dedup", "q_markov_transitions",
     "q_winsorize", "q_ann_recall", "q_pit_join", "q_target_encode",
-    "q_graph_bfs", "q_quantile_bins")
+    "q_graph_bfs", "q_quantile_bins", "q_decay_agg", "q_purged_split",
+    "q_class_weights", "q_hard_negatives")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
@@ -202,6 +203,71 @@ class QueryBatterySpec extends AnyFunSuite {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a.getAs[Long]("hi_cents") < b.getAs[Long]("lo_cents"),
         s"bins overlap: $a then $b")
+    }
+  }
+
+  test("q_decay_agg never lets a decayed score exceed the raw sum") {
+    val rows = SparkEntry.queries("q_decay_agg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dec = r.getAs[Double]("decayed_value")
+      val raw = r.getAs[Double]("raw_value")
+      // weights are in (0, 1]: positive values keep a positive score
+      // but can never gain mass; strict < unless every event is week-0
+      assert(dec > 0.0 && dec <= raw, s"decay out of (0, raw]: $r")
+    }
+    // the corpus spans >1 week, so decay must actually bite somewhere
+    assert(rows.exists(r =>
+      r.getAs[Double]("decayed_value") < r.getAs[Double]("raw_value") * 0.9),
+      "no event type shows meaningful decay — weighting is vacuous")
+  }
+
+  test("q_purged_split: train < embargo < val with a non-empty gap") {
+    val rows = SparkEntry.queries("q_purged_split")(spark, sf).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet == Set("train", "embargo", "val"))
+    def d(s: String, c: String) = rows(s).getAs[java.sql.Date](c).toLocalDate
+    // strict temporal ordering: every train row precedes every embargo
+    // row, which precedes every val row — the no-leak invariant
+    assert(d("train", "d_max").isBefore(d("embargo", "d_min")))
+    assert(d("embargo", "d_max").isBefore(d("val", "d_min")))
+    // the embargo actually drops data (an empty gap guards nothing)
+    assert(rows("embargo").getAs[Long]("n") > 0)
+    val total = rows.values.map(_.getAs[Long]("n")).sum
+    assert(total == queries.Q.rd(spark, sf, "orders").count(),
+      "splits do not partition the table")
+  }
+
+  test("q_class_weights: inverse-frequency weights rebalance exactly") {
+    val rows = SparkEntry.queries("q_class_weights")(spark, sf).collect()
+    assert(rows.length == 10)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    // Σ n_c · total/(k·n_c) = total — the defining property of
+    // inverse-frequency weighting (each class contributes equal mass)
+    val reweighted = rows.map(r =>
+      r.getAs[Long]("n") * r.getAs[Double]("inv_weight")).sum
+    assert(math.abs(reweighted - total) < 1e-6 * total, s"Σ n·w = $reweighted != $total")
+    // rarest class carries the largest weight under both schemes
+    val byN = rows.sortBy(_.getAs[Long]("n"))
+    assert(byN.head.getAs[Double]("inv_weight") ==
+      rows.map(_.getAs[Double]("inv_weight")).max)
+    assert(byN.head.getAs[Double]("mf_weight") ==
+      rows.map(_.getAs[Double]("mf_weight")).max)
+  }
+
+  test("q_hard_negatives ranks cross-class neighbors with consistent margins") {
+    val rows = SparkEntry.queries("q_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(p >= 0 && p < 5)
+      val sorted = rs.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == (1 to rs.length))
+      // harder negatives rank first: cos non-increasing, margin
+      // (distance below the best positive) non-decreasing
+      val cs = sorted.map(_.getAs[Double]("neg_cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"probe $p")
+      val ms = sorted.map(_.getAs[Double]("margin"))
+      assert(ms.zip(ms.tail).forall { case (a, b) => a <= b }, s"probe $p")
     }
   }
 
