@@ -638,6 +638,55 @@ object Battery {
              |  CAST(SUM(v4) AS DOUBLE) / 10000.0 AS raw_value
              |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- dataset card: per-source corpus datasheet ---------------------
+    // The governance rollup published beside a training corpus (the
+    // "datasheets for datasets" table): per source shard, its volume
+    // (docs, chars, mean length) and language profile — distinct
+    // languages, the dominant language, and that language's share (the
+    // monolingual-vs-mixed signal a mixture designer reads first; the
+    // synthetic shards genuinely spread 0.24–0.64, so the column
+    // discriminates). One 3-column scan feeds two source-keyed partial
+    // aggs; the language mode rides the TopKPerKey 1-row prune (never
+    // a window over the lang frame) and joins back as a |sources|-row
+    // broadcast. mean_chars and top_share are single IEEE divisions of
+    // exact integers.
+    QueryDef("q_dataset_card",
+      (s, dir) => {
+        val d = rd(s, dir, "documents").select("source", "lang", "n_chars")
+        val base = d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+        val top = graft.plans.TopK.perKey(
+            d.groupBy("source", "lang").agg(count(lit(1)).as("lc")),
+            Seq("source"), Seq(col("lc").desc, col("lang").asc), 1)
+          .select(col("source").as("ts"), col("lang").as("top_lang"),
+            col("lc").as("top_n"))
+        base.join(broadcast(top), col("source") === col("ts"))
+          .select(col("source"), col("n_docs"), col("sum_chars"),
+            (col("sum_chars").cast("double") / col("n_docs").cast("double"))
+              .as("mean_chars"),
+            col("n_langs"), col("top_lang"),
+            (col("top_n").cast("double") / col("n_docs").cast("double"))
+              .as("top_share"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, lang, n_chars FROM documents),
+             |b AS (SELECT source, COUNT(*) AS n_docs,
+             |        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |        COUNT(DISTINCT lang) AS n_langs
+             |      FROM d GROUP BY 1),
+             |l AS (SELECT source, lang, COUNT(*) AS lc FROM d GROUP BY 1, 2),
+             |t AS (SELECT source AS ts, lang AS top_lang, lc AS top_n FROM (
+             |        SELECT source, lang, lc, ROW_NUMBER() OVER (
+             |          PARTITION BY source ORDER BY lc DESC, lang) AS rn
+             |        FROM l) WHERE rn = 1)
+             |SELECT source, n_docs, sum_chars,
+             |  CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+             |  n_langs, top_lang,
+             |  CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
+             |FROM b JOIN t ON source = ts
+             |ORDER BY source""".stripMargin)),
+
     // ---- join-key skew report (the diagnostic BEFORE q_salted_join) ----
     // The profiling pass that decides between a plain shuffle join,
     // AQE skew-split, and explicit salting: the heaviest join keys and

@@ -569,7 +569,35 @@ object TrainPrep {
              |SELECT label, n,
              |  CAST(total AS DOUBLE) / CAST(k * n AS DOUBLE) AS inv_weight,
              |  med / CAST(n AS DOUBLE) AS mf_weight
-             |FROM c CROSS JOIN s ORDER BY label""".stripMargin))
+             |FROM c CROSS JOIN s ORDER BY label""".stripMargin)),
+
+    // ---- k-fold cross-validation assignment ----------------------------
+    // The CV companion to q_train_split's holdout: every document lands
+    // in exactly one of 5 folds by the same id-derived md5 byte (folds
+    // are disjoint and exhaustive BY CONSTRUCTION — no bookkeeping join
+    // can ever double-assign), stable under text edits and re-runs, and
+    // embarrassingly map-side: fold choice is a per-row expression, the
+    // only shuffle is the 5-row rollup. Per-fold doc and char masses in
+    // the output let the oracle pin balance; a trainer derives fold k's
+    // train set as "fold <> k", so no materialized k-way copy exists
+    // anywhere (the 5× storage a naive CV split would burn at 100 TB).
+    QueryDef("q_cv_folds",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("fold", expr(s"CAST(($splitByteExpr) % 5 AS INT)"))
+          .groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy("fold")
+      },
+      Some(s"""WITH d AS (SELECT lang, n_chars,
+              |    CAST(($splitByteSql) % 5 AS INTEGER) AS fold
+              |  FROM documents)
+              |SELECT fold, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              |  COUNT(DISTINCT lang) AS n_langs
+              |FROM d GROUP BY fold ORDER BY fold""".stripMargin))
   )
 
   /** Canonical text normal form (see q_text_normalize): lowercase →

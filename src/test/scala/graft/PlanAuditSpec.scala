@@ -588,6 +588,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scored corpus shuffled against a 5-row frame:\n$str")
   }
 
+  test("q_cv_folds is one pruned scan into a 5-row agg — no join, no window") {
+    val p = plan("q_cv_folds")
+    val str = p.toString
+    assert(!str.contains("Join") && !str.contains("Window"),
+      s"fold assignment must stay map-side:\n$str")
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet ==
+        Set("doc_id", "lang", "n_chars"),
+        s.requiredSchema.fieldNames.mkString(","))
+    }
+  }
+
+  test("q_dataset_card prunes text away, prunes the mode, broadcasts it back") {
+    val p = plan("q_dataset_card")
+    val str = p.toString
+    // the language mode must ride the TopKPerKey partial prune and the
+    // |sources|-row mode frame must broadcast — a SortMergeJoin would
+    // shuffle the card for a 20-row side
+    assert(str.contains("TopKPerKey"), s"no map-side mode prune:\n$str")
+    assert(!str.contains("SortMergeJoin"),
+      s"card shuffled against a |sources|-row frame:\n$str")
+    // each branch prunes to exactly what it needs (the mode branch
+    // drops n_chars too); text must reach NO scan
+    scans(p).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet
+          .subsetOf(Set("source", "lang", "n_chars")),
+        s"card scan reads beyond its 3 columns: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
   test("q_ann_recall prunes both rankings map-side via TopKPerKey") {
     val s = plan("q_ann_recall").toString
     // both the exact and the bucket-restricted cut must go through the

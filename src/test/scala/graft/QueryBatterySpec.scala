@@ -31,7 +31,7 @@ class QueryBatterySpec extends AnyFunSuite {
     "q_vec_quantize", "q_cooccur", "q_substr_dedup", "q_markov_transitions",
     "q_winsorize", "q_ann_recall", "q_pit_join", "q_target_encode",
     "q_graph_bfs", "q_quantile_bins", "q_decay_agg", "q_purged_split",
-    "q_class_weights", "q_hard_negatives")
+    "q_class_weights", "q_hard_negatives", "q_cv_folds", "q_dataset_card")
 
   SparkEntry.allDefs.foreach { d =>
     test(s"${d.name} runs at sf0.001") {
@@ -269,6 +269,37 @@ class QueryBatterySpec extends AnyFunSuite {
       val ms = sorted.map(_.getAs[Double]("margin"))
       assert(ms.zip(ms.tail).forall { case (a, b) => a <= b }, s"probe $p")
     }
+  }
+
+  test("q_cv_folds partitions the corpus into 5 balanced folds") {
+    val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("fold")).toSeq == (0 to 4),
+      s"expected folds 0..4: ${rows.mkString(",")}")
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == queries.Q.rd(spark, sf, "documents").count(),
+      "folds do not partition the corpus")
+    // md5 is uniform: no fold should hold more than twice its 1/5 share
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n * 5 >= total / 2 && n * 5 <= total * 2, s"unbalanced fold: $r")
+    }
+  }
+
+  test("q_dataset_card profiles every source with coherent shares") {
+    val rows = SparkEntry.queries("q_dataset_card")(spark, sf).collect()
+    assert(rows.length ==
+      queries.Q.rd(spark, sf, "documents").select("source").distinct.count())
+    rows.foreach { r =>
+      val share = r.getAs[Double]("top_share")
+      assert(share > 0.0 && share <= 1.0, s"share outside (0,1]: $r")
+      assert(share * r.getAs[Long]("n_docs") >=
+        r.getAs[Long]("n_docs").toDouble / r.getAs[Long]("n_langs") - 1e-9,
+        s"mode below uniform share: $r")
+      assert(r.getAs[Double]("mean_chars") > 0.0)
+    }
+    // the column must discriminate: not every shard is equally mixed
+    val shares = rows.map(_.getAs[Double]("top_share"))
+    assert(shares.max > shares.min, "top_share is constant — card is vacuous")
   }
 
   test("q_ann_recall is discriminative: some hit, nothing above 1.0") {
