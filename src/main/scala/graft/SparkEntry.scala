@@ -20,7 +20,7 @@ object SparkEntry {
   val allDefs: Vector[QueryDef] = {
     val defs = Relational.defs ++ LlmOps.defs ++ Advanced.defs ++
       StreamingOps.defs ++ SchemaQueries.defs ++ SourceOps.defs ++
-      Battery.defs ++ TrainPrep.defs
+      Battery.defs ++ TrainPrep.defs ++ Curation.defs
     // a duplicate name would silently drop an operator in the toMap below
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")

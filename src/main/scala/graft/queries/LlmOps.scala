@@ -34,7 +34,7 @@ object LlmOps {
       |                 i -> concat_ws(' ', slice(toks, i + 1, 3)))
       |  ELSE array() END)""".stripMargin
 
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "documents")
       .withColumn("toks", toks(col("text")))
       .withColumn("sh", expr(shingleExpr))

@@ -32,19 +32,30 @@ object Q {
   def rd(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  /** The events table carries a NANOS parquet timestamp, which Spark 4
-   * refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Sessions set
-   * `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench), the
-   * column arrives as ns-since-epoch LongType, and this helper truncates
-   * to microseconds — the same floor DuckDB applies when casting its ns
-   * read to its µs timestamp, so oracle comparisons line up. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = rd(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case _ => df
-    }
+  /** The events table's ts encoding has varied across driver testdata
+   * generations and this helper absorbs all of them into a plain UTC
+   * TimestampType:
+   *  - NANOS parquet timestamp → Spark 4 refuses to read it as a
+   *    timestamp ([PARQUET_TYPE_ILLEGAL]); sessions set
+   *    `spark.sql.legacy.parquet.nanosAsLong=true` (see Verify/Bench),
+   *    the column arrives as ns-since-epoch LongType and is truncated
+   *    to µs — the same floor DuckDB applies on its ns read;
+   *  - MICROS with isAdjustedToUTC=false → Spark reads TIMESTAMP_NTZ,
+   *    which event-time watermarks and unix_micros reject; cast to
+   *    TimestampType (the session is pinned UTC, so the wall-clock
+   *    values — and the oracle comparison — are unchanged). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(rd(spark, dir, "events"))
+
+  /** Normalize a frame's `ts` column to UTC TimestampType whatever the
+   * testdata generation encoded (see [[events]]); shared by the batch
+   * reader, the streaming source, and the specs. */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast("timestamp"))
+    case _ => df
   }
 
   /** Exact sum of a 2-decimal-place double column: decimal(18,2) per-row

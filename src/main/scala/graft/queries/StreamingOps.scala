@@ -21,16 +21,15 @@ object StreamingOps {
 
   private def streamEvents(s: SparkSession, dir: String): DataFrame = {
     // file stream source needs an explicit schema: read it from the same
-    // footer (metadata-only, like the batch path). ts arrives as an
-    // ns-since-epoch long (nanosAsLong, see Q.events) and is truncated
-    // to a µs timestamp before any windowing.
+    // footer (metadata-only, like the batch path). ts is normalized to a
+    // UTC TimestampType whatever the testdata generation encoded —
+    // ns-since-epoch long (nanosAsLong) or µs TIMESTAMP_NTZ — because
+    // event-time watermarks reject NTZ (see Q.events).
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source wants a directory; glob-filter to the one table
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    Q.normalizeTs(raw)
   }
 
   /** Streaming state partitions should be sized to state volume, not to
@@ -640,6 +639,81 @@ object StreamingOps {
              |  WHERE e.vec_id % 10 = 0 AND e.vec_id % 100 <> 0)
              |SELECT vec_id, eval_id, ROUND(cos, 4) AS cosine
              |FROM s WHERE cos > 0.25
-             |ORDER BY vec_id, eval_id""".stripMargin))
+             |ORDER BY vec_id, eval_id""".stripMargin)),
+
+    // ---- streaming CDC apply (incremental last-writer-wins merge) ------
+    // The change-data-capture ingestion shape: a stream of keyed change
+    // events applied incrementally to a materialized table via
+    // foreachBatch MERGE — here last-writer-wins by (ts, event_id) per
+    // user, with 'error' events acting as tombstones (key deleted from
+    // the final view). The feed is staged as four time-ranged files
+    // (content-stamped, rebuilt only when the source changes) and
+    // consumed with maxFilesPerTrigger=1, so the merge genuinely runs
+    // once per microbatch against the previous state version — the
+    // snapshot-versioned convention q_snapshot_* reads. LWW is
+    // commutative/associative/idempotent, so the result is independent
+    // of how the feed is batched — the property that makes CDC apply
+    // safe under replays and out-of-order delivery. State carries one
+    // row per live key; at 100 TB the per-batch merge is a MERGE INTO
+    // a table format keyed on user_id, and file-level min/max pruning
+    // limits the rewrite to touched files.
+    QueryDef("s_cdc_apply",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        val stamp = Q.contentStamp(dir, "events")
+        // "f2": feed layout version — bumped when the staged schema
+        // changes (f2 = ts normalized to TimestampType) so a stale stage
+        // from an older code version is never reused
+        val feedDir = Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_cdc_feed_f2_$stamp")
+        if (!Files.exists(feedDir.resolve("_SUCCESS"))) {
+          events(s, dir)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .repartitionByRange(4, col("ts"))
+            .write.mode("overwrite").parquet(feedDir.toString)
+        }
+        val schema = s.read.parquet(feedDir.toString).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(feedDir.toString)
+        val lww = (df: DataFrame) => df
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("w"))
+          .select(col("user_id"), col("w.ts").as("ts"),
+            col("w.event_id").as("event_id"),
+            col("w.event_type").as("event_type"), col("w.value").as("value"))
+        val base = streamTmpDir("s_cdc_apply")
+        @volatile var cur: Option[String] = None
+        def applyBatch(b: DataFrame, id: Long): Unit = {
+          val merged = cur match {
+            case Some(prev) => lww(s.read.parquet(prev).unionByName(lww(b)))
+            case None       => lww(b)
+          }
+          val out = base.resolve(s"state_v$id").toString
+          merged.write.mode("overwrite").parquet(out)
+          cur = Some(out)
+        }
+        val q = stream.writeStream
+          .option("checkpointLocation", base.resolve("chk").toString)
+          .foreachBatch(applyBatch _)
+          .start()
+        try { try q.processAllAvailable() finally q.stop() }
+        finally { deleteRec(base.resolve("chk")); cleanupOnExit(base) }
+        s.read.parquet(cur.getOrElse(
+          sys.error("cdc apply emitted no state version")))
+          .filter(col("event_type") =!= "error")
+          .select(col("user_id"), col("ts").as("last_ts"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, ts, event_type, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT user_id, ts AS last_ts, event_type AS last_type,
+             |  value AS last_value
+             |FROM r WHERE rn = 1 AND event_type <> 'error'
+             |ORDER BY user_id""".stripMargin))
   )
 }

@@ -19,12 +19,12 @@ object TrainPrep {
    * deterministic split hash. Content-independent (id-based) so
    * re-running after a text fix never migrates documents between
    * splits. */
-  private val splitByteExpr =
+  private[graft] val splitByteExpr =
     """(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16
       | + instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1"""
       .stripMargin
 
-  private val splitByteSql =
+  private[graft] val splitByteSql =
     """(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
       | + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"""
       .stripMargin

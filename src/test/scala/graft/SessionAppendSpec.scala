@@ -19,8 +19,8 @@ class SessionAppendSpec extends AnyFunSuite {
     val append = SparkEntry.queries("s_session_append")(spark, dir)
       .select("user_id", "session_start", "session_end", "n_events")
     val complete = SparkEntry.queries("s_session")(spark, dir)
-    val maxTs = spark.read.parquet(s"$dir/events.parquet")
-      .select(expr("timestamp_micros(max(ts) DIV 1000)")).head().getTimestamp(0)
+    val maxTs = graft.queries.Q.events(spark, dir)
+      .select(max(col("ts"))).head().getTimestamp(0)
     val closed = complete.filter(
       col("session_end") <= lit(maxTs) - expr("INTERVAL 10 MINUTES"))
 

@@ -17,8 +17,7 @@ class StreamingSketchSpec extends AnyFunSuite {
 
   test("streaming windowed approx_count_distinct equals the batch sketch") {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    def winAgg(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    def winAgg(df: org.apache.spark.sql.DataFrame) = graft.queries.Q.normalizeTs(df)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
