@@ -459,6 +459,143 @@ object Curation {
              |    - (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
              |      * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)) AS var_x,
              |  min_x, max_x
-             |FROM a ORDER BY dim""".stripMargin))
+             |FROM a ORDER BY dim""".stripMargin)),
+
+    // ---- Poisson-bootstrap confidence interval -------------------------
+    // Error bars at corpus scale: the Poisson bootstrap (each row draws
+    // an independent Poisson(1) replication weight per replica) is THE
+    // distributed bootstrap — one pass, no resample materialization,
+    // B replica means from B weighted partial sums. Determinism: the
+    // weight is inverse-CDF over a 16-bit integer carved from
+    // md5(doc_id:replica) nibbles (the one hash both engines share) and
+    // compared against fixed integer thresholds (Poisson(1) CDF × 2^16)
+    // — integer compares only. The metric is integer n_chars, so every
+    // replica mean is an exact-int ratio and the 5%/95% band is an
+    // order-statistic pick over 32 exact values. At 100 TB this is one
+    // map-side pass producing 32 (Σwx, Σw) partials.
+    QueryDef("q_bootstrap_ci",
+      (s, dir) => {
+        def u16(e: String): String = {
+          val nib = (i: Int) =>
+            s"(instr('0123456789abcdef', substring(md5($e), $i, 1)) - 1)"
+          s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+        }
+        // Poisson(1) CDF × 65536: P(≤0)=24109, ≤1=48219, ≤2=60278,
+        // ≤3=64291, ≤4=65296, else 5 (truncated tail)
+        val key = "concat(CAST(doc_id AS STRING), ':', CAST(b AS STRING))"
+        val reps = rd(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            explode(expr("sequence(0, 31)")).as("b"))
+          .withColumn("u", expr(u16(key)))
+          .withColumn("w", expr(
+            """CASE WHEN u < 24109 THEN 0 WHEN u < 48219 THEN 1
+              | WHEN u < 60278 THEN 2 WHEN u < 64291 THEN 3
+              | WHEN u < 65296 THEN 4 ELSE 5 END""".stripMargin))
+          .groupBy("b")
+          .agg(sum(col("w").cast("long") * col("n_chars")).as("swx"),
+            sum(col("w").cast("long")).as("sw"))
+          .withColumn("mean_b", col("swx").cast("double") / col("sw"))
+        val ranked = reps
+          .withColumn("rk", row_number().over(
+            Window.partitionBy().orderBy(col("mean_b"), col("b"))))
+        val base = rd(s, dir, "documents")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"))
+          .select(col("n"), (col("sx").cast("double") / col("n")).as("point_mean"))
+        base.crossJoin(
+          ranked.agg(
+            min(when(col("rk") === 2, col("mean_b"))).as("ci_lo"),
+            min(when(col("rk") === 31, col("mean_b"))).as("ci_hi"),
+            count(lit(1)).as("n_replicas")))
+          .select("n", "point_mean", "ci_lo", "ci_hi", "n_replicas")
+      },
+      Some("""WITH r AS (
+             |  SELECT d.doc_id, d.n_chars, b.b,
+             |    (strpos('0123456789abcdef', substring(md5(d.doc_id::VARCHAR || ':' || b.b::VARCHAR), 1, 1)) - 1) * 4096
+             |    + (strpos('0123456789abcdef', substring(md5(d.doc_id::VARCHAR || ':' || b.b::VARCHAR), 2, 1)) - 1) * 256
+             |    + (strpos('0123456789abcdef', substring(md5(d.doc_id::VARCHAR || ':' || b.b::VARCHAR), 3, 1)) - 1) * 16
+             |    + (strpos('0123456789abcdef', substring(md5(d.doc_id::VARCHAR || ':' || b.b::VARCHAR), 4, 1)) - 1) AS u
+             |  FROM documents d, (SELECT unnest(range(0, 32)) AS b) b),
+             |w AS (
+             |  SELECT b, CASE WHEN u < 24109 THEN 0 WHEN u < 48219 THEN 1
+             |    WHEN u < 60278 THEN 2 WHEN u < 64291 THEN 3
+             |    WHEN u < 65296 THEN 4 ELSE 5 END AS w, n_chars
+             |  FROM r),
+             |m AS (
+             |  SELECT b, CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS mean_b
+             |  FROM w GROUP BY b),
+             |rk AS (
+             |  SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk
+             |  FROM m),
+             |ci AS (
+             |  SELECT MIN(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+             |    MIN(CASE WHEN rk = 31 THEN mean_b END) AS ci_hi,
+             |    COUNT(*) AS n_replicas
+             |  FROM rk),
+             |base AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS point_mean
+             |  FROM documents)
+             |SELECT n, point_mean, ci_lo, ci_hi, n_replicas
+             |FROM base, ci""".stripMargin)),
+
+    // ---- Welch two-sample test (A/B experiment readout) ----------------
+    // The experimentation readout: split the corpus into two variants by
+    // doc_id parity, compare mean n_chars with Welch's unequal-variance
+    // t statistic. Every moment comes from exact integer sums (Σx, Σx²
+    // are int64), so the t value is a fixed tree of IEEE ops over
+    // identical operands in both engines — no rounding, no tolerance.
+    // Single-pass conditional aggregation; at any scale this is one
+    // map-side partial per variant.
+    QueryDef("q_ab_test",
+      (s, dir) => {
+        rd(s, dir, "documents")
+          .withColumn("v", (col("doc_id") % 2).cast("int"))
+          .agg(
+            sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("v") === 0, col("n_chars")).otherwise(0L)).as("sx_a"),
+            sum(when(col("v") === 0, col("n_chars") * col("n_chars"))
+              .otherwise(0L)).as("sxx_a"),
+            sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("v") === 1, col("n_chars")).otherwise(0L)).as("sx_b"),
+            sum(when(col("v") === 1, col("n_chars") * col("n_chars"))
+              .otherwise(0L)).as("sxx_b"))
+          .withColumn("m_a", col("sx_a").cast("double") / col("n_a"))
+          .withColumn("m_b", col("sx_b").cast("double") / col("n_b"))
+          .withColumn("var_a",
+            (col("sxx_a").cast("double") - col("m_a") * col("sx_a").cast("double"))
+              / (col("n_a") - 1))
+          .withColumn("var_b",
+            (col("sxx_b").cast("double") - col("m_b") * col("sx_b").cast("double"))
+              / (col("n_b") - 1))
+          .withColumn("t_stat",
+            (col("m_a") - col("m_b")) /
+              sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+          .select(col("n_a"), col("n_b"), col("m_a"), col("m_b"),
+            col("var_a"), col("var_b"), col("t_stat"),
+            (abs(col("t_stat")) > 1.96).as("significant"))
+      },
+      Some("""WITH s AS (
+             |  SELECT
+             |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             |    SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars ELSE 0 END) AS sx_a,
+             |    SUM(CASE WHEN doc_id % 2 = 0 THEN n_chars * n_chars ELSE 0 END) AS sxx_a,
+             |    SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+             |    SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS sx_b,
+             |    SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars * n_chars ELSE 0 END) AS sxx_b
+             |  FROM documents),
+             |m AS (
+             |  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |    CAST(sx_a AS DOUBLE) / n_a AS m_a,
+             |    CAST(sx_b AS DOUBLE) / n_b AS m_b,
+             |    (CAST(sxx_a AS DOUBLE) - (CAST(sx_a AS DOUBLE) / n_a) * CAST(sx_a AS DOUBLE))
+             |      / (n_a - 1) AS var_a,
+             |    (CAST(sxx_b AS DOUBLE) - (CAST(sx_b AS DOUBLE) / n_b) * CAST(sx_b AS DOUBLE))
+             |      / (n_b - 1) AS var_b
+             |  FROM s)
+             |SELECT n_a, n_b, m_a, m_b, var_a, var_b,
+             |  (m_a - m_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+             |  (abs((m_a - m_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96)
+             |    AS significant
+             |FROM m""".stripMargin))
   )
 }

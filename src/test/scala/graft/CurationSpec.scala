@@ -163,6 +163,26 @@ class CurationSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("q_bootstrap_ci: band brackets the point estimate, 32 replicas") {
+    val r = SparkEntry.queries("q_bootstrap_ci")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_replicas") == 32L)
+    val (lo, hi, pt) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+      r.getAs[Double]("point_mean"))
+    assert(lo < hi, s"degenerate band [$lo, $hi]")
+    assert(lo <= pt && pt <= hi,
+      s"band [$lo, $hi] does not bracket the point estimate $pt")
+  }
+
+  test("q_ab_test: variants partition the corpus, decision matches t") {
+    val r = SparkEntry.queries("q_ab_test")(spark, sf).collect().head
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == total)
+    val t = r.getAs[Double]("t_stat")
+    assert(!t.isNaN && !t.isInfinite)
+    assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
+    assert(r.getAs[Double]("var_a") > 0 && r.getAs[Double]("var_b") > 0)
+  }
+
   test("q_ewma_smooth: convex combination of the daily counts") {
     val rows = SparkEntry.queries("q_ewma_smooth")(spark, sf).collect()
     assert(rows.nonEmpty)
