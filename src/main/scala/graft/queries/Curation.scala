@@ -596,6 +596,80 @@ object Curation {
              |  (m_a - m_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
              |  (abs((m_a - m_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96)
              |    AS significant
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // ---- top principal direction via quantized power iteration ---------
+    // Distributed PCA's first component — the whitening/compression
+    // primitive q_jl_project (oblivious) and q_embed_dims (per-dim only)
+    // don't cover: four power-iteration rounds on the uncentered Gram
+    // matrix A = Σ xxᵀ. Each round is ONE data pass: per row the scalar
+    // c = x·v (the zip_with/aggregate fold the oracle replays with
+    // list_dot_product — the same pinned equivalence the cosine kernels
+    // use), then per-dim partials Σ floor(c·x_d·1e6) as exact int64 —
+    // the fixed-point contract from q_embed_dims, so both engines
+    // accumulate identical integers in any order. The 64-value
+    // renormalization runs driver-side between rounds (the IVF-centroid
+    // convention): η = sqrt(Σ(s_d/1e6)²) folded in dim order, v' = s/η
+    // — every op a single IEEE instruction the oracle's list fold
+    // mirrors. At 100 TB each round shuffles 64 longs per map task;
+    // the driver holds 64 doubles.
+    QueryDef("q_power_iter",
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xd"))
+          .cache()
+        val dims = 64
+        def dotExpr(v: Array[Double]): String = {
+          // Double.toString round-trips exactly, so the literal array
+          // parses back to bit-identical doubles
+          val arr = v.map(d => s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)")
+            .mkString("array(", ", ", ")")
+          s"aggregate(zip_with(xd, $arr, (a, b) -> a * b), 0D, (acc, y) -> acc + y)"
+        }
+        var v = Array.fill(dims)(0.125) // exact dyadic unit vector (64·(1/8)² = 1)
+        var eta = 0.0
+        for (_ <- 1 to 4) {
+          val partials = emb
+            .withColumn("c", expr(dotExpr(v)))
+            .select(col("c"), posexplode(col("xd")).as(Seq("pos", "x")))
+            .withColumn("t", floor(col("c") * col("x") * lit(1e6)).cast("long"))
+            .groupBy("pos").agg(sum(col("t")).as("s"))
+            .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Long]("s")).toMap
+          val raw = Array.tabulate(dims)(i => partials.getOrElse(i, 0L).toDouble / 1e6)
+          eta = math.sqrt(raw.map(z => z * z).sum) // left fold in dim order
+          v = raw.map(_ / eta)
+        }
+        emb.unpersist()
+        import s.implicits._
+        v.zipWithIndex.map { case (vd, i) => ((i + 1).toLong, vd) }.toSeq
+          .toDF("dim", "loading")
+          .withColumn("eigenvalue", lit(eta))
+          .orderBy("dim")
+      },
+      Some {
+        val v0 = "list_transform(range(0, 64), i -> CAST(0.125 AS DOUBLE))"
+        def iter(n: Int, vPrev: String): String =
+          s"""c$n AS (SELECT e.vec_id, list_dot_product(e.xd, $vPrev) AS c FROM e${if (n > 1) s", u${n - 1}" else ""}),
+             |s$n AS (SELECT ex.dim, SUM(CAST(FLOOR(c$n.c * ex.x * 1e6) AS BIGINT)) AS s
+             |        FROM ex JOIN c$n ON ex.vec_id = c$n.vec_id GROUP BY ex.dim),
+             |v$n AS (SELECT list(CAST(s AS DOUBLE) / 1e6 ORDER BY dim) AS raw FROM s$n),
+             |n$n AS (SELECT raw, sqrt(list_dot_product(raw, raw)) AS eta FROM v$n),
+             |u$n AS (SELECT list_transform(raw, z -> z / eta) AS v, eta FROM n$n)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+           |  FROM embeddings),
+           |ex AS (
+           |  SELECT vec_id, generate_subscripts(xd, 1) AS dim, unnest(xd) AS x
+           |  FROM e),
+           |${iter(1, v0)},
+           |${iter(2, "u1.v")},
+           |${iter(3, "u2.v")},
+           |${iter(4, "u3.v")},
+           |f AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS loading,
+           |        eta FROM u4)
+           |SELECT CAST(dim AS BIGINT) AS dim, loading, eta AS eigenvalue
+           |FROM f ORDER BY dim""".stripMargin
+      })
   )
 }
