@@ -629,6 +629,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe scoring degenerated to a cartesian:\n$s")
   }
 
+  test("q_reservoir_sample prunes map-side via TopKPerKey") {
+    val s = plan("q_reservoir_sample").toString
+    assert(s.contains("TopKPerKey"),
+      s"per-key sample must prune before the exchange:\n$s")
+  }
+
+  test("q_embed_dims scans only the embedding column") {
+    val s = scanOf(plan("q_embed_dims"), "embeddings")
+    assert(s.requiredSchema.fieldNames.toSet == Set("embedding"),
+      s"per-dim stats read beyond embedding: ${s.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q_split_leakage never degenerates to a cartesian") {
+    val s = plan("q_split_leakage").toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"leakage audit must ride the banded candidate join:\n$s")
+  }
+
+  test("q_kanon_check reads only the three quasi-identifier columns") {
+    val s = scanOf(plan("q_kanon_check"), "documents")
+    assert(s.requiredSchema.fieldNames.toSet == Set("lang", "source", "n_chars"),
+      s"QI audit reads beyond its columns: ${s.requiredSchema.fieldNames.mkString(",")}")
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
