@@ -714,6 +714,93 @@ object StreamingOps {
              |SELECT user_id, ts AS last_ts, event_type AS last_type,
              |  value AS last_value
              |FROM r WHERE rn = 1 AND event_type <> 'error'
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- late-arrival drop accounting ----------------------------------
+    // The watermark semantic the other append-mode entries DON'T
+    // exercise: rows arriving for windows whose state was already
+    // finalized are DROPPED, not aggregated. Spark's append-mode drop
+    // is eviction-based and eviction lags the data max by one batch
+    // (probed empirically: a 2-batch feed drops nothing — batch 0 runs
+    // at watermark 0 so nothing evicts, and batch 1's late rows happily
+    // re-create state), so the feed stages THREE event-time-ranged
+    // files — newest half, second quarter, oldest quarter, in that
+    // processing order via explicit modification times — consumed
+    // maxFilesPerTrigger=1: batch 0 advances the watermark to
+    // (global max − 10 min), batch 1's end-of-batch eviction finalizes
+    // every closed window, and batch 2's oldest-quarter rows then land
+    // on evicted state and are dropped (numRowsDroppedByWatermark > 0,
+    // spec-pinned). Emitted windows therefore come from files 0+1
+    // alone — exactly what the oracle recomputes from the raw table
+    // (quartile split + watermark cut), so a batching regression (wrong
+    // order, merged batches, no drop) hash-fails the gate rather than
+    // passing silently. At scale this is the quantified answer to
+    // "what does this watermark cost in dropped data" — the number a
+    // pipeline alarms on.
+    QueryDef("s_late_data",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        val stamp = Q.contentStamp(dir, "events")
+        val feedDir = Paths.get(System.getProperty("java.io.tmpdir"),
+          s"graft_late_feed_f2_$stamp")
+        if (!Files.exists(feedDir.resolve("_STAGED"))) {
+          deleteRec(feedDir)
+          Files.createDirectories(feedDir)
+          val ev = events(s, dir)
+          val r = ev.agg(expr("min(unix_micros(ts))"),
+            expr("max(unix_micros(ts))")).head()
+          val (mn, mx) = (r.getLong(0), r.getLong(1))
+          // floor quartile boundaries of the µs range — positive
+          // operands, so Long division matches the oracle's // floor
+          val q1 = mn + (mx - mn) / 4
+          val q2 = mn + (mx - mn) / 2
+          def stage(cond: String, name: String, mtime: Long): Unit = {
+            val tmp = feedDir.resolve(s"stage_$name")
+            ev.filter(expr(cond)).coalesce(1).write.mode("overwrite")
+              .parquet(tmp.toString)
+            val part = {
+              val st = Files.list(tmp)
+              try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
+                .findFirst().get()
+              finally st.close()
+            }
+            val dst = feedDir.resolve(name)
+            Files.move(part, dst)
+            dst.toFile.setLastModified(mtime)
+            deleteRec(tmp)
+          }
+          // processing order = ascending modification time
+          stage(s"unix_micros(ts) >= ${q2}L", "00_newest.parquet", 1000000L)
+          stage(s"unix_micros(ts) >= ${q1}L AND unix_micros(ts) < ${q2}L",
+            "01_mid.parquet", 2000000L)
+          stage(s"unix_micros(ts) < ${q1}L", "02_old.parquet", 3000000L)
+          Files.createFile(feedDir.resolve("_STAGED"))
+        }
+        val schema = s.read.parquet(feedDir.resolve("00_newest.parquet").toString).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(feedDir.toString)
+        val agg = stream.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n_events"))
+        runToFileSink(s, agg, "s_late_data")
+          .orderBy("window_start", "event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT make_timestamp(epoch_us(MIN(ts))
+             |      + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 4) AS q1,
+             |    MAX(ts) AS mx
+             |  FROM events),
+             |w AS (
+             |  SELECT DATE_TRUNC('hour', ts) AS window_start, event_type
+             |  FROM events, b WHERE ts >= b.q1)
+             |SELECT window_start, event_type, COUNT(*) AS n_events
+             |FROM w, b
+             |WHERE window_start + INTERVAL '1 hour' <= b.mx - INTERVAL '10 minutes'
+             |GROUP BY window_start, event_type
+             |ORDER BY window_start, event_type""".stripMargin))
   )
 }

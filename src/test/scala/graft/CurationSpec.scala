@@ -215,6 +215,29 @@ class CurationSpec extends AnyFunSuite {
       s"eigenvalue $lambda vs ||A·v|| $nAv")
   }
 
+  test("s_late_data: oldest-quarter rows are genuinely dropped") {
+    val out = SparkEntry.queries("s_late_data")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.queries.Q.events(spark, sf)
+    val r = ev.agg(expr("min(unix_micros(ts))"), expr("max(unix_micros(ts))")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val q1 = mn + (mx - mn) / 4
+    def windows(from: Long): Array[org.apache.spark.sql.Row] = ev
+      .filter(expr(s"unix_micros(ts) >= ${from}L"))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(expr("window_start + INTERVAL 1 HOUR <= " +
+        s"timestamp_micros(${mx}L) - INTERVAL 10 MINUTES"))
+      .orderBy("window_start", "event_type").collect()
+    // emitted = closed windows of files 0+1 (ts >= q1), nothing else
+    assert(out.map(_.toSeq).toSeq == windows(q1).map(_.toSeq).toSeq,
+      "append output must equal the batch recompute over the non-late rows")
+    // and the drop is non-vacuous: the full-data twin has strictly more
+    // windows — the oldest quarter's windows never surfaced
+    assert(windows(mn).length > out.length,
+      "late rows were aggregated instead of dropped")
+  }
+
   test("q_ewma_smooth: convex combination of the daily counts") {
     val rows = SparkEntry.queries("q_ewma_smooth")(spark, sf).collect()
     assert(rows.nonEmpty)
