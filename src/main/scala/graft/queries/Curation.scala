@@ -642,8 +642,13 @@ object Curation {
         }
         emb.unpersist()
         import s.implicits._
-        v.zipWithIndex.map { case (vd, i) => ((i + 1).toLong, vd) }.toSeq
-          .toDF("dim", "loading")
+        // an empty (or all-zero) corpus has no principal direction:
+        // η = 0 and the renormalization is 0/0 — return the empty
+        // result, never NaN loadings
+        val rows =
+          if (eta > 0.0) v.zipWithIndex.map { case (vd, i) => ((i + 1).toLong, vd) }.toSeq
+          else Seq.empty[(Long, Double)]
+        rows.toDF("dim", "loading")
           .withColumn("eigenvalue", lit(eta))
           .orderBy("dim")
       },

@@ -658,7 +658,16 @@ object StreamingOps {
     // a table format keyed on user_id, and file-level min/max pruning
     // limits the rewrite to touched files.
     QueryDef("s_cdc_apply",
-      (s, dir) => {
+      (s, dir) => if (events(s, dir).take(1).isEmpty) {
+        // empty change feed: the materialized view is empty — return
+        // the declared shape without spinning up a streaming query
+        // (an all-empty staged dir would otherwise fail schema
+        // inference and emit no state version). The take(1) guard is a
+        // limit-1 scan, negligible beside the stream start.
+        events(s, dir).filter(lit(false))
+          .select(col("user_id"), col("ts").as("last_ts"),
+            col("event_type").as("last_type"), col("value").as("last_value"))
+      } else {
         import java.nio.file.{Files, Paths}
         val stamp = Q.contentStamp(dir, "events")
         // "f2": feed layout version — bumped when the staged schema
@@ -743,51 +752,65 @@ object StreamingOps {
         val stamp = Q.contentStamp(dir, "events")
         val feedDir = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft_late_feed_f2_$stamp")
-        if (!Files.exists(feedDir.resolve("_STAGED"))) {
+        val staged: Boolean = Files.exists(feedDir.resolve("_STAGED")) || {
           deleteRec(feedDir)
           Files.createDirectories(feedDir)
           val ev = events(s, dir)
           val r = ev.agg(expr("min(unix_micros(ts))"),
             expr("max(unix_micros(ts))")).head()
-          val (mn, mx) = (r.getLong(0), r.getLong(1))
-          // floor quartile boundaries of the µs range — positive
-          // operands, so Long division matches the oracle's // floor
-          val q1 = mn + (mx - mn) / 4
-          val q2 = mn + (mx - mn) / 2
-          def stage(cond: String, name: String, mtime: Long): Unit = {
-            val tmp = feedDir.resolve(s"stage_$name")
-            ev.filter(expr(cond)).coalesce(1).write.mode("overwrite")
-              .parquet(tmp.toString)
-            val part = {
-              val st = Files.list(tmp)
-              try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
-                .findFirst().get()
-              finally st.close()
+          // empty corpus: no feed to stage, no windows to emit — fall
+          // through to the empty result below, never NPE on null min/max
+          if (r.isNullAt(0)) false
+          else {
+            val (mn, mx) = (r.getLong(0), r.getLong(1))
+            // floor quartile boundaries of the µs range — positive
+            // operands, so Long division matches the oracle's // floor
+            val q1 = mn + (mx - mn) / 4
+            val q2 = mn + (mx - mn) / 2
+            def stage(cond: String, name: String, mtime: Long): Unit = {
+              val tmp = feedDir.resolve(s"stage_$name")
+              ev.filter(expr(cond)).coalesce(1).write.mode("overwrite")
+                .parquet(tmp.toString)
+              val part = {
+                val st = Files.list(tmp)
+                try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
+                  .findFirst().get()
+                finally st.close()
+              }
+              val dst = feedDir.resolve(name)
+              Files.move(part, dst)
+              dst.toFile.setLastModified(mtime)
+              deleteRec(tmp)
             }
-            val dst = feedDir.resolve(name)
-            Files.move(part, dst)
-            dst.toFile.setLastModified(mtime)
-            deleteRec(tmp)
+            // processing order = ascending modification time
+            stage(s"unix_micros(ts) >= ${q2}L", "00_newest.parquet", 1000000L)
+            stage(s"unix_micros(ts) >= ${q1}L AND unix_micros(ts) < ${q2}L",
+              "01_mid.parquet", 2000000L)
+            stage(s"unix_micros(ts) < ${q1}L", "02_old.parquet", 3000000L)
+            Files.createFile(feedDir.resolve("_STAGED"))
+            true
           }
-          // processing order = ascending modification time
-          stage(s"unix_micros(ts) >= ${q2}L", "00_newest.parquet", 1000000L)
-          stage(s"unix_micros(ts) >= ${q1}L AND unix_micros(ts) < ${q2}L",
-            "01_mid.parquet", 2000000L)
-          stage(s"unix_micros(ts) < ${q1}L", "02_old.parquet", 3000000L)
-          Files.createFile(feedDir.resolve("_STAGED"))
         }
-        val schema = s.read.parquet(feedDir.resolve("00_newest.parquet").toString).schema
-        val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .option("pathGlobFilter", "*.parquet")
-          .parquet(feedDir.toString)
-        val agg = stream.withWatermark("ts", "10 minutes")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(col("window.start").as("window_start"), col("event_type"),
-            col("n_events"))
-        runToFileSink(s, agg, "s_late_data")
-          .orderBy("window_start", "event_type")
+        if (!staged) {
+          events(s, dir).filter(lit(false))
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("window.start").as("window_start"),
+              col("event_type"), col("n_events"))
+        } else {
+          val schema = s.read.parquet(feedDir.resolve("00_newest.parquet").toString).schema
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(feedDir.toString)
+          val agg = stream.withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"))
+          runToFileSink(s, agg, "s_late_data")
+            .orderBy("window_start", "event_type")
+        }
       },
       Some("""WITH b AS (
              |  SELECT make_timestamp(epoch_us(MIN(ts))

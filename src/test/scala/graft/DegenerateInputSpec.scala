@@ -66,6 +66,22 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
     }
 
+  // round-7 additions over the same empty corpus
+  for (q <- Seq("q_gopher_rules", "q_url_normalize", "q_reservoir_sample",
+      "q_temperature_mix", "q_kanon_check", "q_split_leakage",
+      "q_file_skipping", "q_ewma_smooth", "q_session_path", "q_embed_dims",
+      "q_power_iter", "s_cdc_apply", "s_late_data"))
+    test(s"$q returns empty, not a crash, on an empty corpus") {
+      assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
+    }
+
+  // bootstrap/ab-test are global-aggregate scorecards: one summary row
+  // of nulls/zeros on empty input (the monitor-job shape), never a crash
+  for (q <- Seq("q_bootstrap_ci", "q_ab_test"))
+    test(s"$q survives an empty corpus with its single summary row") {
+      assert(SparkEntry.queries(q)(spark, emptyDir).count() == 1L)
+    }
+
   // global-aggregate scorecards keep their one summary row on empty
   // input (nulls/zeros, never a crash) — the shape a scheduled monitor
   // job needs when a partition comes up empty
