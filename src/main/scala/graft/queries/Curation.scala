@@ -598,6 +598,67 @@ object Curation {
              |    AS significant
              |FROM m""".stripMargin)),
 
+    // ---- differential-privacy count release (discrete Laplace) ---------
+    // The release mechanism between k-anonymity auditing and publishing:
+    // per-(lang, source) document counts with discrete-Laplace noise
+    // (two-sided geometric, ε = 1, sensitivity 1 for a partition count)
+    // and nonnegative clamping as post-processing. The noise draw is
+    // inverse-CDF over a 16-bit integer carved from md5 nibbles against
+    // hard-coded cumulative thresholds (×2^16, tails folded into ±6) —
+    // integer compares only, so both engines draw the identical k. The
+    // deterministic hash-derived draw is what makes the MECHANISM
+    // testable (sampling, sensitivity accounting, clamping); a
+    // production release swaps the hash for a CSPRNG — the one line
+    // that is not the operator under test. One keyed count; the noise
+    // is a projection — |cells|-scale everything.
+    QueryDef("q_dp_release",
+      (s, dir) => {
+        def u16(e: String): String = {
+          val nib = (i: Int) =>
+            s"(instr('0123456789abcdef', substring(md5($e), $i, 1)) - 1)"
+          s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+        }
+        val key = "concat('dp:', lang, ':', source)"
+        val noise =
+          """CASE WHEN u < 119 THEN -6 WHEN u < 323 THEN -5
+            | WHEN u < 878 THEN -4 WHEN u < 2385 THEN -3
+            | WHEN u < 6484 THEN -2 WHEN u < 17625 THEN -1
+            | WHEN u < 47911 THEN 0 WHEN u < 59052 THEN 1
+            | WHEN u < 63151 THEN 2 WHEN u < 64658 THEN 3
+            | WHEN u < 65213 THEN 4 WHEN u < 65417 THEN 5
+            | ELSE 6 END""".stripMargin
+        rd(s, dir, "documents")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("u", expr(u16(key)))
+          .withColumn("k", expr(noise))
+          .select(col("lang"), col("source"),
+            greatest(col("n") + col("k"), lit(0L)).as("released"),
+            lit(1.0).as("epsilon"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, source, COUNT(*) AS n,
+             |    (strpos('0123456789abcdef', substring(md5('dp:' || lang || ':' || source), 1, 1)) - 1) * 4096
+             |    + (strpos('0123456789abcdef', substring(md5('dp:' || lang || ':' || source), 2, 1)) - 1) * 256
+             |    + (strpos('0123456789abcdef', substring(md5('dp:' || lang || ':' || source), 3, 1)) - 1) * 16
+             |    + (strpos('0123456789abcdef', substring(md5('dp:' || lang || ':' || source), 4, 1)) - 1) AS u
+             |  FROM documents GROUP BY lang, source),
+             |k AS (
+             |  SELECT lang, source, n,
+             |    CASE WHEN u < 119 THEN -6 WHEN u < 323 THEN -5
+             |      WHEN u < 878 THEN -4 WHEN u < 2385 THEN -3
+             |      WHEN u < 6484 THEN -2 WHEN u < 17625 THEN -1
+             |      WHEN u < 47911 THEN 0 WHEN u < 59052 THEN 1
+             |      WHEN u < 63151 THEN 2 WHEN u < 64658 THEN 3
+             |      WHEN u < 65213 THEN 4 WHEN u < 65417 THEN 5
+             |      ELSE 6 END AS k
+             |  FROM c)
+             |SELECT lang, source,
+             |  CAST(GREATEST(n + k, 0) AS BIGINT) AS released,
+             |  CAST(1.0 AS DOUBLE) AS epsilon
+             |FROM k ORDER BY lang, source""".stripMargin)),
+
     // ---- top principal direction via quantized power iteration ---------
     // Distributed PCA's first component — the whitening/compression
     // primitive q_jl_project (oblivious) and q_embed_dims (per-dim only)

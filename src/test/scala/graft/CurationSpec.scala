@@ -238,6 +238,25 @@ class CurationSpec extends AnyFunSuite {
       "late rows were aggregated instead of dropped")
   }
 
+  test("q_dp_release: bounded noise, nonnegative clamp, real perturbation") {
+    val out = SparkEntry.queries("q_dp_release")(spark, sf).collect()
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.length == truth.size)
+    var perturbed = 0
+    out.foreach { r =>
+      val t = truth((r.getAs[String]("lang"), r.getAs[String]("source")))
+      val rel = r.getAs[Long]("released")
+      assert(rel >= 0L, "clamp violated")
+      // the truncated discrete-Laplace support is [-6, 6]
+      assert(math.abs(rel - t) <= 6, s"noise out of support: true=$t rel=$rel")
+      assert(r.getAs[Double]("epsilon") == 1.0)
+      if (rel != t) perturbed += 1
+    }
+    assert(perturbed > 0, "mechanism added no noise anywhere — vacuous release")
+  }
+
   test("q_ewma_smooth: convex combination of the daily counts") {
     val rows = SparkEntry.queries("q_ewma_smooth")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -70,7 +70,7 @@ class DegenerateInputSpec extends AnyFunSuite {
   for (q <- Seq("q_gopher_rules", "q_url_normalize", "q_reservoir_sample",
       "q_temperature_mix", "q_kanon_check", "q_split_leakage",
       "q_file_skipping", "q_ewma_smooth", "q_session_path", "q_embed_dims",
-      "q_power_iter", "s_cdc_apply", "s_late_data"))
+      "q_power_iter", "q_dp_release", "s_cdc_apply", "s_late_data"))
     test(s"$q returns empty, not a crash, on an empty corpus") {
       assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
     }
