@@ -71,6 +71,48 @@ object ScaleSmoke {
         .count()
     }
     println(s"[scale]   distinct texts=$nDedup of ${(rows * 11) / 10}")
+
+    // ---- round-7 curation path at the same 40× scale -------------------
+    // The quality gate, the per-key sample cut, and the bootstrap are
+    // the passes a curation pipeline runs over EVERY document — their
+    // cost curves at N× gate scale are the 100 TB evidence. All are
+    // map-side + metadata-cardinality reduces, so wall time should
+    // track the scan, not the corpus structure.
+    val curDocs = corpus
+      .withColumn("lang", concat(lit("l"), (col("doc_id") % 7).cast("string")))
+      .withColumn("n_chars", length(col("text")))
+      .cache()
+    time("curation corpus materialize")(curDocs.count())
+
+    val nKeep = time("gopher quality gate") {
+      curDocs.withColumn("toks", split(col("text"), " "))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("n_stop", size(expr(
+          "filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))")).cast("long"))
+        .filter(col("n_words") >= 10 && col("n_stop") >= 0)
+        .count()
+    }
+    println(s"[scale]   kept=$nKeep")
+
+    val nSample = time("fixed-k per-key sample (TopKPerKey)") {
+      graft.plans.TopK.perKey(
+        curDocs.withColumn("rk_hash", md5(col("doc_id").cast("string"))),
+        Seq("lang"), Seq(col("rk_hash").asc, col("doc_id").asc), 1000)
+        .count()
+    }
+    println(s"[scale]   sampled=$nSample (7 langs × ≤1000)")
+
+    val ciRow = time("poisson bootstrap (32 replicas)") {
+      curDocs.select(col("doc_id"), col("n_chars"),
+          explode(expr("sequence(0, 31)")).as("b"))
+        .withColumn("w", (xxhash64(col("doc_id"), col("b")) % 4).cast("long").cast("int"))
+        .withColumn("w", when(col("w") < 0, -col("w")).otherwise(col("w")))
+        .groupBy("b")
+        .agg((sum(col("w") * col("n_chars")).cast("double") / sum(col("w")))
+          .as("mean_b"))
+        .agg(min("mean_b"), max("mean_b")).head()
+    }
+    println(s"[scale]   replica-mean band=[${ciRow.get(0)}, ${ciRow.get(1)}]")
     spark.stop()
   }
 }
