@@ -710,24 +710,15 @@ object LlmOps {
     // vector reach the shuffle; a bare window would sort each bucket's
     // full pair set in one partition); the rn label is then a window
     // over ≤ 2 rows per vector.
+    // Since round 8 the edge set is SERVED from the shared
+    // content-stamped index ([[graft.sources.KnnGraphIndex]]): the
+    // Σ|bucket|²-bounded build runs once per corpus content, and this
+    // entry (like the rest of the graph family) is a scan of graph-sized
+    // parquet. PlanAuditSpec pins the build shape on
+    // KnnGraphIndex.buildPlan, where the cost actually lives.
     QueryDef("q_knn_graph",
       (s, dir) => {
-        vecReady(s)
-        val e = rd(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            signBucket("embedding").as("bucket"))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-          col("bucket"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-          col("bucket"))
-        val scored = a.join(b, Seq("bucket"))
-          .filter(col("a_id") =!= col("b_id"))
-          .withColumn("cos", cosine("ea", "eb"))
-        val w = Window.partitionBy("a_id")
-          .orderBy(col("cos").desc, col("b_id"))
-        graft.plans.TopK.perKey(scored, Seq("a_id"),
-            Seq(col("cos").desc, col("b_id").asc), 2)
-          .withColumn("rn", row_number().over(w).cast("int"))
+        graft.sources.KnnGraphIndex.edges(s, dir)
           .select(col("a_id"), col("rn"), col("b_id"), col("bucket"),
             round(col("cos"), 4).as("cosine"))
           .orderBy("a_id", "rn")
@@ -768,20 +759,10 @@ object LlmOps {
     // the swap-in — but at 3 unrolled rounds Catalyst plans once.
     QueryDef("q_pagerank",
       (s, dir) => {
-        vecReady(s)
         val SCALE = 1000000000000L
-        val e = rd(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            signBucket("embedding").as("bucket"))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-          col("bucket"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-          col("bucket"))
-        val scored = a.join(b, Seq("bucket"))
-          .filter(col("a_id") =!= col("b_id"))
-          .withColumn("cos", cosine("ea", "eb"))
-        val edges = graft.plans.TopK.perKey(scored, Seq("a_id"),
-            Seq(col("cos").desc, col("b_id").asc), 2)
+        // served from the shared content-stamped edge index (round 8);
+        // cached because the 3 unrolled iterations each join it twice
+        val edges = graft.sources.KnnGraphIndex.edges(s, dir)
           .select(col("a_id"), col("b_id")).cache()
         val nodes = rd(s, dir, "embeddings").select(col("vec_id"))
         // empty corpus: no nodes to rank (and SCALE/n would divide by 0)
@@ -866,19 +847,8 @@ object LlmOps {
     // the simple a<b<c triple join — same set, sf-scale cost.
     QueryDef("q_triangles",
       (s, dir) => {
-        vecReady(s)
-        val e = rd(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            signBucket("embedding").as("bucket"))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-          col("bucket"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-          col("bucket"))
-        val scored = a.join(b, Seq("bucket"))
-          .filter(col("a_id") =!= col("b_id"))
-          .withColumn("cos", cosine("ea", "eb"))
-        val und = graft.plans.TopK.perKey(scored, Seq("a_id"),
-            Seq(col("cos").desc, col("b_id").asc), 2)
+        // served from the shared content-stamped edge index (round 8)
+        val und = graft.sources.KnnGraphIndex.edges(s, dir)
           .select(least(col("a_id"), col("b_id")).as("u"),
             greatest(col("a_id"), col("b_id")).as("v"))
           .distinct().cache()
@@ -953,19 +923,8 @@ object LlmOps {
     // documented swap-in, same as q_pagerank.
     QueryDef("q_graph_bfs",
       (s, dir) => {
-        vecReady(s)
-        val e = rd(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            signBucket("embedding").as("bucket"))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-          col("bucket"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-          col("bucket"))
-        val scored = a.join(b, Seq("bucket"))
-          .filter(col("a_id") =!= col("b_id"))
-          .withColumn("cos", cosine("ea", "eb"))
-        val und = graft.plans.TopK.perKey(scored, Seq("a_id"),
-            Seq(col("cos").desc, col("b_id").asc), 2)
+        // served from the shared content-stamped edge index (round 8)
+        val und = graft.sources.KnnGraphIndex.edges(s, dir)
           .select(least(col("a_id"), col("b_id")).as("u"),
             greatest(col("a_id"), col("b_id")).as("v"))
           .distinct()

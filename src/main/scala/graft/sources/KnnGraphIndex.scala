@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Q
+
+/**
+ * Content-stamped persisted kNN edge set — the shared graph artifact the
+ * whole graph family (q_knn_graph, q_pagerank, q_triangles, q_graph_bfs)
+ * serves from. Before round 8 each of those entries re-ran the bucketed
+ * cosine self-join + TopKPerKey edge build per invocation — four
+ * identical O(Σ|bucket|²) passes over the embeddings for one logical
+ * artifact (VERDICT r7 item 1; q_graph_bfs alone read 4.02 s in the
+ * driver bench). Now the edge set is BUILT once per corpus content and
+ * each graph query is a parquet scan of graph-sized data.
+ *
+ * Build/serve split follows the IVF-index convention
+ * (`Advanced.scala` q_knn_ivf_kmeans, `StreamingOps` corpus index):
+ *
+ *  - the artifact directory name carries [[Q.contentStamp]] of the
+ *    embeddings table, so a testdata regen triggers a rebuild and an
+ *    unchanged corpus never re-pays the build;
+ *  - the build writes to a PER-PROCESS staging dir and publishes by
+ *    ATOMIC RENAME, so a concurrent driver can never read a
+ *    half-written index (the check-then-act race the round-7 advisor
+ *    flagged on the streaming feed staging) — whoever loses the rename
+ *    race discards its staging copy and reads the winner's;
+ *  - stale stamps for the same source dir are swept on build, so a
+ *    regenerated corpus does not leak old indexes into tmp forever.
+ *
+ * At 100 TB this is exactly a materialized edge table in the lake: the
+ * build is the one Σ|bucket|²-bounded job, every downstream graph
+ * algorithm joins against graph-sized parquet (2N rows for top-2), and
+ * the stamp is the freshness contract a table format would give you.
+ */
+object KnnGraphIndex {
+
+  /** Published schema — also the explicit read schema, so an EMPTY
+   * corpus (whose build may write no part files, only _SUCCESS)
+   * round-trips as an empty frame instead of failing inference. */
+  val schema: StructType = StructType(Seq(
+    StructField("a_id", LongType),
+    StructField("rn", IntegerType),
+    StructField("b_id", LongType),
+    StructField("bucket", IntegerType),
+    StructField("cos", DoubleType)))
+
+  /** 16-way LSH sign bucket from the first 4 embedding components —
+   * the blocking key (same definition as LlmOps's pairwise family, and
+   * declared in every graph oracle's SQL). */
+  private def signBucket(a: String) =
+    expr(s"""CAST(element_at($a, 1) > 0 AS INT)
+            |+ 2 * CAST(element_at($a, 2) > 0 AS INT)
+            |+ 4 * CAST(element_at($a, 3) > 0 AS INT)
+            |+ 8 * CAST(element_at($a, 4) > 0 AS INT)""".stripMargin)
+
+  /**
+   * The edge-BUILD plan, unpersisted: every vector's top-2 in-bucket
+   * cosine neighbors, rn-labelled. Per-bucket work is (N/16)², never
+   * global N²; the per-vector cut is the TopKPerKey map-side prune (a
+   * bare window would sort each bucket's full pair set in one
+   * partition); the rn label is then a window over ≤ 2 rows per vector.
+   * Exposed separately from [[edges]] so PlanAuditSpec pins the build
+   * shape (TopKPerKey present, no cartesian) on the plan that actually
+   * pays the cost.
+   */
+  def buildPlan(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Q.rd(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        signBucket("embedding").as("bucket"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("bucket"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.vecCosine(col("ea"), col("eb")))
+    val w = Window.partitionBy("a_id")
+      .orderBy(col("cos").desc, col("b_id"))
+    graft.plans.TopK.perKey(scored, Seq("a_id"),
+        Seq(col("cos").desc, col("b_id").asc), 2)
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .select(col("a_id"), col("rn"), col("b_id"), col("bucket"), col("cos"))
+  }
+
+  /**
+   * The persisted edge set for `dir`'s embeddings: build-if-absent
+   * (atomic publish), then a plain parquet read with the pinned schema.
+   */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val stamp = Q.contentStamp(dir, "embeddings")
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft_knn_edges_${tag}_"
+    val idx = tmp.resolve(prefix + stamp)
+
+    def deleteRecursively(p: Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+
+    if (!Files.exists(idx.resolve("_SUCCESS"))) {
+      // sweep stale stamps for this source dir (regenerated testdata
+      // must not leak dead indexes into tmp forever)
+      val listing = Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            // never touch another process's in-flight staging copy
+            n.startsWith(prefix) && !n.contains(".stage_") &&
+              n != idx.getFileName.toString
+          }
+          .toVector.foreach(deleteRecursively)
+      } finally listing.close()
+      // build into a per-process staging dir, publish by atomic rename;
+      // a concurrent builder that loses the rename just discards its copy
+      val staging = tmp.resolve(s"$prefix$stamp.stage_${ProcessHandle.current().pid()}")
+      buildPlan(s, dir).write.mode("overwrite").parquet(staging.toString)
+      try Files.move(staging, idx, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        deleteRecursively(staging) }
+    }
+    s.read.schema(schema).parquet(idx.toString)
+  }
+}

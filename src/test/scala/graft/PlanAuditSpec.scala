@@ -216,14 +216,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("TopKPerKey"), s"no map-side budget prune:\n$s")
   }
 
-  test("q_knn_graph prunes per-vector candidates map-side, no cartesian") {
-    val s = plan("q_knn_graph").toString
-    // the per-vector top-2 must go through the TopKPerKey partial prune
-    // (a bare window would sort each bucket's full pair set in one
-    // partition), and the bucketed self-join must be an equi-join
+  test("kNN edge-index BUILD prunes per-vector candidates map-side, no cartesian") {
+    // since round 8 the graph family serves from the shared
+    // content-stamped edge index; the expensive plan is the BUILD, so
+    // the shape pins live on KnnGraphIndex.buildPlan: the per-vector
+    // top-2 must go through the TopKPerKey partial prune (a bare window
+    // would sort each bucket's full pair set in one partition), and the
+    // bucketed self-join must be an equi-join
+    spark.catalog.clearCache()
+    val s = graft.sources.KnnGraphIndex.buildPlan(spark, sf)
+      .queryExecution.sparkPlan.toString
     assert(s.contains("TopKPerKey"), s"no map-side neighbor prune:\n$s")
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
       s"bucket join degenerated to a cross product:\n$s")
+  }
+
+  test("q_knn_graph serves from the edge index: a scan, not a rebuild") {
+    val s = plan("q_knn_graph").toString
+    // the serve plan must be graph-sized work — no pairwise self-join,
+    // no TopKPerKey (the build already cut to ≤ 2 edges per vector)
+    assert(!s.contains("TopKPerKey"),
+      s"serve path re-ran the edge build:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"serve plan degenerated to a product:\n$s")
   }
 
   test("q_semantic_decon broadcasts the eval side, never shuffles the corpus") {
@@ -516,14 +531,14 @@ class PlanAuditSpec extends AnyFunSuite {
       facts.requiredSchema.fieldNames.mkString(","))
   }
 
-  test("q_graph_bfs builds edges bucketed and keeps every frontier join equi") {
+  test("q_graph_bfs serves from the edge index, every frontier join equi") {
     val p = plan("q_graph_bfs")
     val str = p.toString
-    // edge construction must ride the sign-bucket blocking + map-side
-    // top-k (never corpus²), and the three frontier expansions are
-    // equi-joins on src — a product anywhere dies at scale
-    assert(str.contains("TopKPerKey"),
-      s"kNN edge cut not pruned map-side:\n$str")
+    // the edge set comes from the persisted index (no per-call rebuild:
+    // no TopKPerKey in the serve plan) and the three frontier
+    // expansions are equi-joins on src — a product anywhere dies at scale
+    assert(!str.contains("TopKPerKey"),
+      s"serve path re-ran the edge build:\n$str")
     assert(!str.contains("CartesianProduct") && !str.contains("BroadcastNestedLoop"),
       s"a join degenerated to a product:\n$str")
   }
