@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
 object BloomFunctions {
 
   /** Idempotent per-session registration (temp functions live in the
-   * session's FunctionRegistry). */
+   * session's FunctionRegistry; functionExists guard keeps repeat
+   * registration silent — see VectorFunctions.register doc). */
   def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_agg",
       exprs => BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0),

@@ -18,7 +18,14 @@ import org.apache.spark.sql.functions.udaf
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
-    spark.udf.register("minhash32", udaf(new MinHashAgg(32)))
-    spark.udf.register("simhash32", udaf(new SimHashAgg))
+    // functionExists guards keep repeat registration silent (see
+    // VectorFunctions.register doc)
+    def absent(name: String): Boolean =
+      !spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    if (absent("minhash32"))
+      spark.udf.register("minhash32", udaf(new MinHashAgg(32)))
+    if (absent("simhash32"))
+      spark.udf.register("simhash32", udaf(new SimHashAgg))
   }
 }

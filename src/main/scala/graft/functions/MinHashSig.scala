@@ -112,10 +112,13 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression {
 }
 
 object MinHashSig {
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration (functionExists guard keeps
+   * repeat registration silent — see VectorFunctions.register doc). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSigExpr(exprs(0)), "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_sig", exprs => MinHashSigExpr(exprs(0)), "scala_udf")
 
   /** 32-long MinHash signature of an array<bigint> column — requires
    * [[register]]. */

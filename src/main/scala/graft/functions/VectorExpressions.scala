@@ -92,8 +92,13 @@ case class FloatVecDot(left: Expression, right: Expression)
 object VectorFunctions {
 
   /** Idempotent per-session registration (temp functions live in the
-   * session's FunctionRegistry). */
+   * session's FunctionRegistry). Guarded by functionExists: re-running
+   * createOrReplace per query invocation worked, but spammed every
+   * Bench/Verify log with SimpleFunctionRegistry "replaced a previously
+   * registered function" warnings that buried real ones. */
   def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

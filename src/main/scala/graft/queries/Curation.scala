@@ -270,6 +270,15 @@ object Curation {
             col("split_a"), col("split_b"))
           .orderBy("a_id", "b_id")
       },
+      // ORACLE CAVEAT (shared with q_neardup_pairs, its candidate
+      // machinery): the Spark side emits only MinHash-LSH BAND
+      // candidates (recall < 1 by construction) while this oracle
+      // computes exact all-pairs Jaccard. On the current testdata every
+      // >0.5 pair shares a band at all three sfs, so the gates match; if
+      // a regenerated corpus ever contains a straddling pair above 0.5
+      // that shares NO band, the resulting hash mismatch is LSH recall
+      // behaving as designed — not a code regression. Diagnose by
+      // diffing the oracle's pair set against the banded candidates.
       Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
               |sh AS (SELECT doc_id,
               |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]

@@ -100,4 +100,57 @@ object Q {
       java.lang.Long.toHexString(h)
     } catch { case _: Throwable => "nosrc" }
   }
+
+  /** Recursively delete a directory tree (missing path is a no-op). */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  /** Per-process staging sibling for an atomically-published artifact
+   * dir: `<target>.stage_<pid>`. The `.stage_` infix is the marker
+   * [[sweepStaleSiblings]] respects, so a concurrent builder's
+   * in-flight copy is never swept. */
+  def stagingFor(target: java.nio.file.Path): java.nio.file.Path =
+    target.resolveSibling(
+      target.getFileName.toString + ".stage_" + ProcessHandle.current().pid())
+
+  /** Publish a fully-built staging dir as `target` by ATOMIC RENAME —
+   * the check-then-act fix for content-stamped tmp artifacts (a reader
+   * probing `target/_SUCCESS` can never observe a half-written dir).
+   * Losing the rename race to a concurrent builder is fine: both built
+   * the same stamped content; the loser discards its copy. */
+  def publishDirAtomic(staging: java.nio.file.Path,
+                       target: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileSystemException =>
+      deleteRecursively(staging) }
+  }
+
+  /** Sweep stale stamped siblings of `keep` (same dir, same `prefix`,
+   * different name): a regenerated source must not leak dead artifact
+   * dirs into tmp forever. In-flight `.stage_` copies are skipped. */
+  def sweepStaleSiblings(prefix: String, keep: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val parent = keep.getParent
+    if (parent != null && Files.isDirectory(parent)) {
+      val listing = Files.list(parent)
+      try listing.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(prefix) && !n.contains(".stage_") &&
+            n != keep.getFileName.toString
+        }
+        .toVector.foreach(deleteRecursively)
+      finally listing.close()
+    }
+  }
 }

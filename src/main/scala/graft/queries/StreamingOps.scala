@@ -48,6 +48,24 @@ object StreamingOps {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Scope `spark.sql.streaming.noDataMicroBatches.enabled=false` around
+   * a bounded COMPLETE/UPDATE-mode run. The engine's trailing no-data
+   * batch exists to advance the watermark so APPEND mode can emit and
+   * evict finalized windows; complete mode re-emits the whole result
+   * every batch and never evicts, and update mode emits only changed
+   * keys — for both, the no-data batch replays planning + state commit +
+   * sink write to produce an identical result. Skipping it removes one
+   * full microbatch (~a third of a bounded query's cost). APPEND-mode
+   * runs must never use this — their finalized rows are emitted BY the
+   * no-data batch (s_late_data's staged-eviction proof documents that
+   * machinery). Same session-global caveat as [[withStatePartitions]]. */
+  private def withoutNoDataBatches[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Temp root for streaming checkpoints and file-sink output: tmpfs
    * (/dev/shm) when present, else java.io.tmpdir. The offset/commit
    * metadata logs fsync once per microbatch and the state store
@@ -94,18 +112,23 @@ object StreamingOps {
    * runs at 2. */
   private def runToBatch(s: SparkSession, agg: DataFrame, name: String,
                          mode: String = "complete",
-                         stateParts: Int = 8): DataFrame =
+                         stateParts: Int = 4): DataFrame =
     withStatePartitions(s, stateParts) {
-      val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val base = streamTmpDir(name)
-      val q = agg.writeStream.outputMode(mode).format("memory").queryName(qn)
-        .option("checkpointLocation", base.resolve("chk").toString)
-        .start()
-      // the memory sink holds the result; the checkpoint is disposable
-      // the moment the bounded query stops
-      try { try q.processAllAvailable() finally q.stop() }
-      finally deleteRec(base)
-      s.table(qn)
+      def run(): DataFrame = {
+        val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val base = streamTmpDir(name)
+        val q = agg.writeStream.outputMode(mode).format("memory").queryName(qn)
+          .option("checkpointLocation", base.resolve("chk").toString)
+          .start()
+        // the memory sink holds the result; the checkpoint is disposable
+        // the moment the bounded query stops
+        try { try q.processAllAvailable() finally q.stop() }
+        finally deleteRec(base)
+        s.table(qn)
+      }
+      // append emission NEEDS the trailing no-data batch; complete and
+      // update replay an identical result in it — skip (see helper doc)
+      if (mode == "append") run() else withoutNoDataBatches(s)(run())
     }
 
   /** Run a streaming query in APPEND mode into a parquet file sink and
@@ -118,16 +141,21 @@ object StreamingOps {
    * watermark are never emitted — a watermark property the caller's
    * declared semantics must include. */
   private[queries] def runToFileSink(s: SparkSession, agg: DataFrame,
-                                     name: String): DataFrame =
-    withStatePartitions(s, 8) {
+                                     name: String,
+                                     onComplete: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())
+      : DataFrame =
+    withStatePartitions(s, 4) {
       val base = streamTmpDir(name)
       val out = base.resolve("out").toString
       val chk = base.resolve("chk")
       val q = agg.writeStream.outputMode("append").format("parquet")
         .option("path", out).option("checkpointLocation", chk.toString).start()
       // checkpoint dies with the query; the emitted parquet must stay
-      // readable for the caller's lazy DataFrame → deleted at JVM exit
-      try { try q.processAllAvailable() finally q.stop() }
+      // readable for the caller's lazy DataFrame → deleted at JVM exit.
+      // onComplete runs while the query's progress is still inspectable
+      // (between drain and stop) — s_late_data asserts its drop counter
+      // there.
+      try { try { q.processAllAvailable(); onComplete(q) } finally q.stop() }
       finally { deleteRec(chk); cleanupOnExit(base) }
       s.read.parquet(out)
     }
@@ -676,10 +704,16 @@ object StreamingOps {
         val feedDir = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft_cdc_feed_f2_$stamp")
         if (!Files.exists(feedDir.resolve("_SUCCESS"))) {
+          // stage per-process, publish by atomic rename, sweep stamps
+          // from older testdata generations (Q.publishDirAtomic doc) —
+          // a concurrent driver can never consume a half-staged feed
+          Q.sweepStaleSiblings("graft_cdc_feed_f2_", feedDir)
+          val staging = Q.stagingFor(feedDir)
           events(s, dir)
             .select("event_id", "ts", "user_id", "event_type", "value")
             .repartitionByRange(4, col("ts"))
-            .write.mode("overwrite").parquet(feedDir.toString)
+            .write.mode("overwrite").parquet(staging.toString)
+          Q.publishDirAtomic(staging, feedDir)
         }
         val schema = s.read.parquet(feedDir.toString).schema
         val stream = s.readStream.schema(schema)
@@ -753,14 +787,21 @@ object StreamingOps {
         val feedDir = Paths.get(System.getProperty("java.io.tmpdir"),
           s"graft_late_feed_f2_$stamp")
         val staged: Boolean = Files.exists(feedDir.resolve("_STAGED")) || {
-          deleteRec(feedDir)
-          Files.createDirectories(feedDir)
+          // build the whole feed in a per-process staging dir and
+          // publish by atomic rename (Q.publishDirAtomic doc): a
+          // concurrent driver either sees the complete published feed
+          // or none at all. The explicit mtimes (= microbatch order)
+          // survive the rename. Stale stamps are swept.
+          Q.sweepStaleSiblings("graft_late_feed_f2_", feedDir)
+          val stagingDir = Q.stagingFor(feedDir)
+          deleteRec(stagingDir)
+          Files.createDirectories(stagingDir)
           val ev = events(s, dir)
           val r = ev.agg(expr("min(unix_micros(ts))"),
             expr("max(unix_micros(ts))")).head()
           // empty corpus: no feed to stage, no windows to emit — fall
           // through to the empty result below, never NPE on null min/max
-          if (r.isNullAt(0)) false
+          if (r.isNullAt(0)) { deleteRec(stagingDir); false }
           else {
             val (mn, mx) = (r.getLong(0), r.getLong(1))
             // floor quartile boundaries of the µs range — positive
@@ -768,7 +809,7 @@ object StreamingOps {
             val q1 = mn + (mx - mn) / 4
             val q2 = mn + (mx - mn) / 2
             def stage(cond: String, name: String, mtime: Long): Unit = {
-              val tmp = feedDir.resolve(s"stage_$name")
+              val tmp = stagingDir.resolve(s"stage_$name")
               ev.filter(expr(cond)).coalesce(1).write.mode("overwrite")
                 .parquet(tmp.toString)
               val part = {
@@ -777,7 +818,7 @@ object StreamingOps {
                   .findFirst().get()
                 finally st.close()
               }
-              val dst = feedDir.resolve(name)
+              val dst = stagingDir.resolve(name)
               Files.move(part, dst)
               dst.toFile.setLastModified(mtime)
               deleteRec(tmp)
@@ -787,8 +828,9 @@ object StreamingOps {
             stage(s"unix_micros(ts) >= ${q1}L AND unix_micros(ts) < ${q2}L",
               "01_mid.parquet", 2000000L)
             stage(s"unix_micros(ts) < ${q1}L", "02_old.parquet", 3000000L)
-            Files.createFile(feedDir.resolve("_STAGED"))
-            true
+            Files.createFile(stagingDir.resolve("_STAGED"))
+            Q.publishDirAtomic(stagingDir, feedDir)
+            Files.exists(feedDir.resolve("_STAGED"))
           }
         }
         if (!staged) {
@@ -808,7 +850,21 @@ object StreamingOps {
             .agg(count(lit(1)).as("n_events"))
             .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"))
-          runToFileSink(s, agg, "s_late_data")
+          // the whole point of this entry is that late rows get DROPPED;
+          // the hash gate pins the emitted window set, and this asserts
+          // the drop counter directly so a Spark upgrade that shifts the
+          // version-specific eviction timing (see the Scaladoc above and
+          // SCALING.md) fails HERE with a diagnosis, not as a bare hash
+          // mismatch
+          runToFileSink(s, agg, "s_late_data", q => {
+            val dropped = q.recentProgress.toSeq
+              .flatMap(_.stateOperators.toSeq)
+              .map(_.numRowsDroppedByWatermark).sum
+            require(dropped > 0,
+              "s_late_data: staged 3-batch feed produced no " +
+                "numRowsDroppedByWatermark — Spark's append-mode " +
+                "eviction timing may have changed (SCALING.md note)")
+          })
             .orderBy("window_start", "event_type")
         }
       },

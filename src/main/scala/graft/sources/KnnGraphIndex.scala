@@ -93,45 +93,18 @@ object KnnGraphIndex {
    * (atomic publish), then a plain parquet read with the pinned schema.
    */
   def edges(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val stamp = Q.contentStamp(dir, "embeddings")
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     val prefix = s"graft_knn_edges_${tag}_"
-    val idx = tmp.resolve(prefix + stamp)
-
-    def deleteRecursively(p: Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-        finally walk.close()
-      }
-    }
-
+    val idx = Paths.get(System.getProperty("java.io.tmpdir"), prefix + stamp)
     if (!Files.exists(idx.resolve("_SUCCESS"))) {
-      // sweep stale stamps for this source dir (regenerated testdata
-      // must not leak dead indexes into tmp forever)
-      val listing = Files.list(tmp)
-      try {
-        import scala.jdk.CollectionConverters._
-        listing.iterator().asScala
-          .filter { p =>
-            val n = p.getFileName.toString
-            // never touch another process's in-flight staging copy
-            n.startsWith(prefix) && !n.contains(".stage_") &&
-              n != idx.getFileName.toString
-          }
-          .toVector.foreach(deleteRecursively)
-      } finally listing.close()
+      Q.sweepStaleSiblings(prefix, idx)
       // build into a per-process staging dir, publish by atomic rename;
       // a concurrent builder that loses the rename just discards its copy
-      val staging = tmp.resolve(s"$prefix$stamp.stage_${ProcessHandle.current().pid()}")
+      val staging = Q.stagingFor(idx)
       buildPlan(s, dir).write.mode("overwrite").parquet(staging.toString)
-      try Files.move(staging, idx, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileSystemException =>
-        deleteRecursively(staging) }
+      Q.publishDirAtomic(staging, idx)
     }
     s.read.schema(schema).parquet(idx.toString)
   }

@@ -89,7 +89,7 @@ object ScaleSmoke {
         .withColumn("n_words", size(col("toks")).cast("long"))
         .withColumn("n_stop", size(expr(
           "filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))")).cast("long"))
-        .filter(col("n_words") >= 10 && col("n_stop") >= 0)
+        .filter(col("n_words") >= 10 && col("n_stop") >= 2)
         .count()
     }
     println(s"[scale]   kept=$nKeep")
