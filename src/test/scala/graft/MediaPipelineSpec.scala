@@ -40,4 +40,26 @@ class MediaPipelineSpec extends AnyFunSuite {
     val s = MediaPipeline.sampleFrames(241, 16)
     assert(s.head == 0 && s == s.sorted && s.distinct == s && s.forall(_ < 241))
   }
+
+  test("patchify: exact hand-computed sums on a 3x2 raster, odd split") {
+    import spark.implicits._
+    // w=3, h=2: with g=2 the x split is ⌊2x/3⌋ → x∈{0,1} left, x=2
+    // right; y split ⌊2y/2⌋ → y=0 top, y=1 bottom. Raster bytes are
+    // pixel-major RGB: value = 10*p + c for pixel p, channel c.
+    val raster = Array.tabulate(3 * 3 * 2)(i => (10 * (i / 3) + i % 3).toByte)
+    val bmp = graft.multimodal.MediaCodec.encodeBmp(3, 2, raster)
+    val feats = MediaPipeline
+      .patchify(Seq(graft.multimodal.MediaItem(5L, "image", bmp)).toDS(), 2)
+      .collect().sortBy(_.patch)
+    assert(feats.map(_.patch).toSeq == Seq(0, 1, 2, 3))
+    def sumPx(ps: Seq[Int]) = ps.map(p => 30 * p + 3).sum // Σc(10p+c)=30p+3
+    // patch 0 = pixels (0,0),(1,0) = p0,p1; patch 1 = (2,0) = p2;
+    // patch 2 = (0,1),(1,1) = p3,p4; patch 3 = (2,1) = p5
+    val want = Seq(Seq(0, 1), Seq(2), Seq(3, 4), Seq(5)).map(sumPx)
+    assert(feats.map(_.sum_v).toSeq == want.map(_.toLong))
+    assert(feats.map(_.n_vals).toSeq == Seq(6, 3, 6, 3))
+    feats.foreach(f => assert(f.mean_v == f.sum_v.toDouble / f.n_vals))
+    // every byte lands in exactly one patch
+    assert(feats.map(_.n_vals).sum == raster.length)
+  }
 }

@@ -54,4 +54,43 @@ class SnapshotReadSpec extends AnyFunSuite {
     assert(SnapshotStore.versions(tbl) == Seq(1, 3))
     assert(SnapshotStore.readLatest(spark, tbl).count() == 1)
   }
+
+  test("manifest-pruned as-of read: fewer files, same rows, inside v=N") {
+    val tbl = freshTable()
+    // 100 rows range-clustered on k into 5 files → disjoint [min,max]
+    // per file, so the manifest can genuinely separate them
+    val df = spark.range(0, 100).toDF("k")
+      .withColumn("v", $"k" * 2)
+      .repartitionByRange(5, $"k")
+    SnapshotStore.writeVersionWithManifest(df, tbl, Seq("k"))
+    // second version drops multiples of 10 (so v=2 ≠ v=1)
+    SnapshotStore.writeVersionWithManifest(
+      df.filter($"k" % 10 =!= 0), tbl, Seq("k"))
+    assert(SnapshotStore.versions(tbl) == Seq(1, 2))
+    val pred = SnapshotStore.GreaterThan("k", 79.0)
+    val pr = SnapshotStore.readAsOfPruned(spark, tbl, 2, pred)
+    // pruning bit: strictly fewer files than the version holds
+    assert(pr.totalFiles == 5, s"expected 5 files, saw ${pr.totalFiles}")
+    assert(pr.keptFiles.nonEmpty && pr.keptFiles.size < pr.totalFiles,
+      s"no pruning: kept ${pr.keptFiles.size} of ${pr.totalFiles}")
+    // every scanned file lives under the requested version
+    assert(pr.df.inputFiles.nonEmpty &&
+      pr.df.inputFiles.forall(_.contains("/v=2/")),
+      s"pruned scan left v=2: ${pr.df.inputFiles.mkString(",")}")
+    // soundness: pruned ≡ unpruned + row filter, row for row
+    val got = pr.df.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val want = SnapshotStore.readAsOf(spark, tbl, 2)
+      .filter(pred.rowFilter).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want, s"pruned read diverged: $got vs $want")
+    assert(want == (80L to 99L).filterNot(_ % 10 == 0).toSeq)
+    // the manifest dir is underscore-hidden: plain as-of reads ignore it
+    assert(SnapshotStore.readAsOf(spark, tbl, 2).columns.toSeq == Seq("k", "v"))
+    // a predicate no file can satisfy prunes everything and stays
+    // schema-stable
+    val none = SnapshotStore.readAsOfPruned(
+      spark, tbl, 2, SnapshotStore.GreaterThan("k", 1e9))
+    assert(none.keptFiles.isEmpty && none.df.count() == 0)
+    assert(none.df.columns.toSeq == Seq("k", "v"))
+  }
 }
