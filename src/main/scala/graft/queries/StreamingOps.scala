@@ -36,7 +36,15 @@ object StreamingOps {
    * the batch-side CPU count: these windowed aggs hold at most a few
    * thousand open keys (windows × types, users), and every micro-batch
    * pays per-partition state-store init/commit. 32 partitions measured
-   * 4.5s for the sliding window at sf0.1 vs 2.7s at 8.
+   * 4.5s for the sliding window at sf0.1 vs 2.7s at 8; the round-8
+   * tools/StreamProfile sweep over the tumbling agg (tmpfs checkpoints)
+   * measured addBatch 0.59s/0.70s/0.90s/1.11s at 4/8/16/32 partitions —
+   * per-partition store overhead dominates parallelism at gate-scale
+   * key counts, so the default is now 4. The same profile decomposes
+   * the ~1s bounded-query floor: ~0.6s addBatch (the real aggregation),
+   * ~0.13s incremental planning, ~0.17s query start, ~0.1s WAL+offset
+   * commits — fixed engine cost a production stream amortizes over
+   * hours, not a scale hazard.
    *
    * INVARIANT: the conf is session-global while the stream runs, so
    * callers must not plan other queries on this session concurrently

@@ -66,7 +66,22 @@ def main(survey_path, bench_path):
     return 0
 
 
+def default_bench():
+    """Prefer the newest committed per-round local snapshot
+    (bench_local_rN.json — VERDICT r7 item 3: the driver's own run
+    overwrites bench_out.json, orphaning the claims this gate checks),
+    falling back to bench_out.json for mid-round iteration."""
+    import glob
+    snaps = glob.glob("bench_local_r*.json")
+    if snaps:
+        def rnum(p):
+            m = re.search(r"bench_local_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+        return max(snaps, key=rnum)
+    return "bench_out.json"
+
+
 if __name__ == "__main__":
     survey = sys.argv[1] if len(sys.argv) > 1 else "SURVEY.md"
-    bench = sys.argv[2] if len(sys.argv) > 2 else "bench_out.json"
+    bench = sys.argv[2] if len(sys.argv) > 2 else default_bench()
     sys.exit(main(survey, bench))
