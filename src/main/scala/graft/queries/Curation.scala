@@ -262,7 +262,8 @@ object Curation {
           .select(col("doc_id"),
             when(col("sb") < 204, "train").when(col("sb") < 230, "val")
               .otherwise("test").as("split"))
-        LlmOps.neardupPairs(docs, threshold = 0.5)
+        LlmOps.neardupPairs(docs, threshold = 0.5,
+            Some(graft.sources.MinHashSigIndex.sigs(s, dir)))
           .join(split.select(col("doc_id").as("a_id"), col("split").as("split_a")), "a_id")
           .join(split.select(col("doc_id").as("b_id"), col("split").as("split_b")), "b_id")
           .filter(col("split_a") =!= col("split_b"))

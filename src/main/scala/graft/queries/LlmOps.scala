@@ -51,11 +51,32 @@ object LlmOps {
       .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
 
+  /** The signature-BUILD plan for the unfiltered corpus — the artifact
+   * [[graft.sources.MinHashSigIndex]] persists (round 8): the one
+   * corpus-wide explode + 32-permutation fold the whole LSH dedup
+   * family used to re-run per entry. */
+  private[graft] def sigsPlan(s: SparkSession, dir: String): DataFrame =
+    minhashSigs(docsWithShingles(s, dir))
+
   /** MinHash-LSH candidate generation + exact-Jaccard scoring over a
    * (doc_id, sh) frame — shared by q_neardup_pairs and the corpus
    * pipeline. Returns (a_id, b_id, jaccard) for pairs above `threshold`
    * with a_id < b_id. */
-  private[graft] def neardupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** As [[neardupPairs]] below, with the signature aggregation served
+   * from a pre-built frame (the persisted MinHashSigIndex) instead of
+   * recomputed — candidates and verify are unchanged. Callers over the
+   * UNFILTERED corpus use this; filtered subsets (q_corpus_pipeline's
+   * post-gate dedup, q_incr_dedup's split) keep computing their own
+   * subset signatures, which a full-corpus artifact cannot serve. */
+  private[graft] def neardupPairs(docs: DataFrame, threshold: Double,
+                                  sigsOpt: Option[DataFrame]): DataFrame =
+    neardupPairsImpl(docs, threshold, sigsOpt)
+
+  private[graft] def neardupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    neardupPairsImpl(docs, threshold, None)
+
+  private def neardupPairsImpl(docs: DataFrame, threshold: Double,
+                               sigsOpt: Option[DataFrame]): DataFrame = {
     // hash each shingle string ONCE, INSIDE the array (transform), and
     // explode the resulting longs: Generate materializes every output
     // row, and emitting 8-byte longs instead of shingle strings measured
@@ -65,7 +86,7 @@ object LlmOps {
     // one signature state — one aggregation state/pass instead of 32 agg
     // expressions (the shuffle already carried 32 partial-min longs
     // per doc either way; the win is plan width and per-row CPU)
-    val sigs = minhashSigs(docs)
+    val sigs = sigsOpt.getOrElse(minhashSigs(docs))
     val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
       xxhash64(element_at(col("sig"), 2 * b + 1),
         element_at(col("sig"), 2 * b + 2)).as("bv")))
@@ -206,7 +227,9 @@ object LlmOps {
     QueryDef("q_neardup_pairs",
       (s, dir) => {
         val docs = docsWithShingles(s, dir).cache()
-        neardupPairs(docs, threshold = 0.5)
+        // signatures served from the persisted corpus index (round 8)
+        neardupPairs(docs, threshold = 0.5,
+            Some(graft.sources.MinHashSigIndex.sigs(s, dir)))
           .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
           .orderBy("a_id", "b_id")
       },
@@ -237,8 +260,10 @@ object LlmOps {
     QueryDef("q_minhash_est",
       (s, dir) => {
         val docs = docsWithShingles(s, dir).cache()
-        val sigs = minhashSigs(docs)
-        neardupPairs(docs, threshold = 0.5)
+        // one persisted signature table feeds BOTH the candidate path
+        // and the estimator join (round 8; previously two rebuilds)
+        val sigs = graft.sources.MinHashSigIndex.sigs(s, dir)
+        neardupPairs(docs, threshold = 0.5, Some(sigs))
           .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("siga")), "a_id")
           .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sigb")), "b_id")
           .withColumn("est", expr(
@@ -993,7 +1018,8 @@ object LlmOps {
     QueryDef("q_dedup_clusters",
       (s, dir) => {
         val docs = docsWithShingles(s, dir).cache()
-        val pairs = neardupPairs(docs, threshold = 0.5).select("a_id", "b_id")
+        val pairs = neardupPairs(docs, threshold = 0.5,
+          Some(graft.sources.MinHashSigIndex.sigs(s, dir))).select("a_id", "b_id")
         graft.operators.ConnectedComponents.runGraphX(pairs)
           .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
           .orderBy("cluster_id", "doc_id")
@@ -1027,7 +1053,8 @@ object LlmOps {
     QueryDef("q_dedup_clusters_star",
       (s, dir) => {
         val docs = docsWithShingles(s, dir).cache()
-        val pairs = neardupPairs(docs, threshold = 0.5).select("a_id", "b_id")
+        val pairs = neardupPairs(docs, threshold = 0.5,
+          Some(graft.sources.MinHashSigIndex.sigs(s, dir))).select("a_id", "b_id")
         graft.operators.ConnectedComponents.runStar(pairs)
           .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
           .orderBy("cluster_id", "doc_id")
@@ -1069,7 +1096,8 @@ object LlmOps {
     QueryDef("q_cluster_rep",
       (s, dir) => {
         val docs = docsWithShingles(s, dir).cache()
-        val pairs = neardupPairs(docs, threshold = 0.5).select("a_id", "b_id")
+        val pairs = neardupPairs(docs, threshold = 0.5,
+          Some(graft.sources.MinHashSigIndex.sigs(s, dir))).select("a_id", "b_id")
         val comp = graft.operators.ConnectedComponents.runGraphX(pairs)
           .withColumnRenamed("id", "doc_id")
         rd(s, dir, "documents").select(col("doc_id"), col("n_chars"))
