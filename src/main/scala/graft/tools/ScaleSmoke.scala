@@ -113,6 +113,37 @@ object ScaleSmoke {
         .agg(min("mean_b"), max("mean_b")).head()
     }
     println(s"[scale]   replica-mean band=[${ciRow.get(0)}, ${ciRow.get(1)}]")
+
+    // ---- round-8 shared-artifact amortization at the same scale --------
+    // The two persisted indexes' whole point is build-once/serve-many:
+    // the BUILD pays the corpus-scale job, the SERVE is a scan of the
+    // artifact. Measuring both at N× gate scale shows the serve cost is
+    // decoupled from corpus size — the property that makes the family
+    // refactor a 100 TB win and not just a bench trick.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_scale_idx").toString
+    curDocs
+      .withColumn("source", lit("gen"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$idxDir/documents.parquet")
+    time("sig index BUILD+serve (call 1)")(
+      graft.sources.MinHashSigIndex.sigs(spark, idxDir).count())
+    time("sig index serve only (call 2)")(
+      graft.sources.MinHashSigIndex.sigs(spark, idxDir).count())
+    // synthetic embeddings at rows/10 (the pairwise edge build is
+    // Σ|bucket|² — quadratic per bucket BY DESIGN; the smoke sizes the
+    // vector corpus so the build stays a smoke, the serve curve is the
+    // claim under test)
+    spark.range(rows / 10).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), i -> CAST(sin(id * 131 + i) AS FLOAT))")
+          .as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$idxDir/embeddings.parquet")
+    time("edge index BUILD+serve (call 1)")(
+      graft.sources.KnnGraphIndex.edges(spark, idxDir).count())
+    time("edge index serve only (call 2)")(
+      graft.sources.KnnGraphIndex.edges(spark, idxDir).count())
+    graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(idxDir))
     spark.stop()
   }
 }
