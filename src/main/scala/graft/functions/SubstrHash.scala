@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * One-pass window fingerprinting for the ExactSubstr scan
+ * (q_substr_dedup): all `k`-CHARACTER window hashes of a string,
+ * computed as a byte-exact polynomial rolling hash in a single O(n)
+ * traversal.
+ *
+ * Replaces the HOF formulation
+ * `transform(sequence(1, n-k+1), i -> xxhash64(substring(text, i, k)))`,
+ * which costs O(n·k) — every window re-extracts a k-char substring
+ * (allocation + copy) and re-hashes its bytes — AND runs interpreted:
+ * Spark's ArrayTransform is CodegenFallback, so the lambda is
+ * evaluated expression-tree-at-a-time per window. This kernel does the
+ * whole row in one tight codegen loop: prefix hashes at char
+ * boundaries, then each window is two multiplies and a subtract
+ * (`P[i+k] − P[i]·B^bytes(window)`), byte-length-aware so multi-byte
+ * UTF-8 windows hash their exact byte span.
+ *
+ * Grouping semantics are what the ExactSubstr plan needs and the
+ * DuckDB oracle pins (the oracle groups the RAW 30-char windows):
+ * equal substrings always hash equal (the hash is a pure function of
+ * the window's bytes); unequal substrings collide with ~2⁻⁶⁴
+ * probability per pair, the same regime as the xxhash64 formulation it
+ * replaces (a collision would shift a count and hash-fail the gate —
+ * at gate scale ~250k distinct windows that chance is ~1e-9;
+ * polynomial mod-2⁶⁴ hashes have adversarial bad cases, but corpus
+ * text is not adversarial and the oracle would catch one loudly).
+ *
+ * Null string → null; fewer than `k` chars → EMPTY array (explode
+ * emits nothing — same downstream behavior as the `length(text) >= k`
+ * guard the call site keeps for clarity).
+ */
+case class SubstrHashWindowsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"window length must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"substr_hash_windows expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SubstrHash.hashWindows(input.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.functions.SubstrHash.hashWindows($s, $k);
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SubstrHashWindowsExpr = copy(child = newChild)
+
+  override def prettyName: String = "substr_hash_windows"
+}
+
+object SubstrHash {
+
+  /** Polynomial base: FNV-64 prime — odd, so multiplication by it is a
+   * bijection mod 2⁶⁴ and prefix differences cancel exactly. */
+  final val B = 1099511628211L
+
+  /** All k-char window hashes of `s` (empty if `s` has < k chars).
+   * Static entry point shared by interpreted eval and generated code
+   * (top-level Scala objects emit static forwarders, so Janino can
+   * call this directly). One O(n) pass: char-boundary offsets, prefix
+   * hashes and B-powers together, then each window is
+   * `P[w+k] − P[w]·B^(byteLen of window)`. */
+  def hashWindows(s: UTF8String, k: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val m = bytes.length
+    // char-boundary byte offsets: off(c) = first byte of char c; off(nChars) = m
+    val off = new Array[Int](m + 1)
+    var nChars = 0
+    var i = 0
+    while (i < m) {
+      off(nChars) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      nChars += 1
+    }
+    off(nChars) = m // clamps a truncated trailing multi-byte char to the end
+    if (nChars < k) return new Array[Long](0)
+    // prefix hashes at char boundaries and B-powers over raw byte counts
+    val pref = new Array[Long](nChars + 1)
+    val pow = new Array[Long](m + 1)
+    pow(0) = 1L
+    var h = 0L
+    var c = 1
+    var j = 0
+    while (j < m) {
+      h = h * B + bytes(j)
+      pow(j + 1) = pow(j) * B
+      if (c <= nChars && j + 1 == off(c)) { pref(c) = h; c += 1 }
+      j += 1
+    }
+    val out = new Array[Long](nChars - k + 1)
+    var w = 0
+    while (w < out.length) {
+      out(w) = pref(w + k) - pref(w) * pow(off(w + k) - off(w))
+      w += 1
+    }
+    out
+  }
+
+  /** Idempotent per-session registration (functionExists guard keeps
+   * repeat registration silent — see VectorFunctions.register doc). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("substr_hash_windows")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "substr_hash_windows", exprs => SubstrHashWindowsExpr(exprs(0),
+          exprs(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"substr_hash_windows: k must be an integer literal, got $other")
+          }), "scala_udf")
+
+  /** All k-char window hashes of a string column — requires [[register]]. */
+  def windows(text: Column, k: Int): Column =
+    call_function("substr_hash_windows", text, lit(k))
+}

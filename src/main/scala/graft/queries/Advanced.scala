@@ -793,12 +793,18 @@ object Advanced {
     // whole-doc/segment hashing (q_dedup_exact, q_seg_dedup) and
     // shingle-Jaccard (q_neardup_pairs) both miss. The suffix-array
     // approach of the paper is replaced by the Spark-expressible
-    // gram-hash plan: windows fingerprint to xxhash64 INSIDE the
-    // explode (the shuffle carries (doc_id, 8-byte long) pairs, never
-    // text — and never 32-char md5 hex either: the long keys halved
-    // the sf0.1 wall time), per-doc gram counts partial-aggregate
-    // map-side, and the corpus-frequency join is equi on the digest —
-    // big-big but co-partitioned, no skew (hash keys are uniform).
+    // gram-hash plan: windows fingerprint to 8-byte longs INSIDE the
+    // explode via the substr_hash_windows codegen kernel
+    // (functions/SubstrHash.scala) — ONE O(n) rolling-hash pass per
+    // doc, vs the O(n·k) interpreted transform-HOF it replaced (every
+    // window re-substringed + re-xxhashed under CodegenFallback; the
+    // kernel measured ~2x on this entry's sf0.1 wall — 4.4 -> 2.3 s —
+    // with the rest of the cost in the two digest shuffles). The shuffle
+    // carries (doc_id, long) pairs, never text — and never 32-char md5
+    // hex either: 8-byte keys halved the sf0.1 wall time when they
+    // landed. Per-doc gram counts partial-aggregate map-side, and the
+    // corpus-frequency join is equi on the digest — big-big but
+    // co-partitioned, no skew (hash keys are uniform).
     // The oracle needs no matching hash at all: it groups the RAW
     // 30-char windows, pinning the Spark side's fingerprint grouping
     // to exact-string semantics (a 64-bit collision would shift a
@@ -812,13 +818,13 @@ object Advanced {
     QueryDef("q_substr_dedup",
       (s, dir) => {
         val k = 30
+        graft.functions.SubstrHash.register(s)
         val g1 = rd(s, dir, "documents")
-          // docs shorter than k have no windows (and Spark's
-          // sequence(1, 0) would step DOWNWARD, not come back empty)
+          // docs shorter than k have no windows (the kernel returns an
+          // empty array for them too; the guard keeps intent visible)
           .filter(length(col("text")) >= k)
-          .select(col("doc_id"), explode(expr(
-            s"""transform(sequence(1, length(text) - ${k - 1}),
-               |  i -> xxhash64(substring(text, i, $k)))""".stripMargin)).as("h"))
+          .select(col("doc_id"),
+            explode(graft.functions.SubstrHash.windows(col("text"), k)).as("h"))
           .groupBy(col("doc_id"), col("h"))
           .agg(count(lit(1)).as("pos_cnt"))
         val freq = g1.groupBy(col("h")).agg(sum(col("pos_cnt")).as("tot"))
