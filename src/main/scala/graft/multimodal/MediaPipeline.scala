@@ -137,6 +137,48 @@ object MediaPipeline {
     }
   }
 
+  /** Fixed-count audio framing of a decoded PCM16 clip: one feature row
+   * per frame, exact integer energy + count + RMS. See [[frameAudio]]. */
+  final case class AudioFrame(doc_id: Long, frame: Int, n_samples: Int,
+                              energy: Long, rms: Double)
+
+  /**
+   * The audio sibling of [[patchify]] (round 8): decoded PCM16 samples
+   * cut into a fixed `g` frames by the same grid arithmetic (sample i
+   * of n lands in frame ⌊i·g/n⌋ — pure integer math the SQL oracle
+   * replays), each frame reduced to its exact signed-amplitude energy
+   * Σa² (a Long: |a| ≤ 2¹⁵, so a² ≤ 2³⁰ — no overflow at any clip
+   * length that fits memory) and the RMS √(energy/n) — the per-frame
+   * feature an audio training pipeline feeds to its embedding path
+   * (q_media_audio_frames assembles the g RMS values into a float
+   * vector and scores it through the vec_cosine kernel). RMS is one
+   * exact-integer division and one sqrt, both correctly-rounded IEEE —
+   * identical in both engines. Partition-local like [[decode]]: payload
+   * bytes never cross a shuffle, only g small feature rows per clip do.
+   */
+  def frameAudio(items: Dataset[MediaItem], g: Int): Dataset[AudioFrame] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        val (_, _, samples) = MediaCodec.decodeWavPcm16(m.payload)
+        val n = samples.length
+        val en = new Array[Long](g)
+        val ns = new Array[Int](g)
+        var i = 0
+        while (i < n) {
+          val f = (i.toLong * g / n).toInt
+          val amp = samples(i).toLong // signed PCM16 amplitude
+          en(f) += amp * amp
+          ns(f) += 1
+          i += 1
+        }
+        (0 until g).iterator.filter(ns(_) > 0).map(f =>
+          AudioFrame(m.doc_id, f, ns(f), en(f),
+            math.sqrt(en(f).toDouble / ns(f))))
+      }
+    }
+  }
+
   /** Deterministic frame-index sampling for video-ish payloads: k evenly
    * spaced frames (ceil spacing), always including frame 0. */
   def sampleFrames(nFrames: Int, k: Int): Seq[Int] =

@@ -511,6 +511,80 @@ object Advanced {
              |       * sqrt(CAST(4 AS DOUBLE))), 4) AS flatness
              |FROM vv ORDER BY doc_id""".stripMargin)),
 
+    // ---- audio framing → frame-RMS vector → vector kernel -------------
+    // The audio sibling of q_media_patchify, closing the decode→feature
+    // symmetry across modalities: every audio doc's decoded PCM16
+    // samples cut into a fixed 4 frames by the same ⌊i·g/n⌋ grid
+    // arithmetic (MediaPipeline.frameAudio — partition-local, exact
+    // signed-amplitude Σa² per frame), the 4 frame RMS values assembled
+    // into a float vector and scored through the vec_cosine codegen
+    // kernel against the all-ones reference — the "evenness" of energy
+    // across the clip, i.e. decoded audio genuinely entering the
+    // vector path. NOT circular: the oracle recomputes the samples
+    // ((doc_id·37 + i·11) mod 2¹⁶, sign-folded at 32768), the frame
+    // assignment, exact energies, the float cast, and the double-fold
+    // cosine from doc_id arithmetic alone, so a framer that misassigns
+    // a boundary sample or drops sign extension fails the value
+    // compare on every affected clip.
+    QueryDef("q_media_audio_frames",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.VectorFunctions.register(s)
+        val items = graft.multimodal.MediaPipeline.itemsFromDocuments(s, dir)
+          .filter(col("kind") === "audio")
+          .as[graft.multimodal.MediaItem]
+        val ones = typedLit(Array(1f, 1f, 1f, 1f))
+        graft.multimodal.MediaPipeline.frameAudio(items, 4).toDF()
+          .groupBy("doc_id")
+          .agg(sum(col("n_samples")).cast("long").as("n_samples"),
+            sum(col("energy")).cast("long").as("energy_total"),
+            max(when(col("frame") === 0, col("rms"))).as("r0"),
+            max(when(col("frame") === 1, col("rms"))).as("r1"),
+            max(when(col("frame") === 2, col("rms"))).as("r2"),
+            max(when(col("frame") === 3, col("rms"))).as("r3"))
+          .withColumn("vec",
+            expr("CAST(array(r0, r1, r2, r3) AS array<float>)"))
+          .withColumn("evenness", round(
+            graft.functions.VectorFunctions.vecCosine(col("vec"), ones), 4))
+          .select(col("doc_id"), col("n_samples"), col("energy_total"),
+            col("r0"), col("r1"), col("r2"), col("r3"), col("evenness"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aud AS (
+             |  SELECT doc_id, 16 + doc_id % 48 AS n
+             |  FROM documents WHERE lang IN ('de','fr')),
+             |sm AS (
+             |  SELECT doc_id, n, i, (doc_id*37 + i*11) % 65536 AS v
+             |  FROM aud, UNNEST(range(0, n)) AS t(i)),
+             |amp AS (
+             |  SELECT doc_id, (i * 4) // n AS frame,
+             |    CASE WHEN v < 32768 THEN v ELSE v - 65536 END AS a
+             |  FROM sm),
+             |fr AS (
+             |  SELECT doc_id, frame, COUNT(*) AS nf,
+             |    CAST(SUM(a*a) AS BIGINT) AS e
+             |  FROM amp GROUP BY 1, 2),
+             |m AS (
+             |  SELECT doc_id, CAST(SUM(nf) AS BIGINT) AS n_samples,
+             |    CAST(SUM(e) AS BIGINT) AS energy_total,
+             |    MAX(CASE WHEN frame = 0 THEN sqrt(CAST(e AS DOUBLE)/nf) END) AS r0,
+             |    MAX(CASE WHEN frame = 1 THEN sqrt(CAST(e AS DOUBLE)/nf) END) AS r1,
+             |    MAX(CASE WHEN frame = 2 THEN sqrt(CAST(e AS DOUBLE)/nf) END) AS r2,
+             |    MAX(CASE WHEN frame = 3 THEN sqrt(CAST(e AS DOUBLE)/nf) END) AS r3
+             |  FROM fr GROUP BY doc_id),
+             |vv AS (
+             |  SELECT doc_id, n_samples, energy_total, r0, r1, r2, r3,
+             |    list_transform(
+             |      [CAST(r0 AS REAL), CAST(r1 AS REAL),
+             |       CAST(r2 AS REAL), CAST(r3 AS REAL)],
+             |      x -> CAST(x AS DOUBLE)) AS dv
+             |  FROM m)
+             |SELECT doc_id, n_samples, energy_total, r0, r1, r2, r3,
+             |  ROUND(list_dot_product(dv, [1.0, 1.0, 1.0, 1.0])
+             |    / (sqrt(list_dot_product(dv, dv))
+             |       * sqrt(CAST(4 AS DOUBLE))), 4) AS evenness
+             |FROM vv ORDER BY doc_id""".stripMargin)),
+
     // ---- Bloom-filter runtime join filter -----------------------------
     // The semi-join-reduction pattern behind Catalyst's InjectRuntimeFilter,
     // surfaced explicitly: ONE distributed aggregation folds the dim-side

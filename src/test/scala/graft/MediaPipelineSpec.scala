@@ -62,4 +62,23 @@ class MediaPipelineSpec extends AnyFunSuite {
     // every byte lands in exactly one patch
     assert(feats.map(_.n_vals).sum == raster.length)
   }
+
+  test("frameAudio: exact hand-computed energies, signed amplitudes, odd split") {
+    import spark.implicits._
+    // 5 samples [1, -2, 3, 4, -5], g=2: frame = ⌊i·2/5⌋ → i∈{0,1,2}
+    // frame 0, i∈{3,4} frame 1. Energies: 1+4+9=14 and 16+25=41 —
+    // sign extension matters (an unsigned read of -2 would give 65534²).
+    val samples = Array[Short](1, -2, 3, 4, -5)
+    val wav = graft.multimodal.MediaCodec.encodeWavPcm16(8000, samples)
+    val feats = MediaPipeline
+      .frameAudio(Seq(graft.multimodal.MediaItem(3L, "audio", wav)).toDS(), 2)
+      .collect().sortBy(_.frame)
+    assert(feats.map(_.frame).toSeq == Seq(0, 1))
+    assert(feats.map(_.n_samples).toSeq == Seq(3, 2))
+    assert(feats.map(_.energy).toSeq == Seq(14L, 41L))
+    feats.foreach(f =>
+      assert(f.rms == math.sqrt(f.energy.toDouble / f.n_samples)))
+    // every sample lands in exactly one frame
+    assert(feats.map(_.n_samples).sum == samples.length)
+  }
 }
