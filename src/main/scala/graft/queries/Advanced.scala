@@ -268,13 +268,14 @@ object Advanced {
     QueryDef("q_knn_ivf_kmeans",
       (s, dir) => {
         graft.functions.VectorFunctions.register(s)
-        val stamp = Q.contentStamp(dir, "embeddings")
         val tag = java.lang.Integer.toHexString(dir.hashCode)
-        val idx = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), s"graft_ivf_idx_${tag}_$stamp")
-        // _SUCCESS of the last-written component marks a complete index;
-        // a crash mid-build leaves no marker and the next call rebuilds
-        if (!java.nio.file.Files.exists(idx.resolve("centroids/_SUCCESS"))) {
+        // build-once via the shared stamped-artifact protocol (atomic
+        // publish — the whole two-part index appears in one rename, so
+        // a concurrent reader can never see cells without centroids);
+        // the marker is the LAST-written component's _SUCCESS
+        val idx = Q.ensureStamped(s"graft_ivf_idx_${tag}_",
+          Q.contentStamp(dir, "embeddings"),
+          marker = "centroids/_SUCCESS") { staging =>
           import org.apache.spark.ml.clustering.KMeans
           import org.apache.spark.ml.functions.array_to_vector
           import s.implicits._
@@ -290,12 +291,12 @@ object Advanced {
           model.transform(e).withColumnRenamed("prediction", "cell")
             .select("vec_id", "cell", "embedding")
             .write.mode("overwrite").partitionBy("cell")
-            .parquet(idx.resolve("cells").toString)
+            .parquet(staging.resolve("cells").toString)
           e.unpersist()
           model.clusterCenters.zipWithIndex.toSeq
             .map { case (c, i) => (i, c.toArray) }
             .toDF("cell", "centroid")
-            .write.mode("overwrite").parquet(idx.resolve("centroids").toString)
+            .write.mode("overwrite").parquet(staging.resolve("centroids").toString)
         }
         // ---- serve: centroid routing + pruned cell scan ----------------
         // one point-lookup job collects the probe (pushdown on vec_id);

@@ -134,6 +134,35 @@ object Q {
       deleteRecursively(staging) }
   }
 
+  /** The whole build-once / content-stamped artifact protocol in one
+   * place — every persisted artifact (kNN edge index, MinHash signature
+   * table, IVF index, streaming corpus index, CDC feed) goes through
+   * this instead of hand-rolling the four steps: resolve
+   * `tmpdir/<prefix><stamp>`; if `<dir>/<marker>` is absent, sweep
+   * stale stamps of the same prefix, run `build` against a PER-PROCESS
+   * staging dir, and publish it by ONE atomic rename. Existence of the
+   * published marker therefore always means a COMPLETE artifact — a
+   * crashed build leaves only an unpublished `.stage_<pid>` dir (swept
+   * by the pid's next attempt), and a concurrent builder either wins
+   * the rename or discards its identical copy. `marker` is a path
+   * RELATIVE to the artifact dir ("_SUCCESS" for single parquet
+   * writes; the last-written component's marker for multi-part
+   * artifacts like the IVF index). Returns the published dir. */
+  def ensureStamped(prefix: String, stamp: String,
+                    marker: String = "_SUCCESS")
+                   (build: java.nio.file.Path => Unit): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val idx = Paths.get(System.getProperty("java.io.tmpdir"), prefix + stamp)
+    if (!Files.exists(idx.resolve(marker))) {
+      sweepStaleSiblings(prefix, idx)
+      val staging = stagingFor(idx)
+      deleteRecursively(staging) // a crashed earlier attempt of this pid
+      build(staging)
+      publishDirAtomic(staging, idx)
+    }
+    idx
+  }
+
   /** Sweep stale stamped siblings of `keep` (same dir, same `prefix`,
    * different name): a regenerated source must not leak dead artifact
    * dirs into tmp forever. In-flight `.stage_` copies are skipped. */

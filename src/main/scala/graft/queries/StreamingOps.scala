@@ -588,18 +588,22 @@ object StreamingOps {
         // streams join a precomputed read-only index, they do not
         // re-shingle the corpus per batch. Content-stamped like
         // SourceOps.roundTripDir so a testdata regen rebuilds it.
-        val stamp = Q.contentStamp(dir, "documents")
         val tag = java.lang.Integer.toHexString(dir.hashCode)
-        val idx = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), s"graft_incr_idx_${tag}_$stamp")
-        if (!java.nio.file.Files.exists(idx)) {
+        // shared stamped-artifact protocol (round 8): the two-part index
+        // (bands + shingles) publishes in ONE atomic rename — the old
+        // bare exists(idx) check could serve a half-built index forever
+        // if a build died between the two writes. Marker = the
+        // LAST-written component's _SUCCESS.
+        val idx = Q.ensureStamped(s"graft_incr_idx_${tag}_",
+          Q.contentStamp(dir, "documents"),
+          marker = "sh/_SUCCESS") { staging =>
           val corpus = shingles(
             rd(s, dir, "documents").filter(col("doc_id") % 10 =!= 0))
           banded(corpus)
             .select(col("doc_id").as("old_id"), col("band"), col("bv"))
-            .write.mode("overwrite").parquet(s"$idx/bands")
+            .write.mode("overwrite").parquet(s"$staging/bands")
           corpus.select(col("doc_id").as("old_id"), col("sh").as("sb"))
-            .write.mode("overwrite").parquet(s"$idx/sh")
+            .write.mode("overwrite").parquet(s"$staging/sh")
         }
         val corpusBands = s.read.parquet(s"$idx/bands")
         val corpusSh = s.read.parquet(s"$idx/sh")
@@ -704,24 +708,18 @@ object StreamingOps {
           .select(col("user_id"), col("ts").as("last_ts"),
             col("event_type").as("last_type"), col("value").as("last_value"))
       } else {
-        import java.nio.file.{Files, Paths}
-        val stamp = Q.contentStamp(dir, "events")
         // "f2": feed layout version — bumped when the staged schema
         // changes (f2 = ts normalized to TimestampType) so a stale stage
-        // from an older code version is never reused
-        val feedDir = Paths.get(System.getProperty("java.io.tmpdir"),
-          s"graft_cdc_feed_f2_$stamp")
-        if (!Files.exists(feedDir.resolve("_SUCCESS"))) {
-          // stage per-process, publish by atomic rename, sweep stamps
-          // from older testdata generations (Q.publishDirAtomic doc) —
-          // a concurrent driver can never consume a half-staged feed
-          Q.sweepStaleSiblings("graft_cdc_feed_f2_", feedDir)
-          val staging = Q.stagingFor(feedDir)
+        // from an older code version is never reused. Shared
+        // stamped-artifact protocol: staged per-process, published by
+        // one atomic rename, stale stamps swept — a concurrent driver
+        // can never consume a half-staged feed.
+        val feedDir = Q.ensureStamped("graft_cdc_feed_f2_",
+          Q.contentStamp(dir, "events")) { staging =>
           events(s, dir)
             .select("event_id", "ts", "user_id", "event_type", "value")
             .repartitionByRange(4, col("ts"))
             .write.mode("overwrite").parquet(staging.toString)
-          Q.publishDirAtomic(staging, feedDir)
         }
         val schema = s.read.parquet(feedDir.toString).schema
         val stream = s.readStream.schema(schema)

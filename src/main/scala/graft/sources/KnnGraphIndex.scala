@@ -93,18 +93,10 @@ object KnnGraphIndex {
    * (atomic publish), then a plain parquet read with the pinned schema.
    */
   def edges(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val stamp = Q.contentStamp(dir, "embeddings")
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val prefix = s"graft_knn_edges_${tag}_"
-    val idx = Paths.get(System.getProperty("java.io.tmpdir"), prefix + stamp)
-    if (!Files.exists(idx.resolve("_SUCCESS"))) {
-      Q.sweepStaleSiblings(prefix, idx)
-      // build into a per-process staging dir, publish by atomic rename;
-      // a concurrent builder that loses the rename just discards its copy
-      val staging = Q.stagingFor(idx)
+    val idx = Q.ensureStamped(s"graft_knn_edges_${tag}_",
+      Q.contentStamp(dir, "embeddings")) { staging =>
       buildPlan(s, dir).write.mode("overwrite").parquet(staging.toString)
-      Q.publishDirAtomic(staging, idx)
     }
     s.read.schema(schema).parquet(idx.toString)
   }

@@ -40,16 +40,10 @@ object MinHashSigIndex {
   /** The persisted signature table for `dir`'s documents:
    * build-if-absent (atomic publish), then a schema-pinned read. */
   def sigs(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val stamp = Q.contentStamp(dir, "documents")
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val prefix = s"graft_minhash_sigs_${tag}_"
-    val idx = Paths.get(System.getProperty("java.io.tmpdir"), prefix + stamp)
-    if (!Files.exists(idx.resolve("_SUCCESS"))) {
-      Q.sweepStaleSiblings(prefix, idx)
-      val staging = Q.stagingFor(idx)
+    val idx = Q.ensureStamped(s"graft_minhash_sigs_${tag}_",
+      Q.contentStamp(dir, "documents")) { staging =>
       buildPlan(s, dir).write.mode("overwrite").parquet(staging.toString)
-      Q.publishDirAtomic(staging, idx)
     }
     s.read.schema(schema).parquet(idx.toString)
   }
