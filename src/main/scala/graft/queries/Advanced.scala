@@ -819,14 +819,17 @@ object Advanced {
         val items = baskets.select(explode(col("parts")).as("pk"))
           .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
         val tot = baskets.agg(count(lit(1)).as("n_orders"))
+        // pair generation as two chained codegen generators (posexplode
+        // anchor + explode of the ascending tail slice) instead of the
+        // nested transform-HOF it replaced — ArrayTransform is
+        // CodegenFallback, so the lambda ran interpreted per element
         val pairs = baskets
           .filter(size(col("parts")) >= 2)
-          .select(explode(expr(
-            """flatten(transform(sequence(1, size(parts) - 1), i ->
-              |  transform(sequence(i + 1, size(parts)), j ->
-              |    struct(element_at(parts, i) AS pk1,
-              |           element_at(parts, j) AS pk2))))""".stripMargin)).as("p"))
-          .groupBy(col("p.pk1").as("pk1"), col("p.pk2").as("pk2"))
+          .select(posexplode(col("parts")).as(Seq("i", "pk1")), col("parts"))
+          .select(col("pk1"), explode(
+            slice(col("parts"), col("i") + lit(2),
+              size(col("parts")))).as("pk2"))
+          .groupBy(col("pk1"), col("pk2"))
           .agg(count(lit(1)).as("pair_cnt"))
         pairs
           .join(broadcast(items.select(col("pk").as("pk1"),
