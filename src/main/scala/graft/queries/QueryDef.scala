@@ -154,6 +154,11 @@ object Q {
     import java.nio.file.{Files, Paths}
     val idx = Paths.get(System.getProperty("java.io.tmpdir"), prefix + stamp)
     if (!Files.exists(idx.resolve(marker))) {
+      // a target dir WITHOUT its marker is a pre-protocol or foreign
+      // half-artifact (the protocol only ever publishes complete dirs)
+      // — it must be replaced, or the atomic publish below would lose
+      // to it and the caller would read the half-artifact forever
+      deleteRecursively(idx)
       sweepStaleSiblings(prefix, idx)
       val staging = stagingFor(idx)
       deleteRecursively(staging) // a crashed earlier attempt of this pid
