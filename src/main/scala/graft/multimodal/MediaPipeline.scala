@@ -179,6 +179,43 @@ object MediaPipeline {
     }
   }
 
+  /** One consecutive-frame transition of a decoded video: exact
+   * sum-of-absolute-differences over the plane bytes. See [[motion]]. */
+  final case class MotionFeature(doc_id: Long, step: Int, n_bytes: Int,
+                                 sad: Long)
+
+  /**
+   * The video transform past decode (round 8, completing the
+   * image/audio/video symmetry): temporal differencing — for each pair
+   * of consecutive decoded Y4M frames, the exact integer
+   * sum-of-absolute-differences (SAD) over the C420 plane bytes, the
+   * primitive under motion estimation, shot-boundary detection, and
+   * static-clip filtering in a video training pipeline. One row per
+   * transition (f−1 per clip); single-frame clips emit nothing. SAD is
+   * a Long (≤ 255·m per step — overflow-safe at any plausible frame
+   * size). Partition-local like [[decode]]: payload bytes never cross
+   * a shuffle, only f−1 small feature rows per clip do.
+   */
+  def motion(items: Dataset[MediaItem]): Dataset[MotionFeature] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        val (_, _, frames) = MediaCodec.decodeY4m(m.payload)
+        (1 until frames.length).iterator.map { fi =>
+          val prev = frames(fi - 1)
+          val cur = frames(fi)
+          var sad = 0L
+          var j = 0
+          while (j < cur.length) {
+            sad += math.abs((cur(j) & 0xff) - (prev(j) & 0xff))
+            j += 1
+          }
+          MotionFeature(m.doc_id, fi, cur.length, sad)
+        }
+      }
+    }
+  }
+
   /** Deterministic frame-index sampling for video-ish payloads: k evenly
    * spaced frames (ceil spacing), always including frame 0. */
   def sampleFrames(nFrames: Int, k: Int): Seq[Int] =

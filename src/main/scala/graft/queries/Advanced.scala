@@ -586,6 +586,59 @@ object Advanced {
              |       * sqrt(CAST(4 AS DOUBLE))), 4) AS evenness
              |FROM vv ORDER BY doc_id""".stripMargin)),
 
+    // ---- video motion (temporal frame differencing) --------------------
+    // The video transform past decode, completing the modality symmetry
+    // (image patchify, audio framing, video motion): exact integer SAD
+    // between every pair of consecutive decoded Y4M frames
+    // (MediaPipeline.motion — partition-local, f−1 feature rows per
+    // clip), aggregated per clip into total/max motion and the
+    // per-byte motion rate — the primitive under shot-boundary
+    // detection and static-clip filtering. Single-frame clips
+    // (doc_id % 5 = 0 → f = 1) have no transitions and are excluded up
+    // front on both sides. NOT circular: the oracle recomputes every
+    // plane byte ((doc_id·17 + (fi·m + j)·5) mod 256), the |cur − prev|
+    // fold, and the one double division from doc_id arithmetic alone,
+    // so a decoder or differ that misaligns frames fails the value
+    // compare on every affected clip.
+    QueryDef("q_media_video_motion",
+      (s, dir) => {
+        import s.implicits._
+        val items = graft.multimodal.MediaPipeline.itemsFromDocuments(s, dir)
+          .filter(col("kind") === "video" && col("doc_id") % 5 =!= 0)
+          .as[graft.multimodal.MediaItem]
+        graft.multimodal.MediaPipeline.motion(items).toDF()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_steps"),
+            sum(col("sad")).cast("long").as("total_sad"),
+            max(col("sad")).as("max_sad"),
+            sum(col("n_bytes")).cast("long").as("n_bytes"))
+          .withColumn("motion_rate",
+            col("total_sad").cast("double") / col("n_bytes").cast("double"))
+          .select(col("doc_id"), col("n_steps"), col("total_sad"),
+            col("max_sad"), round(col("motion_rate"), 4).as("motion_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH vid AS (
+             |  SELECT doc_id, 1 + doc_id % 5 AS f,
+             |    ((4 + 2*(doc_id % 3)) * (4 + 2*(doc_id % 2)) * 3) // 2 AS m
+             |  FROM documents
+             |  WHERE lang NOT IN ('en','es','de','fr') AND doc_id % 5 <> 0),
+             |px AS (
+             |  SELECT doc_id, fi, m,
+             |    ABS((doc_id*17 + (fi*m + j)*5) % 256
+             |        - (doc_id*17 + ((fi-1)*m + j)*5) % 256) AS d
+             |  FROM vid,
+             |    UNNEST(range(1, f)) AS tf(fi),
+             |    UNNEST(range(0, m)) AS tj(j)),
+             |st AS (
+             |  SELECT doc_id, fi, m, CAST(SUM(d) AS BIGINT) AS sad
+             |  FROM px GROUP BY 1, 2, 3)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+             |  CAST(SUM(sad) AS BIGINT) AS total_sad,
+             |  CAST(MAX(sad) AS BIGINT) AS max_sad,
+             |  ROUND(CAST(SUM(sad) AS DOUBLE) / SUM(m), 4) AS motion_rate
+             |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- Bloom-filter runtime join filter -----------------------------
     // The semi-join-reduction pattern behind Catalyst's InjectRuntimeFilter,
     // surfaced explicitly: ONE distributed aggregation folds the dim-side

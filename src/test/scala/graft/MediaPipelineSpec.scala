@@ -81,4 +81,26 @@ class MediaPipelineSpec extends AnyFunSuite {
     // every sample lands in exactly one frame
     assert(feats.map(_.n_samples).sum == samples.length)
   }
+
+  test("motion: exact hand-computed SAD over consecutive Y4M frames") {
+    import spark.implicits._
+    // 4x2 C420 → 12 plane bytes/frame. Three frames: f0[j]=j,
+    // f1[j]=2j, f2[j]=0 → SAD(0→1)=Σj=66, SAD(1→2)=Σ2j=132.
+    val m = 12
+    val f0 = Array.tabulate(m)(j => j.toByte)
+    val f1 = Array.tabulate(m)(j => (2 * j).toByte)
+    val f2 = new Array[Byte](m)
+    val y4m = graft.multimodal.MediaCodec.encodeY4m(4, 2, Array(f0, f1, f2))
+    val feats = MediaPipeline
+      .motion(Seq(graft.multimodal.MediaItem(7L, "video", y4m)).toDS())
+      .collect().sortBy(_.step)
+    assert(feats.map(_.step).toSeq == Seq(1, 2))
+    assert(feats.map(_.sad).toSeq == Seq(66L, 132L))
+    assert(feats.forall(_.n_bytes == m))
+    // a single-frame clip emits no transitions
+    val one = graft.multimodal.MediaCodec.encodeY4m(4, 2, Array(f0))
+    assert(MediaPipeline
+      .motion(Seq(graft.multimodal.MediaItem(8L, "video", one)).toDS())
+      .count() == 0)
+  }
 }
