@@ -144,6 +144,27 @@ object ScaleSmoke {
     time("edge index serve only (call 2)")(
       graft.sources.KnnGraphIndex.edges(spark, idxDir).count())
     graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(idxDir))
+
+    // ---- round-8 ExactSubstr kernel A/B at the same scale --------------
+    // substr_hash_windows vs the interpreted transform-HOF it replaced:
+    // same window multiset (equal substrings hash equal under both), so
+    // the distinct-count ratio is a correctness cross-check and the
+    // wall-time ratio is the O(n) vs O(n·k) evidence at N× gate scale.
+    graft.functions.SubstrHash.register(spark)
+    val longDocs = corpus.filter(length(col("text")) >= 30).cache()
+    longDocs.count()
+    val nKernel = time("substr windows: codegen kernel") {
+      longDocs.select(explode(
+          graft.functions.SubstrHash.windows(col("text"), 30)).as("h"))
+        .agg(approx_count_distinct(col("h"), 0.01)).head().getLong(0)
+    }
+    val nHof = time("substr windows: transform HOF") {
+      longDocs.select(explode(expr(
+          """transform(sequence(1, length(text) - 29),
+            |  i -> xxhash64(substring(text, i, 30)))""".stripMargin)).as("h"))
+        .agg(approx_count_distinct(col("h"), 0.01)).head().getLong(0)
+    }
+    println(s"[scale]   distinct windows kernel=$nKernel hof=$nHof")
     spark.stop()
   }
 }
