@@ -225,13 +225,20 @@ object MediaPipeline {
 
   /** documents table → MediaItem dataset: kind from lang (the partition
    * key a real corpus would have), payload synthesized distributed,
-   * per-row — the generator is the stand-in ingest source. */
-  def itemsFromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+   * per-row — the generator is the stand-in ingest source. Pass
+   * `onlyKind` to filter BEFORE the synthesizing map: Catalyst cannot
+   * push a predicate below MapElements, so a post-map filter would
+   * synthesize (and discard) every other modality's payloads — at the
+   * 100 TB posture that is 3× the scan-stage work for no output. */
+  def itemsFromDocuments(spark: SparkSession, dir: String,
+                         onlyKind: Option[String] = None): Dataset[MediaItem] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val typed = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id",
         "CASE WHEN lang IN ('en','es') THEN 'image' " +
           "WHEN lang IN ('de','fr') THEN 'audio' ELSE 'video' END AS kind")
+    onlyKind.fold(typed)(k => typed.filter(col("kind") === k))
       .as[(Long, String)]
       .map { case (id, kind) => MediaItem(id, kind, synthesize(id, kind)) }
   }

@@ -460,9 +460,8 @@ object Advanced {
       (s, dir) => {
         import s.implicits._
         graft.functions.VectorFunctions.register(s)
-        val items = graft.multimodal.MediaPipeline.itemsFromDocuments(s, dir)
-          .filter(col("kind") === "image")
-          .as[graft.multimodal.MediaItem]
+        val items = graft.multimodal.MediaPipeline
+          .itemsFromDocuments(s, dir, onlyKind = Some("image"))
         val ones = typedLit(Array(1f, 1f, 1f, 1f))
         graft.multimodal.MediaPipeline.patchify(items, 2).toDF()
           .groupBy("doc_id")
@@ -531,9 +530,8 @@ object Advanced {
       (s, dir) => {
         import s.implicits._
         graft.functions.VectorFunctions.register(s)
-        val items = graft.multimodal.MediaPipeline.itemsFromDocuments(s, dir)
-          .filter(col("kind") === "audio")
-          .as[graft.multimodal.MediaItem]
+        val items = graft.multimodal.MediaPipeline
+          .itemsFromDocuments(s, dir, onlyKind = Some("audio"))
         val ones = typedLit(Array(1f, 1f, 1f, 1f))
         graft.multimodal.MediaPipeline.frameAudio(items, 4).toDF()
           .groupBy("doc_id")
@@ -603,9 +601,9 @@ object Advanced {
     QueryDef("q_media_video_motion",
       (s, dir) => {
         import s.implicits._
-        val items = graft.multimodal.MediaPipeline.itemsFromDocuments(s, dir)
-          .filter(col("kind") === "video" && col("doc_id") % 5 =!= 0)
-          .as[graft.multimodal.MediaItem]
+        val items = graft.multimodal.MediaPipeline
+          .itemsFromDocuments(s, dir, onlyKind = Some("video"))
+          .filter(col("doc_id") % 5 =!= 0)
         graft.multimodal.MediaPipeline.motion(items).toDF()
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_steps"),

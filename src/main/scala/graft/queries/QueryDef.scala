@@ -134,32 +134,42 @@ object Q {
       deleteRecursively(staging) }
   }
 
-  /** The whole build-once / content-stamped artifact protocol in one
-   * place — every persisted artifact (kNN edge index, MinHash signature
-   * table, IVF index, streaming corpus index, CDC feed) goes through
-   * this instead of hand-rolling the four steps: resolve
-   * `tmpdir/<prefix><stamp>`; if `<dir>/<marker>` is absent, sweep
-   * stale stamps of the same prefix, run `build` against a PER-PROCESS
-   * staging dir, and publish it by ONE atomic rename. Existence of the
-   * published marker therefore always means a COMPLETE artifact — a
-   * crashed build leaves only an unpublished `.stage_<pid>` dir (swept
-   * by the pid's next attempt), and a concurrent builder either wins
-   * the rename or discards its identical copy. `marker` is a path
-   * RELATIVE to the artifact dir ("_SUCCESS" for single parquet
-   * writes; the last-written component's marker for multi-part
-   * artifacts like the IVF index). Returns the published dir. */
+  /** The build-once / content-stamped artifact protocol in one place —
+   * the persisted artifacts (kNN edge index, MinHash signature table,
+   * IVF index, streaming corpus index, CDC feed) go through this
+   * instead of hand-rolling the steps (the one bespoke holdout is the
+   * late-data feed, which must NOT publish on an empty corpus and
+   * stages explicit mtimes): resolve `tmpdir/<prefix><stamp>`; if
+   * `<dir>/<marker>` is absent, sweep stale stamps of the same prefix,
+   * run `build` against a PER-PROCESS staging dir, and publish it by
+   * ONE atomic rename. Existence of the published marker therefore
+   * always means a COMPLETE artifact — a crashed build leaves only an
+   * unpublished `.stage_<pid>` dir (swept by the pid's next attempt),
+   * and a concurrent builder either wins the rename or discards its
+   * identical copy. `marker` is a path RELATIVE to the artifact dir
+   * ("_SUCCESS" for single parquet writes; the last-written
+   * component's marker for multi-part artifacts like the IVF index).
+   * Returns the published dir. */
   def ensureStamped(prefix: String, stamp: String,
                     marker: String = "_SUCCESS")
                    (build: java.nio.file.Path => Unit): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val idx = Paths.get(System.getProperty("java.io.tmpdir"), prefix + stamp)
     if (!Files.exists(idx.resolve(marker))) {
-      // a target dir WITHOUT its marker is a pre-protocol or foreign
-      // half-artifact (the protocol only ever publishes complete dirs)
-      // — it must be replaced, or the atomic publish below would lose
-      // to it and the caller would read the half-artifact forever
-      deleteRecursively(idx)
       sweepStaleSiblings(prefix, idx)
+      // A target dir WITHOUT its marker is a pre-protocol or foreign
+      // half-artifact (the protocol only publishes complete dirs) —
+      // replace it, or the atomic publish below would lose to it and
+      // the caller would read the half-artifact forever. The marker is
+      // RE-probed after the sweep so a complete artifact a concurrent
+      // driver published since the outer probe is served, not deleted;
+      // and the delete itself can never hit a complete artifact,
+      // because while a markerless dir occupies the path no concurrent
+      // publish can land there (ATOMIC_MOVE onto an existing dir
+      // fails) — the dir observed markerless here stays markerless
+      // until the path is free.
+      if (Files.exists(idx.resolve(marker))) return idx
+      if (Files.exists(idx)) deleteRecursively(idx)
       val staging = stagingFor(idx)
       deleteRecursively(staging) // a crashed earlier attempt of this pid
       build(staging)

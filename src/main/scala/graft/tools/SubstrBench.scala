@@ -24,9 +24,14 @@ object SubstrBench {
         expr(s"""concat_ws(' ', transform(sequence(0, ${chars / 6}),
                 |  i -> substring(md5(concat(CAST(id AS STRING), '_', CAST(i AS STRING))), 1, 5)))""".stripMargin)
           .as("text"))
+      .filter(length(col("text")) >= 30) // both arms assume >= 1 window
       .cache()
-    docs.count()
-    println(s"[sb] rows=$rows avg_len=" +
+    val n = docs.count()
+    if (n == 0) {
+      println(s"[sb] no docs of >= 30 chars at chars=$chars — nothing to compare")
+      spark.stop(); return
+    }
+    println(s"[sb] rows=$n avg_len=" +
       docs.agg(avg(length(col("text")))).head().getDouble(0))
 
     def time(label: String)(body: => Long): Unit = {
@@ -36,11 +41,11 @@ object SubstrBench {
     }
     def kernel(): Long = docs.select(explode(
         graft.functions.SubstrHash.windows(col("text"), 30)).as("h"))
-      .agg(expr("bit_xor(h)")).head().getLong(0)
+      .agg(expr("coalesce(bit_xor(h), 0L)")).head().getLong(0)
     def hof(): Long = docs.select(explode(expr(
         """transform(sequence(1, length(text) - 29),
           |  i -> xxhash64(substring(text, i, 30)))""".stripMargin)).as("h"))
-      .agg(expr("bit_xor(h)")).head().getLong(0)
+      .agg(expr("coalesce(bit_xor(h), 0L)")).head().getLong(0)
 
     time("kernel (1st)")(kernel())
     time("hof    (1st)")(hof())
