@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions.udaf
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     VectorFunctions.register(spark)
+    MinHashSig.register(spark)
+    SubstrHash.register(spark)
     // functionExists guards keep repeat registration silent (see
     // VectorFunctions.register doc)
     def absent(name: String): Boolean =
