@@ -77,6 +77,48 @@ class StampedArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent builders: loser discards its copy, both serve one artifact") {
+    withPrefix { prefix =>
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(2)
+      def ensure(): java.nio.file.Path =
+        Q.ensureStamped(prefix, "s4") { staging =>
+          builds.incrementAndGet()
+          gate.countDown()
+          gate.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          // both threads are now inside build — both will publish,
+          // exactly one rename wins, the loser discards. In-process
+          // the pid-keyed staging dir is SHARED (real concurrent
+          // builders are separate processes with distinct staging
+          // dirs), so the winner's rename can yank the dir out from
+          // under the loser's writes mid-flight — make the writes
+          // best-effort; the assertions below check the invariants
+          // the protocol actually promises.
+          try {
+            Files.createDirectories(staging)
+            Files.writeString(staging.resolve("data"), "payload")
+            Files.writeString(staging.resolve("_SUCCESS"), "")
+          } catch { case _: java.io.IOException => () }
+        }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val (a, b) = (Future(ensure()), Future(ensure()))
+      val (pa, pb) = (Await.result(a, 30.seconds), Await.result(b, 30.seconds))
+      assert(pa == pb)
+      assert(builds.get() == 2, "both raced into build (the gate guarantees it)")
+      assert(Files.readString(pa.resolve("data")) == "payload")
+      // exactly one published dir, no staging residue
+      import scala.jdk.CollectionConverters._
+      val l = Files.list(tmp)
+      try {
+        val left = l.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(prefix)).toVector
+        assert(left.map(_.getFileName.toString) == Vector(prefix + "s4"))
+      } finally l.close()
+    }
+  }
+
   test("custom marker: rebuild is keyed on the marker, not the dir") {
     withPrefix { prefix =>
       val n = new java.util.concurrent.atomic.AtomicInteger(0)
