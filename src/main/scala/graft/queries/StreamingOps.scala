@@ -120,7 +120,8 @@ object StreamingOps {
    * runs at 2. */
   private def runToBatch(s: SparkSession, agg: DataFrame, name: String,
                          mode: String = "complete",
-                         stateParts: Int = 4): DataFrame =
+                         stateParts: Int = 4,
+                         appendNeedsNoDataBatch: Boolean = true): DataFrame =
     withStatePartitions(s, stateParts) {
       def run(): DataFrame = {
         val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -134,9 +135,16 @@ object StreamingOps {
         finally deleteRec(base)
         s.table(qn)
       }
-      // append emission NEEDS the trailing no-data batch; complete and
-      // update replay an identical result in it — skip (see helper doc)
-      if (mode == "append") run() else withoutNoDataBatches(s)(run())
+      // Append-mode WINDOWED AGG emission NEEDS the trailing no-data
+      // batch (finalized windows emit in it); complete and update
+      // replay an identical result in it — skip (see helper doc). An
+      // append caller whose output provably does not depend on the
+      // watermark advance — inner stream-stream join (matches emit in
+      // the batch that completes them; the no-data batch only evicts
+      // state) and dropDuplicates (first arrival emits immediately) —
+      // opts out with appendNeedsNoDataBatch = false.
+      if (mode == "append" && appendNeedsNoDataBatch) run()
+      else withoutNoDataBatches(s)(run())
     }
 
   /** Run a streaming query in APPEND mode into a parquet file sink and
@@ -371,7 +379,11 @@ object StreamingOps {
             col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 30 MINUTES"))
         // append mode: inner stream-stream joins emit complete results for
         // a bounded input (unlike windowed aggs, which need complete mode)
-        runToBatch(s, joined, "s_stream_join", mode = "append", stateParts = 2)
+        // inner-join matches emit in the batch that completes them — the
+        // trailing no-data batch only evicts state (an OUTER join's
+        // null-extended rows WOULD need it)
+        runToBatch(s, joined, "s_stream_join", mode = "append", stateParts = 2,
+          appendNeedsNoDataBatch = false)
           .select("user_id", "signup_id", "purchase_id", "signup_ts", "purchase_ts")
           .orderBy("user_id", "signup_id", "purchase_id")
       },
@@ -399,7 +411,10 @@ object StreamingOps {
         val keys = streamEvents(s, dir)
           .select(col("user_id"), col("event_type"))
           .dropDuplicates("user_id", "event_type")
-        runToBatch(s, keys, "s_dedup_keys", mode = "append")
+        // first arrival of each key emits immediately; the no-data batch
+        // adds nothing for dedup
+        runToBatch(s, keys, "s_dedup_keys", mode = "append",
+          appendNeedsNoDataBatch = false)
           .orderBy("user_id", "event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
