@@ -91,6 +91,15 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, emptyDir).count() == 1L)
     }
 
+  // round-8 additions over the same empty corpus: the media transforms
+  // (no documents → no payloads → no feature rows) and the kernel-backed
+  // substring scan
+  for (q <- Seq("q_media_patchify", "q_media_audio_frames",
+      "q_media_video_motion", "q_substr_dedup"))
+    test(s"$q returns empty, not a crash, on an empty corpus") {
+      assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
+    }
+
   test("q_table_stats reports all-null stats rows on an empty table") {
     val rows = SparkEntry.queries("q_table_stats")(spark, emptyDir).collect()
     // one row per profiled column, each with 0 nulls counted, 0 ndv
