@@ -323,7 +323,21 @@ object LlmOps {
         val ex = docs.select(col("doc_id"), size(col("hs")).as("sz"),
           explode(col("hs")).as("h")).cache()
         val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
-        val prefix = ex.join(dfreq, "h")
+        // prefix cut via the TopKPerKey partial prune: every doc needs
+        // its ⌊0.2·sz⌋+1 rarest shingles, so pruning to the CORPUS-max
+        // k map-side before the per-doc ranking shuffle cuts that
+        // exchange to ~20% of the exploded rows (the bare window
+        // shuffled every (doc, shingle, df) row). maxK is one scalar
+        // over the cached docs — doc-cardinality, not corpus-scale.
+        val maxSzRow = docs.agg(max(size(col("hs")))).head()
+        // same floor(sz*0.2)+1 arithmetic as the per-doc filter below,
+        // evaluated at the corpus max — so the prune can never drop a
+        // row the filter would keep
+        val maxK =
+          if (maxSzRow.isNullAt(0)) 1
+          else math.floor(maxSzRow.getInt(0) * 0.2).toInt + 1
+        val prefix = graft.plans.TopK.perKey(ex.join(dfreq, "h"),
+            Seq("doc_id"), Seq(col("df").asc, col("h").asc), maxK)
           .withColumn("rk", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
           .filter(col("rk") <= floor(col("sz") * lit(0.2)).cast("int") + lit(1))
