@@ -80,8 +80,20 @@ object Bench {
     // running). The final stdout line must therefore be COMPACT — totals
     // only, ~150 chars. The per-query min map and the raw samples go to
     // bench_out.json, which has no size limit.
+    // Record the measurement environment INSIDE the artifact (r8 verdict
+    // item 3: a bench JSON without config cannot distinguish a plan
+    // regression from an environment delta — the q_cooccur 5.3x
+    // driver/local gap was unattributable for a round because neither
+    // side's JSON said what it ran under).
+    val rt = Runtime.getRuntime
+    val config = s"""{"master":"local[$cpus]","cpus":$cpus""" +
+      s""","shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")}""" +
+      s""","obj_hash_agg_fallback":${spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")}""" +
+      s""","java":"${System.getProperty("java.version")}"""" +
+      s""","heap_max_mb":${rt.maxMemory() / (1024 * 1024)}""" +
+      s""","host_cpus":${rt.availableProcessors()}}"""
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wall%.3f}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wall,"samples":$allSamples}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wall,"config":$config,"samples":$allSamples}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
