@@ -1551,12 +1551,17 @@ object Battery {
           .select(split(col("text"), " ").as("ts")).cache()
         val uni = ts.select(explode(col("ts")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("cu"))
-        val bi = ts.select(explode(expr(
-            """CASE WHEN size(ts) < 2 THEN array()
-              |ELSE transform(sequence(0, size(ts) - 2),
-              |               i -> struct(ts[i] AS w1, ts[i + 1] AS w2)) END"""
-              .stripMargin)).as("b"))
-          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        // bigram generation as a codegen posexplode anchor + element_at
+        // successor lookup, replacing the transform(sequence(...))
+        // struct-building HOF — ArrayTransform is CodegenFallback, so
+        // that lambda ran interpreted per token (the same anti-pattern
+        // eliminated from q_cooccur/q_substr_dedup in r8)
+        val bi = ts
+          .filter(size(col("ts")) >= 2)
+          .select(posexplode(col("ts")).as(Seq("i", "w1")), col("ts"))
+          .filter(col("i") < size(col("ts")) - 1)
+          .select(col("w1"),
+            element_at(col("ts"), col("i") + lit(2)).as("w2"))
           .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
           .filter(col("cab") >= 5)
         val totals = ts.agg(
