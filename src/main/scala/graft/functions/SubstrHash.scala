@@ -31,9 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * the window's bytes); unequal substrings collide with ~2⁻⁶⁴
  * probability per pair, the same regime as the xxhash64 formulation it
  * replaces (a collision would shift a count and hash-fail the gate —
- * at gate scale ~250k distinct windows that chance is ~1e-9;
- * polynomial mod-2⁶⁴ hashes have adversarial bad cases, but corpus
- * text is not adversarial and the oracle would catch one loudly).
+ * at gate scale ~250k distinct windows that chance is ~1e-9). Each
+ * window hash is additionally mixed through murmur3's fmix64
+ * finalizer — a bijection, so equal-iff-equal is untouched — which
+ * breaks the LINEAR collision classes a fixed-base polynomial mod-2⁶⁴
+ * carries (adversarially craftable same-hash window families), at the
+ * cost of three shift-xors and two multiplies per window.
  *
  * Null string → null; fewer than `k` chars → EMPTY array (explode
  * emits nothing — same downstream behavior as the `length(text) >= k`
@@ -118,10 +121,21 @@ object SubstrHash {
     val out = new Array[Long](nChars - k + 1)
     var w = 0
     while (w < out.length) {
-      out(w) = pref(w + k) - pref(w) * pow(off(w + k) - off(w))
+      out(w) = fmix64(pref(w + k) - pref(w) * pow(off(w + k) - off(w)))
       w += 1
     }
     out
+  }
+
+  /** murmur3's 64-bit finalizer — a bijection mod 2⁶⁴ (each step is
+   * invertible), so window equality semantics are unchanged while the
+   * polynomial hash's linear collision structure is destroyed. */
+  @inline private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
   }
 
   /** Idempotent per-session registration (functionExists guard keeps

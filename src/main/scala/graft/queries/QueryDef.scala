@@ -113,25 +113,42 @@ object Q {
     }
   }
 
-  /** Per-process staging sibling for an atomically-published artifact
-   * dir: `<target>.stage_<pid>`. The `.stage_` infix is the marker
-   * [[sweepStaleSiblings]] respects, so a concurrent builder's
-   * in-flight copy is never swept. */
+  /** Monotone per-JVM counter making every staging dir unique to its
+   * INVOCATION, not just its process: two threads of one JVM building
+   * the same artifact must not share a staging path, or one thread's
+   * publish/cleanup can yank the dir out from under the other's
+   * in-flight writes. */
+  private val stagingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-invocation staging sibling for an atomically-published
+   * artifact dir: `<target>.stage_<pid>_<seq>`. The `.stage_` infix is
+   * the marker [[sweepStaleSiblings]] respects, so a concurrent
+   * builder's in-flight copy is never swept; the pid+seq suffix gives
+   * in-process racers the same win-or-discard semantics as
+   * cross-process ones. */
   def stagingFor(target: java.nio.file.Path): java.nio.file.Path =
     target.resolveSibling(
-      target.getFileName.toString + ".stage_" + ProcessHandle.current().pid())
+      target.getFileName.toString + ".stage_" +
+        ProcessHandle.current().pid() + "_" + stagingSeq.incrementAndGet())
 
   /** Publish a fully-built staging dir as `target` by ATOMIC RENAME —
    * the check-then-act fix for content-stamped tmp artifacts (a reader
    * probing `target/_SUCCESS` can never observe a half-written dir).
    * Losing the rename race to a concurrent builder is fine: both built
-   * the same stamped content; the loser discards its copy. */
+   * the same stamped content; the loser discards its copy. A rename
+   * that fails for any OTHER reason (staging vanished, cross-device
+   * tmpdir) must not be swallowed as if it were a lost race — when no
+   * winner occupies the target either, the original exception
+   * propagates instead of surfacing later as an unrelated
+   * path-not-found read. */
   def publishDirAtomic(staging: java.nio.file.Path,
                        target: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileSystemException =>
-      deleteRecursively(staging) }
+    catch { case e: java.nio.file.FileSystemException =>
+      deleteRecursively(staging)
+      if (!Files.exists(target)) throw e
+    }
   }
 
   /** The build-once / content-stamped artifact protocol in one place —
@@ -169,11 +186,27 @@ object Q {
       // fails) — the dir observed markerless here stays markerless
       // until the path is free.
       if (Files.exists(idx.resolve(marker))) return idx
-      if (Files.exists(idx)) deleteRecursively(idx)
-      val staging = stagingFor(idx)
-      deleteRecursively(staging) // a crashed earlier attempt of this pid
-      build(staging)
+      if (Files.exists(idx)) {
+        // the dir may have appeared SINCE the marker re-probe — a
+        // concurrent complete publish landing in that window must be
+        // served, never deleted; once the marker check here passes
+        // markerless, the dir observed is a genuine half-artifact and
+        // stays markerless until the path is free (ATOMIC_MOVE onto an
+        // existing dir fails), so the delete cannot race a publish
+        if (Files.exists(idx.resolve(marker))) return idx
+        deleteRecursively(idx)
+      }
+      val staging = stagingFor(idx) // unique per invocation — no residue
+      try build(staging)
+      catch { case e: Throwable => deleteRecursively(staging); throw e }
       publishDirAtomic(staging, idx)
+      // publishDirAtomic returning normally means either our rename
+      // landed or a concurrent winner's did — in both cases the marker
+      // must now exist; anything else is a half-published artifact the
+      // caller must not read
+      if (!Files.exists(idx.resolve(marker)))
+        throw new IllegalStateException(
+          s"stamped publish of $idx produced no $marker")
     }
     idx
   }

@@ -87,18 +87,15 @@ class StampedArtifactSpec extends AnyFunSuite {
           gate.countDown()
           gate.await(10, java.util.concurrent.TimeUnit.SECONDS)
           // both threads are now inside build — both will publish,
-          // exactly one rename wins, the loser discards. In-process
-          // the pid-keyed staging dir is SHARED (real concurrent
-          // builders are separate processes with distinct staging
-          // dirs), so the winner's rename can yank the dir out from
-          // under the loser's writes mid-flight — make the writes
-          // best-effort; the assertions below check the invariants
-          // the protocol actually promises.
-          try {
-            Files.createDirectories(staging)
-            Files.writeString(staging.resolve("data"), "payload")
-            Files.writeString(staging.resolve("_SUCCESS"), "")
-          } catch { case _: java.io.IOException => () }
+          // exactly one rename wins, the loser discards. Staging dirs
+          // are unique PER INVOCATION (pid+seq), so in-process racers
+          // get the same win-or-discard semantics as cross-process
+          // ones: these writes are STRICT — a failure here would mean
+          // one racer's staging was yanked by the other, the exact
+          // regression this pin guards.
+          Files.createDirectories(staging)
+          Files.writeString(staging.resolve("data"), "payload")
+          Files.writeString(staging.resolve("_SUCCESS"), "")
         }
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
