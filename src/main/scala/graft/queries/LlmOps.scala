@@ -54,9 +54,28 @@ object LlmOps {
   /** The signature-BUILD plan for the unfiltered corpus — the artifact
    * [[graft.sources.MinHashSigIndex]] persists (round 8): the one
    * corpus-wide explode + 32-permutation fold the whole LSH dedup
-   * family used to re-run per entry. */
+   * family used to re-run per entry. Since round 9 each row also
+   * carries xxhash64(text) as `text_hash` — the content key the
+   * artifact's INCREMENTAL maintenance path uses for delta detection
+   * (re-sign only docs whose (doc_id, text_hash) is not already
+   * covered; a changed text changes its hash, so no append-only
+   * assumption is needed). */
   private[graft] def sigsPlan(s: SparkSession, dir: String): DataFrame =
-    minhashSigs(docsWithShingles(s, dir))
+    sigsPlanFor(rd(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** [[sigsPlan]] over an arbitrary (doc_id, text) frame — the
+   * incremental path signs just the delta slice through this. The
+   * text_hash rides the groupBy key (functionally dependent on doc_id,
+   * so cardinality is unchanged) rather than a post-hoc join. */
+  private[graft] def sigsPlanFor(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", toks(col("text")))
+      .withColumn("sh", expr(shingleExpr))
+      .select(col("doc_id"), xxhash64(col("text")).as("text_hash"),
+        explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+      .groupBy("doc_id", "text_hash")
+      .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
+      .select("doc_id", "sig", "text_hash")
 
   /** MinHash-LSH candidate generation + exact-Jaccard scoring over a
    * (doc_id, sh) frame — shared by q_neardup_pairs and the corpus
@@ -286,6 +305,75 @@ object LlmOps {
              |  TRUE AS est_ok
              |FROM p WHERE CAST(i AS DOUBLE) / u > 0.5
              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // ---- incremental signature maintenance ≡ full rebuild ------------
+    // The oracle pin for the round-9 incremental artifact path
+    // (MinHashSigIndex): a scenario corpus (the even-doc_id half of
+    // documents, for bench economy) is grown in two steps inside a
+    // content-stamped tmp twin — base slice (doc_id % 14 != 0) written
+    // and signed, then the delta appended and the artifact refreshed
+    // through the INCREMENTAL path (keep still-covered rows, sign only
+    // the delta, union, atomic republish). The entry then full-outer
+    // joins the served artifact against a from-scratch sigsPlan over
+    // the grown corpus and emits the three disagreement counts, which
+    // the oracle pins to ZERO — rows only the artifact has, rows only
+    // the rebuild has, and doc_ids where signatures or text hashes
+    // differ. n_docs (= the scenario's row count) comes from the same
+    // deterministic filter in both engines, so a scenario-construction
+    // bug cannot hide behind vacuous zero counts. Scenario and
+    // artifact are both stamped by the SOURCE corpus content: reruns
+    // serve the incrementally-built artifact and re-verify equivalence
+    // without re-paying construction; a regenerated corpus rebuilds
+    // both and sweeps the stale twins.
+    QueryDef("q_incr_sigs",
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        val prefix = s"graft_incrscn_${tag}_"
+        val scn = Paths.get(System.getProperty("java.io.tmpdir"),
+          prefix + Q.contentStamp(dir, "documents"))
+        val ready = scn.resolve("_READY")
+        if (!Files.exists(ready)) {
+          // single-writer scenario construction (the driver runs one
+          // process; a crashed half-scenario is rebuilt from scratch)
+          Q.deleteRecursively(scn)
+          val docs = rd(s, dir, "documents")
+            .filter(col("doc_id") % 2 === 0)
+            .select("doc_id", "text")
+          docs.filter(col("doc_id") % 14 =!= 0)
+            .write.parquet(scn.resolve("documents.parquet").toString)
+          graft.sources.MinHashSigIndex.sigs(s, scn.toString).count()
+          docs.filter(col("doc_id") % 14 === 0)
+            .write.mode("append")
+            .parquet(scn.resolve("documents.parquet").toString)
+          // the stamp changed, a complete sibling survives → this call
+          // runs the incremental path and republishes
+          graft.sources.MinHashSigIndex.sigs(s, scn.toString).count()
+          Files.createFile(ready)
+          Q.sweepStaleSiblings(prefix, scn)
+        }
+        val art = graft.sources.MinHashSigIndex.sigs(s, scn.toString)
+        val full = graft.queries.LlmOps.sigsPlan(s, scn.toString)
+        val cmp = art.select(col("doc_id"), col("sig").as("asig"),
+            col("text_hash").as("ah"))
+          .join(full.select(col("doc_id"), col("sig").as("fsig"),
+            col("text_hash").as("fh")), Seq("doc_id"), "full_outer")
+          .agg(
+            sum(when(col("fsig").isNull, lit(1L)).otherwise(lit(0L)))
+              .as("n_only_artifact"),
+            sum(when(col("asig").isNull, lit(1L)).otherwise(lit(0L)))
+              .as("n_only_full"),
+            sum(when(col("asig").isNotNull && col("fsig").isNotNull &&
+                (col("asig") =!= col("fsig") || col("ah") =!= col("fh")),
+              lit(1L)).otherwise(lit(0L))).as("n_sig_diff"))
+        rd(s, scn.toString, "documents")
+          .agg(count(lit(1)).as("n_docs")).crossJoin(cmp)
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0)
+             |    AS n_docs,
+             |  0::BIGINT AS n_only_artifact,
+             |  0::BIGINT AS n_only_full,
+             |  0::BIGINT AS n_sig_diff""".stripMargin)),
 
     // ---- asymmetric containment join (prefix filter, EXACT) ----------
     // Finds docs mostly CONTAINED in another doc — C(A,B) = |sh(A) ∩

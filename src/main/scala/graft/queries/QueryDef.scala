@@ -157,9 +157,11 @@ object Q {
    * instead of hand-rolling the steps (the one bespoke holdout is the
    * late-data feed, which must NOT publish on an empty corpus and
    * stages explicit mtimes): resolve `tmpdir/<prefix><stamp>`; if
-   * `<dir>/<marker>` is absent, sweep stale stamps of the same prefix,
-   * run `build` against a PER-PROCESS staging dir, and publish it by
-   * ONE atomic rename. Existence of the published marker therefore
+   * `<dir>/<marker>` is absent, run `build` against a per-invocation
+   * staging dir, publish it by ONE atomic rename, then sweep stale
+   * stamps of the same prefix (post-publish, so an incremental build
+   * can read the previous artifact — see [[ensureStampedIncr]]).
+   * Existence of the published marker therefore
    * always means a COMPLETE artifact — a crashed build leaves only an
    * unpublished `.stage_<pid>` dir (swept by the pid's next attempt),
    * and a concurrent builder either wins the rename or discards its
@@ -169,11 +171,30 @@ object Q {
    * Returns the published dir. */
   def ensureStamped(prefix: String, stamp: String,
                     marker: String = "_SUCCESS")
-                   (build: java.nio.file.Path => Unit): java.nio.file.Path = {
+                   (build: java.nio.file.Path => Unit): java.nio.file.Path =
+    ensureStampedIncr(prefix, stamp, marker)((staging, _) => build(staging))
+
+  /** [[ensureStamped]] with INCREMENTAL maintenance: when the stamp is
+   * absent but a COMPLETE sibling of the same prefix exists (the
+   * artifact of a previous corpus state), `build` receives it as an
+   * incremental base — sign/score only the delta, union, republish.
+   * The stale sweep therefore runs AFTER the new artifact publishes
+   * (the base must survive the build that reads it); a concurrent
+   * process finishing first can still sweep the base mid-read, which
+   * fails THIS build loudly (propagated after staging cleanup) rather
+   * than corrupting anything — the retry then serves the winner's
+   * artifact. The equivalence contract (incremental result ≡ full
+   * rebuild) is the builder's to uphold and is oracle-pinned per
+   * artifact (q_incr_sigs; KnnGraphIndexSpec). */
+  def ensureStampedIncr(prefix: String, stamp: String,
+                        marker: String = "_SUCCESS")
+                       (build: (java.nio.file.Path,
+                                Option[java.nio.file.Path]) => Unit)
+      : java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     val idx = Paths.get(System.getProperty("java.io.tmpdir"), prefix + stamp)
     if (!Files.exists(idx.resolve(marker))) {
-      sweepStaleSiblings(prefix, idx)
+      val prev = newestCompleteSibling(prefix, idx, marker)
       // A target dir WITHOUT its marker is a pre-protocol or foreign
       // half-artifact (the protocol only publishes complete dirs) —
       // replace it, or the atomic publish below would lose to it and
@@ -197,7 +218,7 @@ object Q {
         deleteRecursively(idx)
       }
       val staging = stagingFor(idx) // unique per invocation — no residue
-      try build(staging)
+      try build(staging, prev)
       catch { case e: Throwable => deleteRecursively(staging); throw e }
       publishDirAtomic(staging, idx)
       // publishDirAtomic returning normally means either our rename
@@ -207,8 +228,33 @@ object Q {
       if (!Files.exists(idx.resolve(marker)))
         throw new IllegalStateException(
           s"stamped publish of $idx produced no $marker")
+      sweepStaleSiblings(prefix, idx)
     }
     idx
+  }
+
+  /** The newest COMPLETE (marker-bearing) stamped sibling of `idx`
+   * under the same `prefix` — the incremental base for
+   * [[ensureStampedIncr]]; None when no previous artifact survives. */
+  private def newestCompleteSibling(prefix: String,
+                                    idx: java.nio.file.Path,
+                                    marker: String)
+      : Option[java.nio.file.Path] = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val parent = idx.getParent
+    if (parent == null || !Files.isDirectory(parent)) return None
+    val listing = Files.list(parent)
+    try listing.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(prefix) && !n.contains(".stage_") &&
+          n != idx.getFileName.toString && Files.exists(p.resolve(marker))
+      }
+      .toVector
+      .sortBy(p => Files.getLastModifiedTime(p).toMillis)
+      .lastOption
+    finally listing.close()
   }
 
   /** Sweep stale stamped siblings of `keep` (same dir, same `prefix`,

@@ -17,29 +17,57 @@ import graft.queries.Q
  * driver bench). Now the edge set is BUILT once per corpus content and
  * each graph query is a parquet scan of graph-sized data.
  *
+ * Round 9 generalizes the artifact on two axes (VERDICT r8 items 4+6):
+ *
+ *  - **k_max edges, k-filtered serve.** The build keeps every vector's
+ *    top-[[KMAX]] in-bucket neighbors, rn-labelled; [[edges]] serves
+ *    any `k <= KMAX` as a plain `rn <= k` filter on the scan (pushed
+ *    into parquet). One artifact covers the top-2 graph family and any
+ *    top-k consumer up to KMAX — no rebuild per k. Build cost is the
+ *    same bucketed self-join; only the TopKPerKey cut width changes
+ *    (k_max rows per vector cross the shuffle instead of 2).
+ *
+ *  - **Incremental maintenance.** The artifact is two parts:
+ *    `edges/` (the rn-labelled edge set) and `vecs/` (vec_id, bucket,
+ *    vec_hash — the coverage manifest; written LAST, so its _SUCCESS
+ *    is the artifact marker). Because an edge depends ONLY on vectors
+ *    in its own sign bucket, the bucket is the exact incremental unit:
+ *    on a corpus change, buckets whose membership changed (any vector
+ *    added, removed, or re-embedded — detected by anti-joins of the
+ *    manifest against the current corpus on (vec_id, vec_hash)) are
+ *    rebuilt from the current embeddings; untouched buckets' edges are
+ *    carried over verbatim. Incremental ≡ full rebuild unconditionally
+ *    (KnnGraphIndexSpec pins it): the rebuild runs the same
+ *    deterministic plan on the same in-bucket vector sets. At 100 TB an
+ *    append-only corpus touches only the buckets its new vectors land
+ *    in — COMPUTE cost ∝ Σ|changed bucket|², not Σ|bucket|²
+ *    (tools/ScaleSmoke measures the curve). The republish still
+ *    rewrites the whole edge set (sequential parquet I/O, no shuffle —
+ *    the artifact is one atomic dir); a table-format commit reusing
+ *    unchanged-bucket data files (the SnapshotStore posture) is the
+ *    upgrade that makes refresh I/O delta-sized too.
+ *
  * Build/serve split follows the IVF-index convention
  * (`Advanced.scala` q_knn_ivf_kmeans, `StreamingOps` corpus index):
- *
- *  - the artifact directory name carries [[Q.contentStamp]] of the
- *    embeddings table, so a testdata regen triggers a rebuild and an
- *    unchanged corpus never re-pays the build;
- *  - the build writes to a PER-PROCESS staging dir and publishes by
- *    ATOMIC RENAME, so a concurrent driver can never read a
- *    half-written index (the check-then-act race the round-7 advisor
- *    flagged on the streaming feed staging) — whoever loses the rename
- *    race discards its staging copy and reads the winner's;
- *  - stale stamps for the same source dir are swept on build, so a
- *    regenerated corpus does not leak old indexes into tmp forever.
+ * the artifact directory name carries [[Q.contentStamp]] of the
+ * embeddings table, builds stage per-invocation and publish by ONE
+ * atomic rename ([[Q.ensureStampedIncr]]), stale stamps are swept
+ * post-publish, and the explicit read schema keeps an empty corpus
+ * typed.
  *
  * At 100 TB this is exactly a materialized edge table in the lake: the
  * build is the one Σ|bucket|²-bounded job, every downstream graph
- * algorithm joins against graph-sized parquet (2N rows for top-2), and
- * the stamp is the freshness contract a table format would give you.
+ * algorithm joins against graph-sized parquet, and the stamp is the
+ * freshness contract a table format would give you.
  */
 object KnnGraphIndex {
 
-  /** Published schema — also the explicit read schema, so an EMPTY
-   * corpus (whose build may write no part files, only _SUCCESS)
+  /** Edges kept per vector in the persisted artifact; [[edges]] serves
+   * any k up to this from one build. */
+  val KMAX = 8
+
+  /** Published edge schema — also the explicit read schema, so an
+   * EMPTY corpus (whose build may write no part files, only _SUCCESS)
    * round-trips as an empty frame instead of failing inference. */
   val schema: StructType = StructType(Seq(
     StructField("a_id", LongType),
@@ -47,6 +75,13 @@ object KnnGraphIndex {
     StructField("b_id", LongType),
     StructField("bucket", IntegerType),
     StructField("cos", DoubleType)))
+
+  /** Coverage-manifest schema (`vecs/` part): which (vec_id, content)
+   * each published edge set was built from, keyed for delta detection. */
+  val vecsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("bucket", IntegerType),
+    StructField("vec_hash", LongType)))
 
   /** 16-way LSH sign bucket from the first 4 embedding components —
    * the blocking key (same definition as LlmOps's pairwise family, and
@@ -57,21 +92,25 @@ object KnnGraphIndex {
             |+ 4 * CAST(element_at($a, 3) > 0 AS INT)
             |+ 8 * CAST(element_at($a, 4) > 0 AS INT)""".stripMargin)
 
-  /**
-   * The edge-BUILD plan, unpersisted: every vector's top-2 in-bucket
-   * cosine neighbors, rn-labelled. Per-bucket work is (N/16)², never
-   * global N²; the per-vector cut is the TopKPerKey map-side prune (a
-   * bare window would sort each bucket's full pair set in one
-   * partition); the rn label is then a window over ≤ 2 rows per vector.
-   * Exposed separately from [[edges]] so PlanAuditSpec pins the build
-   * shape (TopKPerKey present, no cartesian) on the plan that actually
-   * pays the cost.
-   */
-  def buildPlan(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val e = Q.rd(s, dir, "embeddings")
+  /** The corpus as the manifest sees it: (vec_id, bucket, vec_hash,
+   * embedding). vec_hash is xxhash64 over the float array — a
+   * re-embedded vector changes its hash, so delta detection needs no
+   * append-only assumption. */
+  private def corpusVecs(s: SparkSession, dir: String): DataFrame =
+    Q.rd(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        signBucket("embedding").as("bucket"))
+        signBucket("embedding").as("bucket"),
+        xxhash64(col("embedding")).as("vec_hash"))
+
+  /**
+   * The edge-BUILD plan over a (vec_id, embedding, bucket) frame:
+   * every vector's top-[[KMAX]] in-bucket cosine neighbors,
+   * rn-labelled. Per-bucket work is (N/16)², never global N²; the
+   * per-vector cut is the TopKPerKey map-side prune (a bare window
+   * would sort each bucket's full pair set in one partition); the rn
+   * label is then a window over ≤ KMAX rows per vector.
+   */
+  private def edgesFor(e: DataFrame): DataFrame = {
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
       col("bucket"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
@@ -83,21 +122,69 @@ object KnnGraphIndex {
     val w = Window.partitionBy("a_id")
       .orderBy(col("cos").desc, col("b_id"))
     graft.plans.TopK.perKey(scored, Seq("a_id"),
-        Seq(col("cos").desc, col("b_id").asc), 2)
+        Seq(col("cos").desc, col("b_id").asc), KMAX)
       .withColumn("rn", row_number().over(w).cast("int"))
       .select(col("a_id"), col("rn"), col("b_id"), col("bucket"), col("cos"))
   }
 
+  /** The full-corpus edge-build plan, unpersisted — exposed so
+   * PlanAuditSpec pins the build shape (TopKPerKey present, no
+   * cartesian) on the plan that actually pays the cost, and so specs
+   * can compare a k-filtered serve against a fresh compute. */
+  def buildPlan(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    edgesFor(corpusVecs(s, dir))
+  }
+
   /**
-   * The persisted edge set for `dir`'s embeddings: build-if-absent
-   * (atomic publish), then a plain parquet read with the pinned schema.
+   * The persisted edge set for `dir`'s embeddings, filtered to each
+   * vector's top-`k` (`k <= KMAX`): build-if-absent — incrementally
+   * against the previous artifact when one survives — then a plain
+   * schema-pinned parquet read.
    */
-  def edges(s: SparkSession, dir: String): DataFrame = {
+  def edges(s: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    require(k >= 1 && k <= KMAX,
+      s"edge index serves k in [1, $KMAX], got $k — raise KMAX to widen")
+    graft.functions.VectorFunctions.register(s)
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val idx = Q.ensureStamped(s"graft_knn_edges_${tag}_",
-      Q.contentStamp(dir, "embeddings")) { staging =>
-      buildPlan(s, dir).write.mode("overwrite").parquet(staging.toString)
+    val idx = Q.ensureStampedIncr(s"graft_knn_edges_k${KMAX}_${tag}_",
+      Q.contentStamp(dir, "embeddings"),
+      marker = "vecs/_SUCCESS") { (staging, prev) =>
+      val cur = corpusVecs(s, dir)
+      prev match {
+        case Some(base) =>
+          val oldVecs = s.read.schema(vecsSchema)
+            .parquet(base.resolve("vecs").toString)
+          // a bucket must rebuild iff its membership changed in either
+          // direction; both anti-joins shuffle only (id, hash, bucket)
+          val changed = cur.select("vec_id", "bucket", "vec_hash")
+            .join(oldVecs, Seq("vec_id", "vec_hash"), "left_anti")
+            .select("bucket")
+            .union(oldVecs
+              .join(cur.select("vec_id", "vec_hash"),
+                Seq("vec_id", "vec_hash"), "left_anti")
+              .select("bucket"))
+            .distinct().collect().map(_.getInt(0)).toSet // ≤ 16 values
+          val oldEdges = s.read.schema(schema)
+            .parquet(base.resolve("edges").toString)
+          val keep =
+            if (changed.isEmpty) oldEdges
+            else oldEdges.filter(!col("bucket").isin(changed.toSeq: _*))
+          val fresh =
+            if (changed.isEmpty) s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            else edgesFor(cur.filter(col("bucket").isin(changed.toSeq: _*)))
+          keep.unionByName(fresh).write.mode("overwrite")
+            .parquet(staging.resolve("edges").toString)
+        case None =>
+          edgesFor(cur).write.mode("overwrite")
+            .parquet(staging.resolve("edges").toString)
+      }
+      // manifest LAST — its _SUCCESS is the artifact marker
+      cur.select("vec_id", "bucket", "vec_hash").write.mode("overwrite")
+        .parquet(staging.resolve("vecs").toString)
     }
-    s.read.schema(schema).parquet(idx.toString)
+    s.read.schema(schema).parquet(idx.resolve("edges").toString)
+      .filter(col("rn") <= k)
   }
 }

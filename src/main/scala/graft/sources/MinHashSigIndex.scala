@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.queries.Q
@@ -23,27 +24,75 @@ import graft.queries.Q
  * reads the documents table itself (it needs the shingle sets) — that
  * is a map-side scan, not a shuffle; only the aggregation is hoisted.
  *
- * Same publication contract as KnnGraphIndex: per-process staging +
- * one atomic rename ([[Q.publishDirAtomic]]), stale stamps swept,
- * explicit read schema so an empty corpus round-trips typed.
+ * Round 9 adds INCREMENTAL maintenance (VERDICT r8 item 4, the batch
+ * twin of s_incr_dedup's ingest index): each signature row carries
+ * `text_hash` = xxhash64(text), and when the corpus stamp changes
+ * while a previous artifact survives, the build
+ *
+ *  1. keeps every previous row whose (doc_id, text_hash) still exists
+ *     in the corpus (left-semi — removed/changed docs drop out),
+ *  2. signs ONLY docs whose (doc_id, text_hash) the previous artifact
+ *     does not cover (left-anti → the corpus-scale shingle explode +
+ *     MinHash fold runs over the DELTA slice, not the corpus),
+ *  3. unions and republishes atomically under the new stamp.
+ *
+ * Because a changed text changes its hash, no append-only assumption
+ * is needed: incremental ≡ full rebuild UNCONDITIONALLY — q_incr_sigs
+ * oracle-pins the equivalence in the gate, and tools/ScaleSmoke
+ * measures the cost curve. The delta-detection joins shuffle 16-byte
+ * (id, hash) keys plus the artifact's own 256-byte signature rows —
+ * never document text. The COMPUTE is delta-proportional; the
+ * republish still rewrites the whole signature table (corpus-sized
+ * sequential parquet I/O, no shuffle) because the artifact is one
+ * atomic dir — the production upgrade is a table format whose commit
+ * reuses unchanged data files at the metadata level (the
+ * SnapshotStore posture), at which point refresh I/O is delta-sized
+ * too.
+ *
+ * Same publication contract as KnnGraphIndex: per-invocation staging +
+ * one atomic rename ([[Q.ensureStampedIncr]]), stale stamps swept
+ * post-publish, explicit read schema so an empty corpus round-trips
+ * typed.
  */
 object MinHashSigIndex {
 
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("sig", ArrayType(LongType))))
+    StructField("sig", ArrayType(LongType)),
+    StructField("text_hash", LongType)))
 
-  /** The signature-build plan (unpersisted) — exposed for spec pins. */
+  /** The full-corpus signature-build plan (unpersisted) — exposed for
+   * spec pins. */
   def buildPlan(s: SparkSession, dir: String): DataFrame =
     graft.queries.LlmOps.sigsPlan(s, dir)
 
   /** The persisted signature table for `dir`'s documents:
-   * build-if-absent (atomic publish), then a schema-pinned read. */
+   * build-if-absent — incrementally against the previous artifact when
+   * one survives — then a schema-pinned read. (`_v3_` in the prefix
+   * versions the row layout: pre-r9 two-column artifacts must not be
+   * served through the three-column schema.) */
   def sigs(s: SparkSession, dir: String): DataFrame = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val idx = Q.ensureStamped(s"graft_minhash_sigs_${tag}_",
-      Q.contentStamp(dir, "documents")) { staging =>
-      buildPlan(s, dir).write.mode("overwrite").parquet(staging.toString)
+    val idx = Q.ensureStampedIncr(s"graft_minhash_sigs_v3_${tag}_",
+      Q.contentStamp(dir, "documents")) { (staging, prev) =>
+      val docs = Q.rd(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          xxhash64(col("text")).as("text_hash"))
+      val plan = prev match {
+        case Some(base) =>
+          val old = s.read.schema(schema).parquet(base.toString)
+          val keep = old.join(docs.select("doc_id", "text_hash"),
+            Seq("doc_id", "text_hash"), "left_semi")
+          val fresh = docs.join(old.select("doc_id", "text_hash"),
+            Seq("doc_id", "text_hash"), "left_anti")
+          keep.unionByName(
+            graft.queries.LlmOps.sigsPlanFor(
+              fresh.select("doc_id", "text")))
+        case None =>
+          graft.queries.LlmOps.sigsPlanFor(
+            docs.select("doc_id", "text"))
+      }
+      plan.write.mode("overwrite").parquet(staging.toString)
     }
     s.read.schema(schema).parquet(idx.toString)
   }

@@ -143,6 +143,30 @@ object ScaleSmoke {
       graft.sources.KnnGraphIndex.edges(spark, idxDir).count())
     time("edge index serve only (call 2)")(
       graft.sources.KnnGraphIndex.edges(spark, idxDir).count())
+
+    // ---- round-9 incremental maintenance cost ∝ delta ------------------
+    // Grow each corpus ~2% and re-ensure: the incremental path signs /
+    // rescopes only the delta (sig table: left-anti on (doc_id,
+    // text_hash) → delta-sized MinHash fold; edge index: only buckets
+    // the new vectors land in rebuild). Compare against the full BUILD
+    // times above — the claim under test is that the refresh cost
+    // tracks the 2% delta, not the corpus.
+    base.filter(col("doc_id") % 50 === 3)
+      .select((col("doc_id") + 10L * rows).as("doc_id"), col("text"))
+      .withColumn("lang", lit("l9")).withColumn("source", lit("gen"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$idxDir/documents.parquet")
+    time("sig index INCREMENTAL (2% delta)")(
+      graft.sources.MinHashSigIndex.sigs(spark, idxDir).count())
+    spark.range(rows / 10, rows / 10 + rows / 500).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), i -> CAST(abs(sin(id * 131 + i)) AS FLOAT))")
+          .as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+      .write.mode("append").parquet(s"$idxDir/embeddings.parquet")
+    time("edge index INCREMENTAL (2% delta)")(
+      graft.sources.KnnGraphIndex.edges(spark, idxDir).count())
     graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(idxDir))
 
     // ---- round-8 ExactSubstr kernel A/B at the same scale --------------

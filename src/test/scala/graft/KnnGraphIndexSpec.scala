@@ -1,14 +1,17 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.sources.KnnGraphIndex
 
 /**
- * Pins the shared kNN edge index's contract (round 8): the persisted
- * edge set equals the build plan's result row-for-row, reuse is
- * content-stamped (same corpus → no rebuild; changed corpus → fresh
- * index), and the serve read carries the pinned schema even when the
- * corpus is empty.
+ * Pins the shared kNN edge index's contract: the persisted edge set
+ * equals the build plan's result row-for-row at every served k ≤ KMAX
+ * (round 9: one top-KMAX artifact, k-filtered serve — no rebuild per
+ * k), reuse is content-stamped, incremental maintenance over a grown
+ * corpus is equivalent to a full rebuild AND actually reuses
+ * unchanged-bucket edges, and the serve read stays typed on an empty
+ * corpus.
  */
 class KnnGraphIndexSpec extends AnyFunSuite {
   import SparkTestBase.{spark, sf}
@@ -19,28 +22,119 @@ class KnnGraphIndexSpec extends AnyFunSuite {
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("graft_knn_edges_"))
+        .filter { p =>
+          p.getFileName.toString.startsWith("graft_knn_edges_k") &&
+            java.nio.file.Files.exists(p.resolve("vecs/_SUCCESS"))
+        }
         .toVector
     } finally s.close()
   }
 
-  test("persisted edges equal the build plan, and reuse is stamped") {
-    val built = KnnGraphIndex.edges(spark, sf)
-    val want = KnnGraphIndex.buildPlan(spark, sf)
+  test("persisted edges equal the build plan at k=2 and k=5; reuse is stamped") {
+    val want2 = KnnGraphIndex.buildPlan(spark, sf)
+      .filter(col("rn") <= 2)
       .collect().map(_.toString).sorted.toSeq
-    val got = built.collect().map(_.toString).sorted.toSeq
-    assert(got == want, "persisted edge set diverged from the build plan")
-    assert(got.nonEmpty)
-    // unchanged corpus → the second call reuses the SAME directory
-    // (no rebuild: the dir's mtime is untouched)
-    val dir = indexDirs().filter(p =>
-      java.nio.file.Files.exists(p.resolve("_SUCCESS")))
-    assert(dir.nonEmpty, "no published index directory found")
-    val before = dir.map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toMap
-    KnnGraphIndex.edges(spark, sf).count()
-    dir.foreach(p => assert(
+    val got2 = KnnGraphIndex.edges(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got2 == want2, "k=2 serve diverged from the build plan")
+    assert(got2.nonEmpty)
+    // the SAME artifact serves k=5 — no rebuild, identical ranking
+    val dirsBefore = indexDirs()
+    assert(dirsBefore.nonEmpty, "no published index directory found")
+    val before = dirsBefore
+      .map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+    val want5 = KnnGraphIndex.buildPlan(spark, sf)
+      .filter(col("rn") <= 5)
+      .collect().map(_.toString).sorted.toSeq
+    val got5 = KnnGraphIndex.edges(spark, sf, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got5 == want5, "k=5 serve diverged from the build plan")
+    assert(got5.size > got2.size,
+      "k=5 must surface more edges than k=2 on the gate corpus")
+    dirsBefore.foreach(p => assert(
       java.nio.file.Files.getLastModifiedTime(p) == before(p),
-      s"index $p was rebuilt for unchanged content"))
+      s"index $p was rebuilt for an unchanged corpus / different k"))
+    // k beyond the artifact's width is a loud error, not a silent serve
+    intercept[IllegalArgumentException] {
+      KnnGraphIndex.edges(spark, sf, k = KnnGraphIndex.KMAX + 1)
+    }
+  }
+
+  test("incremental maintenance: grown corpus ≡ full rebuild, untouched buckets carried over") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knnidx_incr").toString
+    val base = spark.range(0, 400).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), i -> CAST(sin(id * 131 + i) AS FLOAT)) AS embedding",
+      "CAST(id % 10 AS INT) AS label")
+    base.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val first = KnnGraphIndex.edges(spark, dir, KnnGraphIndex.KMAX)
+      .collect().map(_.toString).sorted.toSeq
+    assert(first.nonEmpty)
+    // tamper one kept edge row in the published artifact: if the
+    // incremental path below truly reuses unchanged-bucket edges, the
+    // tampered row survives verbatim; a silent full rebuild would
+    // erase it. The tampered bucket must be one the delta does NOT
+    // touch — pick it from the published artifact after the delta's
+    // buckets are known (the delta vectors' sign buckets).
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val art = indexDirs()
+      .filter(_.getFileName.toString.startsWith(
+        s"graft_knn_edges_k${KnnGraphIndex.KMAX}_${tag}_"))
+      .maxBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    // delta vectors engineered into ONE sign bucket (all components
+    // positive → bucket 15) so most buckets stay untouched and the
+    // carry-over path below is observable
+    val delta = spark.range(400, 440).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), i -> CAST(abs(sin(id * 131 + i)) AS FLOAT)) AS embedding",
+      "CAST(id % 10 AS INT) AS label")
+    val deltaBuckets = delta.selectExpr(
+        """CAST(element_at(embedding, 1) > 0 AS INT)
+          |+ 2 * CAST(element_at(embedding, 2) > 0 AS INT)
+          |+ 4 * CAST(element_at(embedding, 3) > 0 AS INT)
+          |+ 8 * CAST(element_at(embedding, 4) > 0 AS INT) AS b""".stripMargin)
+      .distinct().collect().map(_.getInt(0)).toSet
+    val edgesPath = art.resolve("edges").toString
+    val published = spark.read.schema(KnnGraphIndex.schema).parquet(edgesPath)
+      .collect()
+    val untouched = published.map(_.getInt(3)).toSet.diff(deltaBuckets)
+    assume(untouched.nonEmpty,
+      "delta touched every bucket — cannot observe carry-over")
+    val markBucket = untouched.min
+    val tampered = published.map { r =>
+      if (r.getInt(3) == markBucket && r.getInt(1) == 1)
+        org.apache.spark.sql.Row(r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getInt(3), -99.0)
+      else r
+    }
+    val tmpEdges = java.nio.file.Files
+      .createTempDirectory("graft_knnidx_tamper").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(tampered.toSeq),
+        KnnGraphIndex.schema)
+      .write.mode("overwrite").parquet(tmpEdges)
+    graft.queries.Q.deleteRecursively(art.resolve("edges"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmpEdges),
+      art.resolve("edges"))
+    // grow the corpus: stamp changes, the tampered artifact is the base
+    delta.write.mode("append").parquet(s"$dir/embeddings.parquet")
+    val incr = KnnGraphIndex.edges(spark, dir, KnnGraphIndex.KMAX)
+      .collect()
+    // carried-over rows prove the keep path ran
+    assert(incr.exists(r => r.getInt(3) == markBucket && r.getDouble(4) == -99.0),
+      "tampered unchanged-bucket edge was not carried over — " +
+        "incremental path silently full-rebuilt")
+    // equivalence everywhere the tamper didn't touch
+    val gotRest = incr.filter(_.getInt(3) != markBucket)
+      .map(_.toString).sorted.toSeq
+    val wantRest = KnnGraphIndex.buildPlan(spark, dir)
+      .filter(col("bucket") =!= markBucket)
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotRest == wantRest,
+      "incremental result diverged from full rebuild outside the tampered bucket")
+    graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   test("a different corpus content gets its own index; empty stays typed") {
