@@ -19,13 +19,20 @@ import Q._
  */
 object StreamingOps {
 
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   private def streamEvents(s: SparkSession, dir: String): DataFrame = {
     // file stream source needs an explicit schema: read it from the same
     // footer (metadata-only, like the batch path). ts is normalized to a
     // UTC TimestampType whatever the testdata generation encoded —
     // ns-since-epoch long (nanosAsLong) or µs TIMESTAMP_NTZ — because
-    // event-time watermarks reject NTZ (see Q.events).
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // event-time watermarks reject NTZ (see Q.events). The footer read
+    // is cached per path for the JVM: every streaming entry starts
+    // here, and the table's schema is fixed for a testdata generation
+    // (a regenerated corpus arrives in a fresh JVM).
+    val schema = schemaCache.computeIfAbsent(s"$dir/events.parquet",
+      p => s.read.parquet(p).schema)
     // the file-stream source wants a directory; glob-filter to the one table
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -40,7 +47,12 @@ object StreamingOps {
    * tools/StreamProfile sweep over the tumbling agg (tmpfs checkpoints)
    * measured addBatch 0.59s/0.70s/0.90s/1.11s at 4/8/16/32 partitions —
    * per-partition store overhead dominates parallelism at gate-scale
-   * key counts, so the default is now 4. The same profile decomposes
+   * key counts. A round-9 whole-family A/B over all 15 entries (2-rep
+   * mins, identical session) read 24.74 s at 4 partitions, 20.55 at 2,
+   * 21.06 at 1 — 2 wins (1 starves the aggregation itself), so the
+   * default is now 2. At production state volumes this knob sizes UP
+   * with keys; the point pinned here is that it must size to STATE,
+   * never inherit the batch shuffle width. The same profile decomposes
    * the ~1s bounded-query floor: ~0.6s addBatch (the real aggregation),
    * ~0.13s incremental planning, ~0.17s query start, ~0.1s WAL+offset
    * commits — fixed engine cost a production stream amortizes over
@@ -120,7 +132,7 @@ object StreamingOps {
    * runs at 2. */
   private def runToBatch(s: SparkSession, agg: DataFrame, name: String,
                          mode: String = "complete",
-                         stateParts: Int = 4,
+                         stateParts: Int = 2,
                          appendNeedsNoDataBatch: Boolean = true): DataFrame =
     withStatePartitions(s, stateParts) {
       def run(): DataFrame = {
@@ -160,7 +172,7 @@ object StreamingOps {
                                      name: String,
                                      onComplete: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())
       : DataFrame =
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 2) {
       val base = streamTmpDir(name)
       val out = base.resolve("out").toString
       val chk = base.resolve("chk")
