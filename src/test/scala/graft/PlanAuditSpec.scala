@@ -669,6 +669,69 @@ class PlanAuditSpec extends AnyFunSuite {
       s"QI audit reads beyond its columns: ${s.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("unpartitioned windows appear only in allowlisted entries, always above an aggregation") {
+    // The bench tail's `WindowExec: No Partition Defined` warnings were
+    // previously claimed benign by inspection ("all over aggregated
+    // domain-sized frames"); this pin makes the claim CHECKED. Every
+    // batch entry's physical plan is walked: a WindowExec with an empty
+    // partitionSpec moves all rows to one partition, which is only
+    // acceptable when everything feeding it has already been aggregated
+    // to metadata cardinality (value domains, quantile grids, source
+    // rollups) — so (a) the set of entries containing one must equal
+    // the allowlist below (a NEW unpartitioned window in a corpus-scale
+    // entry fails this spec loudly), and (b) inside each allowed entry,
+    // every path from the window down to a file scan must cross an
+    // aggregate. Streaming entries are excluded (constructing them runs
+    // the stream; their windows are keyed by construction).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val allow = Set(
+      "q_ks_drift",        // CDF over the aggregated value domain
+      "q_gini_sources",    // per-source rollup (sources ≪ corpus)
+      "q_temperature_mix", // per-source share table
+      "q_bootstrap_ci",    // 32 replica means
+      "q_pps_sample",      // hierarchical cumsum's top level (per-partition partials)
+      "q_rrf_fusion")      // rank fusion over two aggregated rank lists
+    def windows(n: SparkPlan): Seq[WindowExec] = {
+      val self = n match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Seq.empty
+      }
+      // subqueries are not traversed: on a pre-prepared sparkPlan a
+      // subquery expression can still carry a LOGICAL plan (casting
+      // blows up), and no gate entry windows inside a subquery
+      self ++ n.children.flatMap(windows)
+    }
+    // a subtree is "aggregated" when no file scan is reachable without
+    // crossing an aggregate; non-scan leaves (ranges, local relations,
+    // artifact-sized parquet served through an explicit schema read are
+    // still FileSourceScanExec — those must be agg-guarded too)
+    def guarded(n: SparkPlan): Boolean = n match {
+      case _: BaseAggregateExec => true
+      case _: FileSourceScanExec => false
+      case l if l.children.isEmpty => true
+      case other => other.children.forall(guarded)
+    }
+    val found = scala.collection.mutable.Map.empty[String, Seq[WindowExec]]
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("s_"))
+      .foreach { name =>
+        val ws =
+          try windows(SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan)
+          catch { case e: Throwable =>
+            fail(s"planning $name for the window audit failed: ${e.getMessage}")
+          }
+        if (ws.nonEmpty) found(name) = ws
+      }
+    assert(found.keySet == allow,
+      s"unpartitioned-window entry set drifted — new: ${found.keySet -- allow}, " +
+        s"no longer present (update the allowlist): ${allow -- found.keySet}")
+    found.foreach { case (name, ws) =>
+      ws.foreach(w => assert(w.children.forall(guarded),
+        s"$name has an unpartitioned window over an UNaggregated scan path:\n$w"))
+    }
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
