@@ -36,14 +36,22 @@ object Battery {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (step <- 1 to k if !exhausted) {
+      // adjacent-pair expansion as a codegen posexplode anchor +
+      // element_at successor (the q_cooccur/q_pmi_bigrams generator
+      // pattern; ArrayTransform is CodegenFallback). Vocab-sized frame,
+      // so the win is small — but the old transform(sequence(1,
+      // size-1)) also mis-fired on a fully-merged single-symbol word
+      // (sequence(1, 0) counts DOWN); the i < size-1 filter emits
+      // nothing for those by construction.
       val top = w
         .select(col("cnt"),
           split(expr("substring(str, 2, length(str) - 2)"), "><").as("syms"))
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> " +
-            "struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
-          .as("pr"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .select(col("cnt"), col("syms"),
+          posexplode(col("syms")).as(Seq("i", "l")))
+        .filter(col("i") < size(col("syms")) - 1)
+        .select(col("cnt"), col("l"),
+          element_at(col("syms"), col("i") + lit(2)).as("r"))
+        .groupBy(col("l"), col("r"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
