@@ -99,14 +99,14 @@ class KnnGraphIndexSpec extends AnyFunSuite {
     val edgesPath = art.resolve("edges").toString
     val published = spark.read.schema(KnnGraphIndex.schema).parquet(edgesPath)
       .collect()
-    val untouched = published.map(_.getInt(3)).toSet.diff(deltaBuckets)
+    val untouched = published.map(_.getInt(2)).toSet.diff(deltaBuckets)
     assume(untouched.nonEmpty,
       "delta touched every bucket — cannot observe carry-over")
     val markBucket = untouched.min
     val tampered = published.map { r =>
-      if (r.getInt(3) == markBucket && r.getInt(1) == 1)
-        org.apache.spark.sql.Row(r.getLong(0), r.getInt(1), r.getLong(2),
-          r.getInt(3), -99.0)
+      if (r.getInt(2) == markBucket && r.getInt(4) == 1)
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getInt(2),
+          -99.0, r.getInt(4))
       else r
     }
     val tmpEdges = java.nio.file.Files
@@ -123,11 +123,11 @@ class KnnGraphIndexSpec extends AnyFunSuite {
     val incr = KnnGraphIndex.edges(spark, dir, KnnGraphIndex.KMAX)
       .collect()
     // carried-over rows prove the keep path ran
-    assert(incr.exists(r => r.getInt(3) == markBucket && r.getDouble(4) == -99.0),
+    assert(incr.exists(r => r.getInt(2) == markBucket && r.getDouble(3) == -99.0),
       "tampered unchanged-bucket edge was not carried over — " +
         "incremental path silently full-rebuilt")
     // equivalence everywhere the tamper didn't touch
-    val gotRest = incr.filter(_.getInt(3) != markBucket)
+    val gotRest = incr.filter(_.getInt(2) != markBucket)
       .map(_.toString).sorted.toSeq
     val wantRest = KnnGraphIndex.buildPlan(spark, dir)
       .filter(col("bucket") =!= markBucket)
