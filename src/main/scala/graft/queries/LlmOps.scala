@@ -45,11 +45,13 @@ object LlmOps {
    * cross the Generate), then the single-pass MinHashAgg folds all 32
    * permutation minima into one state. Shared by neardupPairs (LSH
    * banding) and q_minhash_est (estimator accuracy pin). */
-  private def minhashSigs(docs: DataFrame): DataFrame =
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    graft.functions.HashArray.register(docs.sparkSession)
     docs.select(col("doc_id"),
-        explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+        explode(graft.functions.HashArray.arrayHash(col("sh"))).as("h"))
       .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
+  }
 
   /** The signature-BUILD plan for the unfiltered corpus — the artifact
    * [[graft.sources.MinHashSigIndex]] persists (round 8): the one
@@ -67,15 +69,17 @@ object LlmOps {
    * incremental path signs just the delta slice through this. The
    * text_hash rides the groupBy key (functionally dependent on doc_id,
    * so cardinality is unchanged) rather than a post-hoc join. */
-  private[graft] def sigsPlanFor(docs: DataFrame): DataFrame =
+  private[graft] def sigsPlanFor(docs: DataFrame): DataFrame = {
+    graft.functions.HashArray.register(docs.sparkSession)
     docs
       .withColumn("toks", toks(col("text")))
       .withColumn("sh", expr(shingleExpr))
       .select(col("doc_id"), xxhash64(col("text")).as("text_hash"),
-        explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+        explode(graft.functions.HashArray.arrayHash(col("sh"))).as("h"))
       .groupBy("doc_id", "text_hash")
       .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
       .select("doc_id", "sig", "text_hash")
+  }
 
   /** MinHash-LSH candidate generation + exact-Jaccard scoring over a
    * (doc_id, sh) frame — shared by q_neardup_pairs and the corpus
@@ -400,10 +404,11 @@ object LlmOps {
         // the verify's array_intersect over longs beats string compare).
         // 64-bit collisions across a corpus's distinct shingles are
         // ~1e-9-probability; the sf0.01 oracle pass pins the actual data.
+        graft.functions.HashArray.register(s)
         val docs = docsWithShingles(s, dir)
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"),
-            expr("transform(sh, x -> xxhash64(x))").as("hs"))
+            graft.functions.HashArray.arrayHash(col("sh")).as("hs"))
           .cache()
         // one explode, cached: feeds the df count, the prefix ranking,
         // and the inverted-index side of the candidate join. sz rides
@@ -1254,9 +1259,10 @@ object LlmOps {
         val docs = docsWithShingles(s, dir).cache()
         val fresh = docs.filter(col("doc_id") % 10 === 0)
         val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        graft.functions.HashArray.register(s)
         val sig = (d: DataFrame) => {
           val ex = d.select(col("doc_id"),
-            explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+            explode(graft.functions.HashArray.arrayHash(col("sh"))).as("h"))
           val sg = ex.groupBy("doc_id")
             .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
           val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
@@ -1317,12 +1323,13 @@ object LlmOps {
         // the real shape — the eval set is a separate small table
         // hash inside the array, explode longs (see neardupPairs: string
         // Generate output measured ~5x slower than 8-byte longs)
+        graft.functions.HashArray.register(s)
         def shingleHashes(pred: org.apache.spark.sql.Column) =
           rd(s, dir, "documents").filter(pred)
             .withColumn("toks", toks(col("text")))
             .withColumn("sh", expr(shingleExpr))
             .select(col("doc_id"),
-              explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+              explode(graft.functions.HashArray.arrayHash(col("sh"))).as("h"))
         val evalG = shingleHashes(col("doc_id") % 97 === 0)
           .select(col("doc_id").as("eval_id"), col("h"))
         val trainG = shingleHashes(col("doc_id") % 97 =!= 0)

@@ -591,8 +591,9 @@ object StreamingOps {
         // run THIS function
         graft.functions.MinHashSig.register(s)
         val banded = (df: DataFrame) => {
+          graft.functions.HashArray.register(s)
           val sig = df.withColumn("sig", graft.functions.MinHashSig.sig(
-            expr("transform(sh, x -> xxhash64(x))")))
+            graft.functions.HashArray.arrayHash(col("sh"))))
           val bandCols = (0 until 16).map { b =>
             struct(lit(b).as("band"),
               xxhash64(element_at(col("sig"), 2 * b + 1),

@@ -44,7 +44,7 @@ object DecontDebug {
     }
     time("hash inside array, then explode") {
       base.withColumn("sh", expr(shingleExpr))
-        .select(explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+        .select(explode(graft.functions.HashArray.arrayHash(col("sh"))).as("h"))
         .count()
     }
     time("trainG count") {
