@@ -34,11 +34,13 @@ object LlmOps {
       |                 i -> concat_ws(' ', slice(toks, i + 1, 3)))
       |  ELSE array() END)""".stripMargin
 
-  private[graft] def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Shingles.register(s)
     rd(s, dir, "documents")
       .withColumn("toks", toks(col("text")))
-      .withColumn("sh", expr(shingleExpr))
+      .withColumn("sh", graft.functions.Shingles.of(col("toks"), 3))
       .select("doc_id", "sh")
+  }
 
   /** 32-permutation MinHash signature per doc over a (doc_id, sh)
    * frame — shingles hash ONCE inside the array (longs, not strings,
@@ -71,9 +73,10 @@ object LlmOps {
    * so cardinality is unchanged) rather than a post-hoc join. */
   private[graft] def sigsPlanFor(docs: DataFrame): DataFrame = {
     graft.functions.HashArray.register(docs.sparkSession)
+    graft.functions.Shingles.register(docs.sparkSession)
     docs
       .withColumn("toks", toks(col("text")))
-      .withColumn("sh", expr(shingleExpr))
+      .withColumn("sh", graft.functions.Shingles.of(col("toks"), 3))
       .select(col("doc_id"), xxhash64(col("text")).as("text_hash"),
         explode(graft.functions.HashArray.arrayHash(col("sh"))).as("h"))
       .groupBy("doc_id", "text_hash")
@@ -1324,10 +1327,11 @@ object LlmOps {
         // hash inside the array, explode longs (see neardupPairs: string
         // Generate output measured ~5x slower than 8-byte longs)
         graft.functions.HashArray.register(s)
+        graft.functions.Shingles.register(s)
         def shingleHashes(pred: org.apache.spark.sql.Column) =
           rd(s, dir, "documents").filter(pred)
             .withColumn("toks", toks(col("text")))
-            .withColumn("sh", expr(shingleExpr))
+            .withColumn("sh", graft.functions.Shingles.of(col("toks"), 3))
             .select(col("doc_id"),
               explode(graft.functions.HashArray.arrayHash(col("sh"))).as("h"))
         val evalG = shingleHashes(col("doc_id") % 97 === 0)
@@ -1542,8 +1546,9 @@ object LlmOps {
         // whole quality-filter → dedup-window → shingle prefix ran three
         // times (VERDICT r1 finding 6). The harness clears caches after
         // each query, so this does not leak across the bench session.
+        graft.functions.Shingles.register(s)
         val shingled = exactKeep
-          .withColumn("sh", expr(shingleExpr))
+          .withColumn("sh", graft.functions.Shingles.of(col("toks"), 3))
           .select("doc_id", "sh")
           .cache()
         val dropB = neardupPairs(shingled, threshold = 0.5)

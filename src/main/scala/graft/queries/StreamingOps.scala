@@ -583,7 +583,7 @@ object StreamingOps {
       (s, dir) => {
         val shingles = (df: DataFrame) => df
           .withColumn("toks", split(col("text"), " "))
-          .withColumn("sh", expr(LlmOps.shingleExpr))
+          .withColumn("sh", graft.functions.Shingles.of(col("toks"), 3))
         // per-row 32-permutation MinHash (perm k: h -> xxhash64(h, k))
         // via the one-pass codegen MinHashSig kernel (32 interpreted
         // transform+array_min rounds otherwise), banded 16x2 — band

@@ -48,9 +48,10 @@ object ScaleSmoke {
       .union(base.filter(col("doc_id") % 20 === 1)
         .select((col("doc_id") + 2 * rows).as("doc_id"),
           concat(col("text"), lit(" trailing near dup marker")).as("text")))
+    graft.functions.Shingles.register(spark)
     val docs = corpus
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", expr(graft.queries.LlmOps.shingleExpr))
+      .withColumn("sh", graft.functions.Shingles.of(col("toks"), 3))
       .select("doc_id", "sh")
       .cache()
     time("materialize + shingle")(docs.count())
