@@ -100,6 +100,15 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
     }
 
+  // round-9 addition: the incremental-equivalence scorecard keeps its
+  // one summary row (n_docs=0, zero disagreements) when the corpus —
+  // and therefore the scenario twin it grows — is empty
+  test("q_incr_sigs survives an empty corpus with its single summary row") {
+    val rows = SparkEntry.queries("q_incr_sigs")(spark, emptyDir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 0L, "n_docs must be 0 on an empty corpus")
+  }
+
   test("q_table_stats reports all-null stats rows on an empty table") {
     val rows = SparkEntry.queries("q_table_stats")(spark, emptyDir).collect()
     // one row per profiled column, each with 0 nulls counted, 0 ndv

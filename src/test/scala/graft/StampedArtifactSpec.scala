@@ -116,6 +116,35 @@ class StampedArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ensure: a complete previous stamp is handed to the build, then swept") {
+    withPrefix { prefix =>
+      var sawPrev: Option[java.nio.file.Path] = None
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def ensure(stamp: String): java.nio.file.Path =
+        Q.ensureStampedIncr(prefix, stamp) { (staging, prev) =>
+          sawPrev = prev
+          buildInto(n)(staging)
+        }
+      // first build: no previous artifact → full build, prev = None
+      val a = ensure("s1")
+      assert(sawPrev.isEmpty, "first build must see no incremental base")
+      // a markerless half-dir sibling must NOT qualify as a base
+      val half = tmp.resolve(prefix + "half")
+      Files.createDirectories(half)
+      val b = ensure("s2")
+      assert(sawPrev.contains(a),
+        "second build must receive the COMPLETE previous artifact, " +
+          s"got $sawPrev")
+      assert(!Files.exists(a), "previous stamp must be swept after publish")
+      assert(!Files.exists(half), "markerless sibling must be swept too")
+      assert(Files.exists(b.resolve("_SUCCESS")) && n.get() == 2)
+      // re-ensure of the current stamp is served, no build, no prev probe
+      sawPrev = Some(tmp)
+      ensure("s2")
+      assert(n.get() == 2 && sawPrev.contains(tmp))
+    }
+  }
+
   test("custom marker: rebuild is keyed on the marker, not the dir") {
     withPrefix { prefix =>
       val n = new java.util.concurrent.atomic.AtomicInteger(0)
