@@ -116,11 +116,32 @@ object LlmOps {
     val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
       xxhash64(element_at(col("sig"), 2 * b + 1),
         element_at(col("sig"), 2 * b + 2)).as("bv")))
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // Band rows carry the doc's shingle-set SIZE so the EXACT length
+    // filter (PPJoin's) can prune candidates inside the join, BEFORE
+    // the distinct shuffle and the doc-array verify: jacc(A,B) ≤
+    // min(|A|,|B|)/max(|A|,|B|), so any pair failing
+    // min/max > threshold is provably below threshold — no true pair
+    // is ever dropped. This is the quadratic-candidate guard at scale:
+    // a 2-row band collides with probability s², so the LOW-similarity
+    // pair mass (which grows ~quadratically with corpus size on a
+    // self-similar corpus) leaks candidates linearly in Σ|bucket|² —
+    // tools/ScaleSmoke measured candidates 2.7M → 10.4M for 100k →
+    // 200k synthetic docs, 99.8% of them spurious. Size filtering cuts
+    // the cross-size portion of every bucket for free; the residual
+    // same-size junk is the banding selectivity trade documented in
+    // SCALING.md (more rows per band would square it away, at the cost
+    // of recall at the declared 0.5 threshold — the oracle's
+    // exact-pair-set contract keeps 16×2).
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val bands = sigs.join(sizes, "doc_id")
+      .select(col("doc_id"), col("sz"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sz"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")).cast("double") >
+            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))

@@ -156,17 +156,24 @@ object KnnGraphIndex {
       Q.contentStamp(dir, "embeddings"),
       marker = "vecs/_SUCCESS") { (staging, prev) =>
       val cur = corpusVecs(s, dir)
-      prev match {
+      // the 24-byte/row manifest view is reused across the delta
+      // detection (twice) and the manifest write; caching it keeps
+      // those passes off the full embedding scan + rehash. Vectors
+      // themselves are never cached — only the changed-bucket slice
+      // re-reads them below.
+      val curMeta = cur.select("vec_id", "bucket", "vec_hash").cache()
+      try {
+        prev match {
         case Some(base) =>
           val oldVecs = s.read.schema(vecsSchema)
             .parquet(base.resolve("vecs").toString)
           // a bucket must rebuild iff its membership changed in either
           // direction; both anti-joins shuffle only (id, hash, bucket)
-          val changed = cur.select("vec_id", "bucket", "vec_hash")
+          val changed = curMeta
             .join(oldVecs, Seq("vec_id", "vec_hash"), "left_anti")
             .select("bucket")
             .union(oldVecs
-              .join(cur.select("vec_id", "vec_hash"),
+              .join(curMeta.select("vec_id", "vec_hash"),
                 Seq("vec_id", "vec_hash"), "left_anti")
               .select("bucket"))
             .distinct().collect().map(_.getInt(0)).toSet // ≤ 16 values
@@ -191,10 +198,12 @@ object KnnGraphIndex {
             .repartitionByRange(KMAX, col("rn"))
             .write.mode("overwrite").partitionBy("rn")
             .parquet(staging.resolve("edges").toString)
-      }
-      // manifest LAST — its _SUCCESS is the artifact marker
-      cur.select("vec_id", "bucket", "vec_hash").write.mode("overwrite")
-        .parquet(staging.resolve("vecs").toString)
+        }
+        // manifest LAST — its _SUCCESS is the artifact marker; written
+        // from the cached meta view, not another embedding scan
+        curMeta.write.mode("overwrite")
+          .parquet(staging.resolve("vecs").toString)
+      } finally curMeta.unpersist()
     }
     s.read.schema(schema).parquet(idx.resolve("edges").toString)
       .filter(col("rn") <= k)

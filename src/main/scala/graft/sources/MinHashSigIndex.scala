@@ -81,10 +81,19 @@ object MinHashSigIndex {
       val plan = prev match {
         case Some(base) =>
           val old = s.read.schema(schema).parquet(base.toString)
-          val keep = old.join(docs.select("doc_id", "text_hash"),
-            Seq("doc_id", "text_hash"), "left_semi")
-          val fresh = docs.join(old.select("doc_id", "text_hash"),
+          // delta detection runs entirely over 16-byte (id, hash) keys;
+          // TEXT itself never crosses an exchange: freshKeys (the
+          // delta-sized anti result) joins back against the corpus
+          // scan, and AQE broadcasts it when the delta is small — the
+          // common refresh case — leaving the text side map-side. A
+          // huge delta falls back to a shuffle, at which point a full
+          // rebuild would cost the same anyway.
+          val dh = docs.select("doc_id", "text_hash")
+          val keep = old.join(dh, Seq("doc_id", "text_hash"), "left_semi")
+          val freshKeys = dh.join(old.select("doc_id", "text_hash"),
             Seq("doc_id", "text_hash"), "left_anti")
+          val fresh = docs.join(freshKeys,
+            Seq("doc_id", "text_hash"), "left_semi")
           keep.unionByName(
             graft.queries.LlmOps.sigsPlanFor(
               fresh.select("doc_id", "text")))
