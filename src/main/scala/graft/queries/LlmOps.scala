@@ -49,10 +49,15 @@ object LlmOps {
    * banding) and q_minhash_est (estimator accuracy pin). */
   private def minhashSigs(docs: DataFrame): DataFrame = {
     graft.functions.HashArray.register(docs.sparkSession)
+    // n_sh rides the same aggregation: explode emits one row per
+    // shingle (sh is distinct), so count(1) is EXACTLY |sh| — the
+    // length-filter bound travels with the signature and no consumer
+    // pays a second corpus join for sizes
     docs.select(col("doc_id"),
         explode(graft.functions.HashArray.arrayHash(col("sh"))).as("h"))
       .groupBy("doc_id")
-      .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
+      .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"),
+        count(lit(1)).cast("int").as("n_sh"))
   }
 
   /** The signature-BUILD plan for the unfiltered corpus — the artifact
@@ -80,8 +85,9 @@ object LlmOps {
       .select(col("doc_id"), xxhash64(col("text")).as("text_hash"),
         explode(graft.functions.HashArray.arrayHash(col("sh"))).as("h"))
       .groupBy("doc_id", "text_hash")
-      .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"))
-      .select("doc_id", "sig", "text_hash")
+      .agg(graft.functions.MinHashAgg.minhash(32)(col("h")).as("sig"),
+        count(lit(1)).cast("int").as("n_sh"))
+      .select("doc_id", "sig", "text_hash", "n_sh")
   }
 
   /** MinHash-LSH candidate generation + exact-Jaccard scoring over a
@@ -116,7 +122,8 @@ object LlmOps {
     val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
       xxhash64(element_at(col("sig"), 2 * b + 1),
         element_at(col("sig"), 2 * b + 2)).as("bv")))
-    // Band rows carry the doc's shingle-set SIZE so the EXACT length
+    // Band rows carry the doc's shingle-set SIZE (n_sh, computed with
+    // the signature itself — no second corpus join) so the EXACT length
     // filter (PPJoin's) can prune candidates inside the join, BEFORE
     // the distinct shuffle and the doc-array verify: jacc(A,B) ≤
     // min(|A|,|B|)/max(|A|,|B|), so any pair failing
@@ -132,9 +139,9 @@ object LlmOps {
     // SCALING.md (more rows per band would square it away, at the cost
     // of recall at the declared 0.5 threshold — the oracle's
     // exact-pair-set contract keeps 16×2).
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-    val bands = sigs.join(sizes, "doc_id")
-      .select(col("doc_id"), col("sz"), explode(array(bandCols: _*)).as("bb"))
+    val bands = sigs
+      .select(col("doc_id"), col("n_sh").as("sz"),
+        explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sz"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
     val cand = bands.as("x").join(bands.as("y"),
@@ -383,16 +390,18 @@ object LlmOps {
         val art = graft.sources.MinHashSigIndex.sigs(s, scn.toString)
         val full = graft.queries.LlmOps.sigsPlan(s, scn.toString)
         val cmp = art.select(col("doc_id"), col("sig").as("asig"),
-            col("text_hash").as("ah"))
+            col("text_hash").as("ah"), col("n_sh").as("an"))
           .join(full.select(col("doc_id"), col("sig").as("fsig"),
-            col("text_hash").as("fh")), Seq("doc_id"), "full_outer")
+            col("text_hash").as("fh"), col("n_sh").as("fn")),
+            Seq("doc_id"), "full_outer")
           .agg(
             sum(when(col("fsig").isNull, lit(1L)).otherwise(lit(0L)))
               .as("n_only_artifact"),
             sum(when(col("asig").isNull, lit(1L)).otherwise(lit(0L)))
               .as("n_only_full"),
             sum(when(col("asig").isNotNull && col("fsig").isNotNull &&
-                (col("asig") =!= col("fsig") || col("ah") =!= col("fh")),
+                (col("asig") =!= col("fsig") || col("ah") =!= col("fh") ||
+                  col("an") =!= col("fn")),
               lit(1L)).otherwise(lit(0L))).as("n_sig_diff"))
         rd(s, scn.toString, "documents")
           .agg(count(lit(1)).as("n_docs")).crossJoin(cmp)

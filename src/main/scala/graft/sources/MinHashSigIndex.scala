@@ -59,7 +59,8 @@ object MinHashSigIndex {
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sig", ArrayType(LongType)),
-    StructField("text_hash", LongType)))
+    StructField("text_hash", LongType),
+    StructField("n_sh", IntegerType)))
 
   /** The full-corpus signature-build plan (unpersisted) — exposed for
    * spec pins. */
@@ -68,12 +69,15 @@ object MinHashSigIndex {
 
   /** The persisted signature table for `dir`'s documents:
    * build-if-absent — incrementally against the previous artifact when
-   * one survives — then a schema-pinned read. (`_v3_` in the prefix
-   * versions the row layout: pre-r9 two-column artifacts must not be
-   * served through the three-column schema.) */
+   * one survives — then a schema-pinned read. (`_v4_` in the prefix
+   * versions the row layout — v3 added text_hash for incremental
+   * delta detection, v4 added n_sh, the exact shingle-set size the
+   * LSH length filter reads instead of re-scanning the corpus; an
+   * older-layout artifact must never be served through a newer
+   * schema.) */
   def sigs(s: SparkSession, dir: String): DataFrame = {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val idx = Q.ensureStampedIncr(s"graft_minhash_sigs_v3_${tag}_",
+    val idx = Q.ensureStampedIncr(s"graft_minhash_sigs_v4_${tag}_",
       Q.contentStamp(dir, "documents")) { (staging, prev) =>
       val docs = Q.rd(s, dir, "documents")
         .select(col("doc_id"), col("text"),

@@ -29,7 +29,7 @@ class MinHashSigIndexSpec extends AnyFunSuite {
     val dirs = try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.filter(p =>
-        p.getFileName.toString.startsWith("graft_minhash_sigs_v3_") &&
+        p.getFileName.toString.startsWith("graft_minhash_sigs_v4_") &&
           java.nio.file.Files.exists(p.resolve("_SUCCESS"))).toVector
     } finally s.close()
     assert(dirs.nonEmpty)
@@ -59,7 +59,7 @@ class MinHashSigIndexSpec extends AnyFunSuite {
     val art = try {
       import scala.jdk.CollectionConverters._
       l.iterator().asScala.filter(p =>
-        p.getFileName.toString.startsWith(s"graft_minhash_sigs_v3_${tag}_") &&
+        p.getFileName.toString.startsWith(s"graft_minhash_sigs_v4_${tag}_") &&
           java.nio.file.Files.exists(p.resolve("_SUCCESS"))).toVector.head
     } finally l.close()
     val published = spark.read.schema(MinHashSigIndex.schema)
@@ -68,7 +68,7 @@ class MinHashSigIndexSpec extends AnyFunSuite {
     val tampered = published.map { r =>
       if (r.getLong(0) == markId)
         org.apache.spark.sql.Row(r.getLong(0),
-          Seq.fill(32)(-1L), r.getLong(2))
+          Seq.fill(32)(-1L), r.getLong(2), r.getInt(3))
       else r
     }
     val tmpSigs = java.nio.file.Files
