@@ -182,6 +182,11 @@ object KnnGraphIndex {
           val keep =
             if (changed.isEmpty) oldEdges
             else oldEdges.filter(!col("bucket").isin(changed.toSeq: _*))
+          // the changed-bucket slice re-reads the embeddings scan and
+          // filters on the COMPUTED bucket — no pushdown. At lake
+          // scale the upgrade is storing the corpus bucketed/partitioned
+          // by the sign key, which turns this into a pruned scan of
+          // exactly the changed buckets' files.
           val fresh =
             if (changed.isEmpty) s.createDataFrame(
               s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
