@@ -49,8 +49,14 @@ object StreamingOps {
    * per-partition store overhead dominates parallelism at gate-scale
    * key counts. A round-9 whole-family A/B over all 15 entries (2-rep
    * mins, identical session) read 24.74 s at 4 partitions, 20.55 at 2,
-   * 21.06 at 1 — 2 wins (1 starves the aggregation itself), so the
-   * default is now 2. At production state volumes this knob sizes UP
+   * 21.06 at 1 — but a round-10 PER-ENTRY sweep shows the uniform
+   * setting was leaving time on the table: append/file-sink entries
+   * (two microbatches, half their store commits pure eviction) win at
+   * 1, while session windows (merging state) and
+   * flatMapGroupsWithState hold their r9 best at 2 (family A/B on one
+   * session, 2-rep mins: 21.65 → 18.68 s). Defaults below encode that
+   * split; entries that measured otherwise pin stateParts explicitly.
+   * At production state volumes this knob sizes UP
    * with keys; the point pinned here is that it must size to STATE,
    * never inherit the batch shuffle width. The same profile decomposes
    * the ~1s bounded-query floor: ~0.6s addBatch (the real aggregation),
@@ -132,7 +138,7 @@ object StreamingOps {
    * runs at 2. */
   private def runToBatch(s: SparkSession, agg: DataFrame, name: String,
                          mode: String = "complete",
-                         stateParts: Int = 2,
+                         stateParts: Int = 1,
                          appendNeedsNoDataBatch: Boolean = true): DataFrame =
     withStatePartitions(s, stateParts) {
       def run(): DataFrame = {
@@ -170,9 +176,10 @@ object StreamingOps {
    * declared semantics must include. */
   private[queries] def runToFileSink(s: SparkSession, agg: DataFrame,
                                      name: String,
-                                     onComplete: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())
+                                     onComplete: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => (),
+                                     stateParts: Int = 1)
       : DataFrame =
-    withStatePartitions(s, 2) {
+    withStatePartitions(s, stateParts) {
       val base = streamTmpDir(name)
       val out = base.resolve("out").toString
       val chk = base.resolve("chk")
@@ -238,7 +245,7 @@ object StreamingOps {
           .withWatermark("ts", "10 minutes")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events"))
-        runToBatch(s, agg, "s_session")
+        runToBatch(s, agg, "s_session", stateParts = 2)
           .select(col("user_id"),
             col("session_window.start").as("session_start"),
             col("session_window.end").as("session_end"),
@@ -343,7 +350,7 @@ object StreamingOps {
           .withWatermark("ts", "10 minutes")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events"))
-        runToFileSink(s, agg, "s_session_append")
+        runToFileSink(s, agg, "s_session_append", stateParts = 2)
           .select(col("user_id"),
             col("session_window.start").as("session_start"),
             col("session_window.end").as("session_end"),
@@ -456,7 +463,8 @@ object StreamingOps {
         // the update-mode memory sink appends one row per (user, batch);
         // counts are monotone per user, so max = final state even if the
         // source ever splits into multiple micro-batches
-        runToBatch(s, agg, "s_stateful_counts", mode = "update")
+        runToBatch(s, agg, "s_stateful_counts", mode = "update",
+          stateParts = 2)
           .groupBy("user_id")
           .agg(max(col("n_events")).as("n_events"))
           .orderBy("user_id")
@@ -767,16 +775,25 @@ object StreamingOps {
             case Some(prev) => lww(s.read.parquet(prev).unionByName(lww(b)))
             case None       => lww(b)
           }
+          // one state file per version: the merged view is key-count
+          // sized, and each microbatch's merge re-reads the previous
+          // version — 32 shuffle-width shards would mean 32 tiny files
+          // written and listed per batch, four times over
           val out = base.resolve(s"state_v$id").toString
-          merged.write.mode("overwrite").parquet(out)
+          merged.coalesce(1).write.mode("overwrite").parquet(out)
           cur = Some(out)
         }
-        val q = stream.writeStream
-          .option("checkpointLocation", base.resolve("chk").toString)
-          .foreachBatch(applyBatch _)
-          .start()
-        try { try q.processAllAvailable() finally q.stop() }
-        finally { deleteRec(base.resolve("chk")); cleanupOnExit(base) }
+        // the merge jobs inside foreachBatch read the session's shuffle
+        // width at job time: size it to the keyed state like every other
+        // streaming entry, not to the 32-way batch default
+        withStatePartitions(s, 2) {
+          val q = stream.writeStream
+            .option("checkpointLocation", base.resolve("chk").toString)
+            .foreachBatch(applyBatch _)
+            .start()
+          try { try q.processAllAvailable() finally q.stop() }
+          finally { deleteRec(base.resolve("chk")); cleanupOnExit(base) }
+        }
         s.read.parquet(cur.getOrElse(
           sys.error("cdc apply emitted no state version")))
           .filter(col("event_type") =!= "error")
