@@ -237,20 +237,76 @@ object SourceOps {
     // The graft.sources.DocGen TableProvider: deterministic synthetic
     // corpus with no input files, split into independent id ranges
     // (parallel at any executor count), column pruning pushed into the
-    // reader. No oracle (DuckDB cannot open a Spark V2 source);
-    // DocGenSpec pins determinism, pruning, and parallelism by value,
-    // and this entry keeps the source exercised in the bench loop.
+    // reader. DocGenSpec pins determinism, pruning, and parallelism by
+    // value; this entry keeps the source exercised in the bench loop.
+    //
+    // ORACLE (round 10, the media-checksum precedent): DuckDB cannot
+    // open a Spark V2 source, but every DocGen row is CLOSED-FORM in
+    // (seed, doc_id) — the oracle replays the generator's splittable
+    // 64-bit mix in HUGEINT arithmetic (xor + floor-div for the
+    // unsigned shifts; 64×64-bit products decomposed into 32-bit
+    // halves so int128 never overflows) and recomputes each doc's lang
+    // and exact n_chars (token count + per-token vocab lengths) from
+    // id arithmetic alone. A generator change that shifts a single
+    // token therefore hash-fails the gate.
     QueryDef("q_docgen_source",
       (s, dir) => {
         s.read.format("graft.sources.DocGen")
-          .option("rows", 20000L).option("partitions", 16).option("seed", 7L)
+          .option("rows", 5000L).option("partitions", 16).option("seed", 7L)
           .load()
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).cast("long").as("sum_chars"))
           .orderBy("lang")
       },
-      None),
+      Some("""WITH ids AS (SELECT unnest(generate_series(0, 4999)) AS id),
+             |hh AS (
+             |  SELECT id,
+             |    xor(7::HUGEINT, (id::HUGEINT * 11400714819323198485::HUGEINT)
+             |        % 18446744073709551616::HUGEINT) AS t0,
+             |    xor(t0, t0 // 8589934592) AS u0,
+             |    ((u0 % 4294967296) * 18397679294719823053::HUGEINT
+             |      + ((u0 // 4294967296) * 18397679294719823053::HUGEINT % 4294967296)
+             |        * 4294967296) % 18446744073709551616::HUGEINT AS t1,
+             |    xor(t1, t1 // 8589934592) AS u1,
+             |    ((u1 % 4294967296) * 14181476777654086739::HUGEINT
+             |      + ((u1 // 4294967296) * 14181476777654086739::HUGEINT % 4294967296)
+             |        * 4294967296) % 18446744073709551616::HUGEINT AS t2,
+             |    xor(t2, t2 // 8589934592) AS h
+             |  FROM ids),
+             |d AS (
+             |  SELECT id, h,
+             |    ['en','es','de','fr','zh'][1 + CAST(h % 5 AS INTEGER)] AS lang,
+             |    20 + CAST((h // 65536) % 81 AS INTEGER) AS n
+             |  FROM hh),
+             |t AS (
+             |  SELECT id, lang, n,
+             |    (n - 1) + list_sum(
+             |      list_transform(
+             |        list_transform(
+             |          list_transform(
+             |            list_transform(
+             |              list_transform(
+             |                list_transform(range(0, n),
+             |                  i -> xor(h, (i::HUGEINT * 11400714819323198485::HUGEINT)
+             |                       % 18446744073709551616::HUGEINT)),
+             |                t0 -> xor(t0, t0 // 8589934592)),
+             |              u0 -> ((u0 % 4294967296) * 18397679294719823053::HUGEINT
+             |                + ((u0 // 4294967296) * 18397679294719823053::HUGEINT
+             |                   % 4294967296) * 4294967296)
+             |                % 18446744073709551616::HUGEINT),
+             |            t1 -> xor(t1, t1 // 8589934592)),
+             |          u1 -> ((u1 % 4294967296) * 14181476777654086739::HUGEINT
+             |            + ((u1 // 4294967296) * 14181476777654086739::HUGEINT
+             |               % 4294967296) * 4294967296)
+             |            % 18446744073709551616::HUGEINT),
+             |        t2 -> [3,4,3,4,5,4,5,6,4,6,5,6,4,3,5,5,5,4,5,5,4,4,5,4]
+             |              [1 + CAST(xor(t2, t2 // 8589934592) % 24 AS INTEGER)])
+             |    ) AS n_chars
+             |  FROM d)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ---- schema evolution on read (mergeSchema) ------------------------
     // The 100 TB reality that a table's files span schema generations:

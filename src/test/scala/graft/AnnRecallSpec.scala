@@ -21,7 +21,11 @@ class AnnRecallSpec extends AnyFunSuite {
 
   test("KMeans-IVF (nprobe=2) recall@5 vs exact brute force") {
     val exact5 = ids("q_knn_cosine").take(5).toSet
-    val ivf5 = ids("q_knn_ivf_kmeans").toSet
+    // the gate entry now emits the oracle-checkable EXACT rows plus a
+    // recall_ok bit; the raw engine-specific probe result this recall
+    // measures comes from the serve helper itself
+    val ivf5 = graft.queries.Advanced.ivfKmeansServe(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (exact5 & ivf5).size.toDouble / 5
     // This corpus is near-orthogonal (top exact cosine ≈ 0.33), so true
     // neighbors scatter almost uniformly over the 8 cells: scanning
@@ -40,8 +44,8 @@ class AnnRecallSpec extends AnyFunSuite {
     // directories — never the corpus. (inputFiles is pre-pruning, so
     // the pin reads the scan's partitionFilters, as SourcesSpec does
     // for q_partitioned_write.)
-    SparkEntry.queries("q_knn_ivf_kmeans")(spark, dir).count() // ensure built
-    val plan = SparkEntry.queries("q_knn_ivf_kmeans")(spark, dir)
+    graft.queries.Advanced.ivfKmeansServe(spark, dir).count() // ensure built
+    val plan = graft.queries.Advanced.ivfKmeansServe(spark, dir)
       .queryExecution.executedPlan
     val scan = plan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
