@@ -903,12 +903,15 @@ object Advanced {
     // ---- market-basket co-occurrence (association rules) --------------
     // Item-pair support + lift over order baskets: the co-occurrence
     // primitive under "frequently bought together", negative-pair
-    // mining, and co-citation graphs. The fact table is shuffled
-    // EXACTLY ONCE — groupBy(order).collect_set builds the distinct
-    // basket per order (collect_set dedups, so no separate distinct
-    // pass), and the cached basket frame (one row per order, corpus/
-    // avg-basket-size smaller) then feeds all three derived aggregates:
-    // per-item order counts, the order total, and the pair expansion.
+    // mining, and co-citation graphs. groupBy(order).collect_set
+    // builds the distinct basket per order (collect_set dedups, so no
+    // separate distinct pass), and the basket frame (one row per
+    // order, corpus/avg-basket-size smaller) feeds all three derived
+    // aggregates — per-item order counts, the order total, and the
+    // pair expansion — as branches of one plan sharing the basket
+    // exchange. At 100 TB the basket frame is what a pipeline would
+    // persist as a table; here the shared-exchange read beats
+    // re-materializing it (see the cache note below).
     // Pair fanout is MAP-SIDE over each sorted basket (≤ C(basket,2) —
     // baskets are order-sized, never corpus-sized, so this never
     // degenerates to a cross product), pair counts partial-aggregate
@@ -920,10 +923,16 @@ object Advanced {
     // division — identical in both engines.
     QueryDef("q_cooccur",
       (s, dir) => {
+        // NOT cached (round 10): all three consumers below sit in ONE
+        // final plan, so the basket aggregation's shuffle data is
+        // shared across branches at execution; materializing the
+        // array-heavy basket rows through the block manager measured
+        // 2.2 s warm vs 1.2 s letting the branches re-read the shared
+        // exchange (3-rep A/B, tools-level). The r1 finding that
+        // motivated the cache predates the bench's AQE-planned shape.
         val baskets = rd(s, dir, "lineitem")
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-          .cache()
         val items = baskets.select(explode(col("parts")).as("pk"))
           .groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
         val tot = baskets.agg(count(lit(1)).as("n_orders"))
