@@ -28,14 +28,31 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // every timed stage and counted invariant also lands in this map;
+    // the run writes ONE JSON artifact at exit (committed per round as
+    // the scale evidence, config-stamped like the bench JSONs)
+    val metrics = scala.collection.mutable.LinkedHashMap[String, Any]()
     def time[T](label: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
-      println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-28s $secs%8.2f s")
+      metrics.put("sec: " + label, math.round(secs * 1000) / 1000.0)
       r
     }
+    def record(k: String, v: Any): Unit = metrics.put(k, v)
 
-    println(s"[scale] corpus rows=$rows generator partitions=$parts cpus=$cpus")
+    val rt = Runtime.getRuntime
+    println(s"[scale] corpus rows=$rows generator partitions=$parts cpus=$cpus " +
+      s"heap_max_mb=${rt.maxMemory() / (1024 * 1024)} java=${System.getProperty("java.version")}")
+    record("rows", rows); record("partitions", parts)
+    record("config", Map("master" -> s"local[$cpus]", "cpus" -> cpus,
+      "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+      "obj_hash_agg_fallback" -> spark.conf.get(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"),
+      "java" -> System.getProperty("java.version"),
+      "heap_max_mb" -> (rt.maxMemory() / (1024 * 1024)),
+      "host_cpus" -> rt.availableProcessors()))
     // DocGen text is unique per id; plant duplicate structure so the
     // dedup path has real work: 5% exact clones (re-keyed, same text)
     // and 5% near-dups (one appended token → Jaccard just under 1).
@@ -60,18 +77,39 @@ object ScaleSmoke {
       .select("a_id", "b_id").cache()
     val nPairs = time("neardup pairs (LSH+verify)")(pairs.count())
     println(s"[scale]   pairs=$nPairs")
+    record("pairs", nPairs)
+    // planted-duplicate RECALL: the corpus plants one exact-clone pair
+    // (id, id+rows) per id % 20 == 0 and one near-dup pair
+    // (id, id+2·rows, Jaccard just under 1) per id % 20 == 1 — both
+    // far above the 0.5 threshold, so a correct banded-LSH + verify
+    // pass must recover every one of them; anything below 1.0 is lost
+    // recall in the candidate path, not threshold noise.
+    val plantedExact = base.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("a_id"), (col("doc_id") + rows).as("b_id"))
+    val plantedNear = base.filter(col("doc_id") % 20 === 1)
+      .select(col("doc_id").as("a_id"), (col("doc_id") + 2 * rows).as("b_id"))
+    val nExact = plantedExact.count(); val nNear = plantedNear.count()
+    val hitExact = plantedExact.join(pairs, Seq("a_id", "b_id"), "left_semi").count()
+    val hitNear = plantedNear.join(pairs, Seq("a_id", "b_id"), "left_semi").count()
+    println(f"[scale]   planted recall: exact=$hitExact/$nExact " +
+      f"near=$hitNear/$nNear")
+    record("planted_exact", nExact); record("planted_exact_hit", hitExact)
+    record("planted_near", nNear); record("planted_near_hit", hitNear)
 
     val nStar = time("star-CC labels")(
       graft.operators.ConnectedComponents.runStar(pairs).count())
     val nGx = time("GraphX CC labels")(
       graft.operators.ConnectedComponents.runGraphX(pairs).count())
     println(s"[scale]   star=$nStar graphx=$nGx agree=${nStar == nGx}")
+    record("cc_star", nStar); record("cc_graphx", nGx)
+    record("cc_agree", nStar == nGx)
 
     val nDedup = time("exact dedup (digest groupBy)") {
       corpus.groupBy(md5(lower(trim(col("text"))))).agg(min("doc_id"))
         .count()
     }
     println(s"[scale]   distinct texts=$nDedup of ${(rows * 11) / 10}")
+    record("distinct_texts", nDedup); record("corpus_rows", (rows * 11) / 10)
 
     // ---- round-7 curation path at the same 40× scale -------------------
     // The quality gate, the per-key sample cut, and the bootstrap are
@@ -94,6 +132,7 @@ object ScaleSmoke {
         .count()
     }
     println(s"[scale]   kept=$nKeep")
+    record("gopher_kept", nKeep)
 
     val nSample = time("fixed-k per-key sample (TopKPerKey)") {
       graft.plans.TopK.perKey(
@@ -102,6 +141,7 @@ object ScaleSmoke {
         .count()
     }
     println(s"[scale]   sampled=$nSample (7 langs × ≤1000)")
+    record("sampled", nSample)
 
     val ciRow = time("poisson bootstrap (32 replicas)") {
       curDocs.select(col("doc_id"), col("n_chars"),
@@ -181,6 +221,8 @@ object ScaleSmoke {
       graft.sources.MinHashSigIndex.sigs(spark, idxDir).count())
     println(s"[scale]   sig store bytes: base=$sigBase " +
       s"net-growth=${duDir(sigStore) - sigBase}")
+    record("sig_store_base_bytes", sigBase)
+    record("sig_store_refresh_growth_bytes", duDir(sigStore) - sigBase)
     spark.range(rows / 10, rows / 10 + rows / 500).select(
         col("id").as("vec_id"),
         expr("transform(sequence(0, 63), i -> CAST(abs(sin(id * 131 + i)) AS FLOAT))")
@@ -191,6 +233,8 @@ object ScaleSmoke {
       graft.sources.KnnGraphIndex.edges(spark, idxDir).count())
     println(s"[scale]   edge store bytes: base=$edgeBase " +
       s"net-growth=${duDir(edgeStore) - edgeBase}")
+    record("edge_store_base_bytes", edgeBase)
+    record("edge_store_refresh_growth_bytes", duDir(edgeStore) - edgeBase)
     graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(idxDir))
     graft.queries.Q.deleteRecursively(
       java.nio.file.Paths.get(sigStore))
@@ -217,6 +261,24 @@ object ScaleSmoke {
         .agg(approx_count_distinct(col("h"), 0.01)).head().getLong(0)
     }
     println(s"[scale]   distinct windows kernel=$nKernel hof=$nHof")
+    record("substr_windows_kernel", nKernel)
+    record("substr_windows_hof", nHof)
+
+    // one JSON artifact per run (committed per round as scale evidence)
+    def js(v: Any): String = v match {
+      case m: Map[_, _] => m.map { case (k, x) =>
+        "\"" + k + "\":" + js(x) }.mkString("{", ",", "}")
+      case s: String => "\"" + s + "\""
+      case b: Boolean => b.toString
+      case n => n.toString
+    }
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scalesmoke_out.json")
+    val json = metrics.map { case (k, v) => "\"" + k + "\":" + js(v) }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[scale] could not write $out: ${e.getMessage}") }
+    println(s"[scale] metrics written to $out")
     spark.stop()
   }
 }
