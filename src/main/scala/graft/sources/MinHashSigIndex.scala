@@ -133,15 +133,17 @@ object MinHashSigIndex {
     ManifestStore.sweepLegacyPrefixes(LEGACY)
     val st = store(dir)
     val stamp = Q.contentStamp(dir, "documents")
-    val m = ManifestStore.lockFor(st).synchronized {
-      ManifestStore.currentManifest(st, stamp).getOrElse {
-        val built = refresh(s, st, dir, stamp)
-        ManifestStore.publish(st, built)
-        ManifestStore.gc(st, stamp)
-        built
+    ManifestStore.memoFrame[DataFrame](s, st, stamp) {
+      val m = ManifestStore.lockFor(st).synchronized {
+        ManifestStore.currentManifest(st, stamp).getOrElse {
+          val built = refresh(s, st, dir, stamp)
+          ManifestStore.publish(st, built)
+          ManifestStore.gc(st, stamp)
+          built
+        }
       }
+      serveFrom(s, st, m.entries)
     }
-    serveFrom(s, st, m.entries)
   }
 
   private def refresh(s: SparkSession, st: Path, dir: String,
