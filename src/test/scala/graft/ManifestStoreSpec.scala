@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ManifestStore
+import graft.sources.ManifestStore.{Entry, Manifest}
+
+/** The per-partition manifest protocol's own pins, mirroring
+ * StampedArtifactSpec's role for Q.ensureStamped: manifest round-trip,
+ * broken-manifest self-heal (never serve references to vanished
+ * segments), GC at partition granularity (referenced partitions
+ * survive inside partially-dead segments; in-flight staging is never
+ * touched), segment publication renaming partition dirs out of
+ * Spark's partition-discovery syntax, incremental-base selection, and
+ * the serve-frame memo's keying. The two index specs pin the
+ * SEMANTICS built on top (carry-over, equivalence, delta-sized
+ * writes); these pins cover the protocol layer itself. */
+class ManifestStoreSpec extends AnyFunSuite {
+
+  private def freshStore(): Path = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    ManifestStore.storeDir("graft_test_mstore_", tag)
+  }
+
+  private def mkSeg(store: Path, buckets: Seq[Int]): Path = {
+    val staging = ManifestStore.newSegStaging(store)
+    buckets.foreach { b =>
+      val d = staging.resolve(s"bucket=$b")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("part-0.parquet"), s"data-$b")
+    }
+    Files.writeString(staging.resolve("_SUCCESS"), "")
+    ManifestStore.finalizeSeg(staging)
+  }
+
+  test("publish/read round-trip; bucket dirs renamed out of partition syntax") {
+    val store = freshStore()
+    try {
+      val seg = mkSeg(store, Seq(2, 0, 5))
+      assert(seg.getFileName.toString.startsWith("seg_"),
+        "finalize must strip the .stage_ prefix")
+      val kids = ManifestStore.bucketChildren(store, seg)
+      assert(kids.map(_._1) == Seq(0, 2, 5), "sorted by bucket")
+      kids.foreach { case (b, rel) =>
+        assert(rel.endsWith(s"bucket_$b"),
+          s"dir for bucket $b must not keep the k=v form: $rel")
+        assert(Files.isDirectory(store.resolve(rel)))
+      }
+      val m = Manifest("s1", kids.map { case (b, rel) => Entry("data", b, rel) })
+      ManifestStore.publish(store, m)
+      val got = ManifestStore.currentManifest(store, "s1")
+      assert(got.contains(m), "manifest must round-trip exactly")
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
+  test("a manifest referencing a vanished dir self-heals to absent") {
+    val store = freshStore()
+    try {
+      val seg = mkSeg(store, Seq(1, 2))
+      val kids = ManifestStore.bucketChildren(store, seg)
+      val m = Manifest("s1", kids.map { case (b, rel) => Entry("data", b, rel) })
+      ManifestStore.publish(store, m)
+      graft.queries.Q.deleteRecursively(store.resolve(kids.head._2))
+      assert(ManifestStore.currentManifest(store, "s1").isEmpty,
+        "a broken manifest must never be served")
+      assert(!Files.exists(store.resolve("manifest_s1")),
+        "the broken manifest file must be deleted so a rebuild can publish")
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
+  test("GC: superseded manifests drop; referenced partitions survive inside partially-dead segments") {
+    val store = freshStore()
+    try {
+      val segA = mkSeg(store, Seq(0, 1)) // s1 uses both; s2 keeps only bucket 1
+      val segB = mkSeg(store, Seq(0))    // s2's replacement for bucket 0
+      val segC = mkSeg(store, Seq(3))    // only s1 references it
+      // bucketChildren performs the publish-time rename to bucket_<b>
+      Seq(segA, segB, segC).foreach(ManifestStore.bucketChildren(store, _))
+      def e(seg: Path, b: Int) = Entry("data", b,
+        store.relativize(seg.resolve(s"bucket_$b")).toString)
+      ManifestStore.publish(store, Manifest("s1",
+        Seq(e(segA, 0), e(segA, 1), e(segC, 3))))
+      ManifestStore.publish(store, Manifest("s2", Seq(e(segB, 0), e(segA, 1))))
+      // an in-flight concurrent build must never be swept
+      val inflight = ManifestStore.newSegStaging(store)
+      Files.createDirectories(inflight.resolve("bucket=9"))
+      ManifestStore.gc(store, "s2")
+      assert(!Files.exists(store.resolve("manifest_s1")), "superseded manifest swept")
+      assert(Files.exists(store.resolve("manifest_s2")))
+      assert(!Files.exists(segA.resolve("bucket_0")),
+        "unreferenced partition inside a kept segment must be swept")
+      assert(Files.exists(segA.resolve("bucket_1")),
+        "referenced partition of the same segment must survive")
+      assert(Files.exists(segB.resolve("bucket_0")))
+      assert(!Files.exists(segC), "fully-unreferenced segment swept whole")
+      assert(Files.exists(inflight), "in-flight staging must survive GC")
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
+  test("newestOtherManifest picks the newest intact base, excluding the target stamp") {
+    val store = freshStore()
+    try {
+      val segA = mkSeg(store, Seq(0))
+      val segB = mkSeg(store, Seq(0))
+      Seq(segA, segB).foreach(ManifestStore.bucketChildren(store, _))
+      def m(stamp: String, seg: Path) = Manifest(stamp, Seq(Entry("data", 0,
+        store.relativize(seg.resolve("bucket_0")).toString)))
+      ManifestStore.publish(store, m("s1", segA))
+      Files.setLastModifiedTime(store.resolve("manifest_s1"),
+        java.nio.file.attribute.FileTime.fromMillis(1000000L))
+      ManifestStore.publish(store, m("s2", segB))
+      assert(ManifestStore.newestOtherManifest(store, "s3")
+        .map(_.stamp).contains("s2"), "newest by mtime")
+      assert(ManifestStore.newestOtherManifest(store, "s2")
+        .map(_.stamp).contains("s1"), "target stamp excluded")
+      // a broken newer manifest is skipped, not served as a base
+      graft.queries.Q.deleteRecursively(store.resolve(
+        store.relativize(segB.resolve("bucket_0")).toString))
+      assert(ManifestStore.newestOtherManifest(store, "s3")
+        .map(_.stamp).contains("s1"))
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
+  test("memoFrame keys on (session identity, store, stamp)") {
+    val store = freshStore()
+    try {
+      val sessionA = new Object; val sessionB = new Object
+      var builds = 0
+      def build(): String = { builds += 1; s"frame$builds" }
+      val f1 = ManifestStore.memoFrame[String](sessionA, store, "s1")(build())
+      val f2 = ManifestStore.memoFrame[String](sessionA, store, "s1")(build())
+      assert(f1 == f2 && builds == 1, "same key must reuse the built frame")
+      ManifestStore.memoFrame[String](sessionA, store, "s2")(build())
+      assert(builds == 2, "a stamp change must rebuild")
+      ManifestStore.memoFrame[String](sessionB, store, "s1")(build())
+      assert(builds == 3, "another session must not see a foreign frame")
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+}
