@@ -143,6 +143,40 @@ class KnnGraphIndexSpec extends AnyFunSuite {
     graft.queries.Q.deleteRecursively(Paths.get(dir))
   }
 
+  test("empty→grown and grown→empty transitions refresh correctly") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_knnidx_trans").toString
+    val vecPath = s"$dir/embeddings.parquet"
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    // a manifest with ZERO entries is a valid refresh base
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(vecPath)
+    assert(KnnGraphIndex.edges(spark, dir).count() == 0L)
+    spark.range(0, 60).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), i -> CAST(sin(id * 131 + i) AS FLOAT)) AS embedding",
+        "CAST(id % 10 AS INT) AS label")
+      .write.mode("overwrite").parquet(vecPath)
+    val grown = KnnGraphIndex.edges(spark, dir, KnnGraphIndex.KMAX)
+      .collect().map(_.toString).sorted.toSeq
+    val want = KnnGraphIndex.buildPlan(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(grown == want && grown.nonEmpty,
+      "growth from an empty base diverged from full rebuild")
+    // and back to empty: every bucket's membership changed to nothing
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(vecPath)
+    val emptied = KnnGraphIndex.edges(spark, dir)
+    assert(emptied.schema == KnnGraphIndex.schema)
+    assert(emptied.count() == 0L)
+    graft.queries.Q.deleteRecursively(Paths.get(dir))
+  }
+
   test("a different corpus content gets its own index; empty stays typed") {
     import org.apache.spark.sql.types._
     // an empty embeddings table in a fresh dir = different content stamp

@@ -190,6 +190,34 @@ class MinHashSigIndexSpec extends AnyFunSuite {
     graft.queries.Q.deleteRecursively(Paths.get(dir))
   }
 
+  test("empty→grown and grown→empty transitions refresh correctly") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_sigidx_trans").toString
+    val docsPath = s"$dir/documents.parquet"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // a manifest with ZERO entries is a valid refresh base
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(docsPath)
+    assert(MinHashSigIndex.sigs(spark, dir).count() == 0L)
+    gen(0, 50, "v1").write.mode("overwrite").parquet(docsPath)
+    val grown = MinHashSigIndex.sigs(spark, dir)
+      .collect().map(row).sortBy(_._1).toSeq
+    val want = MinHashSigIndex.buildPlan(spark, dir)
+      .collect().map(row).sortBy(_._1).toSeq
+    assert(grown == want && grown.size == 50,
+      "growth from an empty base diverged from full rebuild")
+    // and back to empty: every row tombstones, serve is empty but typed
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(docsPath)
+    val emptied = MinHashSigIndex.sigs(spark, dir)
+    assert(emptied.schema == MinHashSigIndex.schema)
+    assert(emptied.count() == 0L)
+    graft.queries.Q.deleteRecursively(Paths.get(dir))
+  }
+
   test("empty corpus stays typed through the explicit read schema") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_sigidx_spec").toString
