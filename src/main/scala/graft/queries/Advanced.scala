@@ -278,7 +278,6 @@ object Advanced {
     QueryDef("q_knn_ivf_kmeans",
       (s, dir) => {
         graft.functions.VectorFunctions.register(s)
-        val ivf = ivfKmeansServe(s, dir)
         val e = Q.rd(s, dir, "embeddings")
         val probe = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("pe"))
@@ -288,18 +287,33 @@ object Advanced {
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(5)
           .select(col("vec_id"), col("cos"))
-        // every frame below is ≤ 5 rows — metadata-sized joins
-        val quality = exact.agg(coalesce(sum(col("cos")), lit(0.0)).as("ex_sum"))
-          .crossJoin(ivf.agg(
-            coalesce(sum(col("cosine")), lit(0.0)).as("iv_sum"),
-            count(lit(1)).as("n_iv")))
-          .crossJoin(exact.select("vec_id")
-            .join(ivf.select("vec_id"), Seq("vec_id"))
-            .agg(count(lit(1)).as("hits")))
-          .select((col("n_iv") === 5 && col("hits") >= 1 &&
-            col("iv_sum") >= col("ex_sum") * 0.85).as("recall_ok"))
-        exact.crossJoin(quality)
-          .orderBy(col("cos").desc, col("vec_id"))
+        // both rankings are top-5 (bounded driver artifacts, the MMR/
+        // IVF-centroid precedent) — collecting them once keeps the
+        // corpus-scale brute-force scan and the artifact serve to ONE
+        // execution each; TakeOrdered creates no exchange, so plan-
+        // level reuse across the three quality branches cannot fire
+        val exactRows = exact.collect()
+        val ivfRows = ivfKmeansServe(s, dir)
+          .select(col("vec_id"), col("cosine")).collect()
+        val exSum = exactRows.map(_.getDouble(1)).sum
+        val ivSum = ivfRows.map(_.getDouble(1)).sum
+        val hits = exactRows.map(_.getLong(0)).toSet
+          .intersect(ivfRows.map(_.getLong(0)).toSet).size
+        val ok = ivfRows.length == 5 && hits >= 1 && ivSum >= exSum * 0.85
+        import scala.jdk.CollectionConverters._
+        // rounding stays a Spark round() over the literal rows — the
+        // oracle's ROUND must keep matching the engine's, bit for bit
+        s.createDataFrame(
+            exactRows.sortBy(r => (-r.getDouble(1), r.getLong(0))).map(r =>
+              org.apache.spark.sql.Row(r.getLong(0), r.getDouble(1), ok))
+              .toSeq.asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("vec_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("cos",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("recall_ok",
+                org.apache.spark.sql.types.BooleanType))))
           .select(col("vec_id"), round(col("cos"), 4).as("cosine"),
             col("recall_ok"))
       },

@@ -95,11 +95,14 @@ object LlmOps {
    * pipeline. Returns (a_id, b_id, jaccard) for pairs above `threshold`
    * with a_id < b_id. */
   /** As [[neardupPairs]] below, with the signature aggregation served
-   * from a pre-built frame (the persisted MinHashSigIndex) instead of
-   * recomputed — candidates and verify are unchanged. Callers over the
-   * UNFILTERED corpus use this; filtered subsets (q_corpus_pipeline's
-   * post-gate dedup, q_incr_dedup's split) keep computing their own
-   * subset signatures, which a full-corpus artifact cannot serve. */
+   * from a pre-built frame instead of recomputed — candidates and
+   * verify are unchanged. Callers over the UNFILTERED corpus pass the
+   * persisted MinHashSigIndex directly; a caller over a FILTERED
+   * SUBSET of the corpus may pass the artifact semi-joined on its
+   * surviving doc_ids (q_corpus_pipeline does — a signature depends
+   * only on its row's text, so filtering cannot change it). Only a
+   * frame whose texts differ from the corpus (e.g. q_incr_dedup's
+   * re-keyed split) must compute its own signatures. */
   private[graft] def neardupPairs(docs: DataFrame, threshold: Double,
                                   sigsOpt: Option[DataFrame]): DataFrame =
     neardupPairsImpl(docs, threshold, sigsOpt)

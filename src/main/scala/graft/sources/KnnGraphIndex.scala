@@ -20,11 +20,13 @@ import graft.queries.Q
  * is delta-sized. An edge depends ONLY on vectors in its own LSH sign
  * bucket, so the bucket is the exact refresh unit in BOTH directions:
  *
- *  - `edges` segments are laid out `pb=<bucket>/prn=<rn>/` — the sign
- *    bucket is the manifest partition, rn the sub-partition a
- *    k-filtered serve dir-prunes (a k=2 consumer reads 2/KMAX of each
- *    bucket's files, the r9 listing economy preserved).
- *  - `vecs` segments (`pb=<bucket>/`) carry the coverage manifest
+ *  - `edges` segments are laid out one `pb_<bucket>` dir per sign
+ *    bucket (the manifest partition), files inside range-clustered on
+ *    (bucket, rn) — a small-k serve skips the top-k tail's files via
+ *    pushed parquet min/max stats (manifest roots cannot nest k=v
+ *    partition dirs; multi-root discovery rejects them — see
+ *    [[writeSeg]]).
+ *  - `vecs` segments (`pb_<bucket>/`) carry the coverage manifest
  *    (vec_id, bucket, vec_hash) for delta detection.
  *  - A refresh rebuilds ONLY buckets whose membership changed (any
  *    vector added, removed, or re-embedded — anti-joins on (vec_id,
@@ -66,7 +68,9 @@ object KnnGraphIndex {
     StructField("bucket", IntegerType),
     StructField("vec_hash", LongType)))
 
-  private val PREFIX = s"graft_knn_store_k8_v2_"
+  /** KMAX is part of the layout: a width change must address a fresh
+   * store, or a serve would silently return old-width neighbors. */
+  private val PREFIX = s"graft_knn_store_k${KMAX}_v2_"
 
   /** Superseded layouts swept on sight (ADVICE r9: pre-manifest
    * per-stamp dirs leaked across prefix bumps). */
@@ -129,24 +133,6 @@ object KnnGraphIndex {
     edgesFor(corpusVecs(s, dir))
   }
 
-  private def emptyDf(s: SparkSession, sch: StructType): DataFrame =
-    s.createDataFrame(s.sparkContext.emptyRDD[Row], sch)
-
-  private def entryPaths(st: Path, entries: Seq[ManifestStore.Entry],
-                         kind: String): Seq[String] =
-    entries.filter(_.kind == kind).map(e => st.resolve(e.rel).toString)
-
-  /** Read the referenced `pb_<b>/` dirs — plain files, explicit
-   * schema, no partition discovery; the typed empty-corpus case never
-   * reaches here (no entries → [[emptyDf]]). */
-  private def readKind(s: SparkSession, st: Path,
-                       entries: Seq[ManifestStore.Entry], kind: String,
-                       sch: StructType): DataFrame = {
-    val paths = entryPaths(st, entries, kind)
-    if (paths.isEmpty) emptyDf(s, sch)
-    else s.read.schema(sch).parquet(paths: _*)
-  }
-
   /** Write one published segment: `df` keeps its full data schema;
    * `pb` is a DIRECTORY copy of the bucket used only for layout.
    * Edges are RANGE-clustered on (bucket, rn) at two files per bucket
@@ -168,8 +154,8 @@ object KnnGraphIndex {
     clustered.write.mode("overwrite").partitionBy("pb")
       .parquet(staging.toString)
     val seg = ManifestStore.finalizeSeg(staging)
-    ManifestStore.bucketChildren(st, seg, "pb")
-      .map { case (b, rel) => ManifestStore.Entry(kind, b, rel) }
+    ManifestStore.entriesWithRows(df.sparkSession, st, kind,
+      ManifestStore.bucketChildren(st, seg, "pb"), "pb")
   }
 
   /**
@@ -194,7 +180,7 @@ object KnnGraphIndex {
           built
         }
       }
-      readKind(s, st, m.entries, "edges", schema)
+      ManifestStore.readEntries(s, st, m.entries, "edges", schema)
     }.filter(col("rn") <= k) // pushed to parquet; rn-clustered files skip
   }
 
@@ -209,7 +195,7 @@ object KnnGraphIndex {
     try {
       val entries = ManifestStore.newestOtherManifest(st, stamp) match {
         case Some(base) =>
-          val oldVecs = readKind(s, st, base.entries, "vecs", vecsSchema)
+          val oldVecs = ManifestStore.readEntries(s, st, base.entries, "vecs", vecsSchema)
           // a bucket must rebuild iff its membership changed in either
           // direction; both anti-joins shuffle only (id, hash, bucket)
           val changed = curMeta

@@ -3,6 +3,9 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
 import graft.queries.Q
 
 /**
@@ -49,8 +52,13 @@ object ManifestStore {
 
   /** One manifest line: `kind` is index-defined ("data"/"tomb"/
    * "edges"/"vecs"), `bucket` the partition it serves, `rel` the
-   * store-relative segment-partition dir (`segs/<seg>/bucket=<b>`). */
-  final case class Entry(kind: String, bucket: Int, rel: String)
+   * store-relative segment-partition dir, `rows` the partition's row
+   * count as recorded at write time (0 = unknown, for manifests
+   * published before counts were recorded) — the statistic compaction
+   * pressure is computed from, the manifest-level analog of a table
+   * format's per-file row counts. */
+  final case class Entry(kind: String, bucket: Int, rel: String,
+                         rows: Long = 0L)
 
   final case class Manifest(stamp: String, entries: Seq[Entry])
 
@@ -87,8 +95,12 @@ object ManifestStore {
     val entries = Files.readAllLines(file).asScala.toVector
       .filter(_.nonEmpty)
       .map { line =>
-        val Array(kind, bucket, rel) = line.split('\t')
-        Entry(kind, bucket.toInt, rel)
+        line.split('\t') match {
+          case Array(kind, bucket, rel, rows) =>
+            Entry(kind, bucket.toInt, rel, rows.toLong)
+          case Array(kind, bucket, rel) => // pre-rows manifest: unknown
+            Entry(kind, bucket.toInt, rel)
+        }
       }
     Manifest(stamp, entries)
   }
@@ -142,9 +154,10 @@ object ManifestStore {
    * manifest-referenceable roots: each is RENAMED `<dirCol>_<b>` —
    * the roots a reader is handed must not themselves look like
    * partition directories, or Spark's multi-root partition discovery
-   * rejects them as conflicting structures (sub-partitions BELOW a
-   * root, e.g. the edge index's `prn=`, keep their `=` form — that is
-   * where dir-pruning lives). Returns (bucket, store-relative path).
+   * rejects them as conflicting structures (for the same reason,
+   * nothing BELOW a root may use `k=v` dirs either — sub-bucket
+   * clustering lives in file-level parquet stats, see the edge
+   * index's writeSeg). Returns (bucket, store-relative path).
    * A segment written from an empty frame has none. */
   def bucketChildren(store: Path, seg: Path,
                      dirCol: String = "bucket"): Seq[(Int, String)] = {
@@ -171,7 +184,8 @@ object ManifestStore {
   def publish(store: Path, m: Manifest): Unit = {
     val tmp = store.resolve(
       s".manifest_tmp_${ProcessHandle.current().pid()}_${segSeq.incrementAndGet()}")
-    val lines = m.entries.map(e => s"${e.kind}\t${e.bucket}\t${e.rel}")
+    val lines = m.entries.map(e =>
+      s"${e.kind}\t${e.bucket}\t${e.rel}\t${e.rows}")
     Files.write(tmp, lines.asJava)
     try Files.move(tmp, manifestFile(store, m.stamp),
       StandardCopyOption.ATOMIC_MOVE)
@@ -183,18 +197,41 @@ object ManifestStore {
     }
   }
 
+  /** Is this `.stage_<pid>_<n>` / `.manifest_tmp_<pid>_<n>` name owned
+   * by a process that is still alive? A crashed builder's staging must
+   * not leak forever (the very tmp-leak class this protocol exists to
+   * fix); a LIVE concurrent builder's must never be swept. */
+  private def ownerAlive(name: String): Boolean = {
+    val pid = name.split('_').collectFirst {
+      case t if t.nonEmpty && t.forall(_.isDigit) => t.toLong
+    }
+    pid.flatMap(p =>
+        scala.jdk.OptionConverters.RichOptional(ProcessHandle.of(p)).toScala)
+      .exists(_.isAlive)
+  }
+
   /** Drop superseded manifests, then every segment-PARTITION dir no
    * surviving manifest references (a refresh that replaces one bucket
    * of a segment must not leak the old bucket dir behind the segment's
    * still-referenced siblings), then any segment left with no
    * referenced partitions at all. In-flight `.stage_` dirs and temp
-   * manifests are never touched. */
+   * manifests survive while their owning PROCESS is alive — a crashed
+   * owner's are reclaimed here. */
   def gc(store: Path, keepStamp: String): Unit = {
     manifestFiles(store)
       .filter(_.getFileName.toString != s"manifest_$keepStamp")
       .foreach(Files.deleteIfExists(_))
     val referenced: Set[String] =
       manifestFiles(store).flatMap(parse(_).entries.map(_.rel)).toSet
+    // a crashed writer's temp manifest is dead weight too
+    if (Files.isDirectory(store)) {
+      val l = Files.list(store)
+      try l.iterator().asScala.toVector.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(".manifest_tmp_") && !ownerAlive(n))
+          Files.deleteIfExists(p)
+      } finally l.close()
+    }
     val segsDir = store.resolve("segs")
     if (Files.isDirectory(segsDir)) {
       val segs = {
@@ -202,7 +239,10 @@ object ManifestStore {
         try l.iterator().asScala.toVector finally l.close()
       }
       segs.foreach { seg =>
-        if (!seg.getFileName.toString.startsWith(".stage_")) {
+        val name = seg.getFileName.toString
+        if (name.startsWith(".stage_")) {
+          if (!ownerAlive(name)) Q.deleteRecursively(seg)
+        } else {
           val kids = {
             val l = Files.list(seg)
             try l.iterator().asScala.toVector finally l.close()
@@ -220,38 +260,90 @@ object ManifestStore {
     }
   }
 
+  private val sweptLegacy =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** One-time cleanup of artifacts published under SUPERSEDED layout
    * prefixes (ADVICE r9: the per-stamp dirs of the pre-manifest
    * protocol were swept only within their own prefix, so a prefix bump
-   * leaked the old generation in tmp forever). Safe to call on every
-   * ensure — it only ever matches dead layouts. */
+   * leaked the old generation in tmp forever). Dead layouts cannot
+   * reappear within a process, so each prefix sweeps ONCE per JVM —
+   * repeat serve calls must not pay a full tmpdir listing (the same
+   * hot-path argument as [[memoFrame]]). */
   def sweepLegacyPrefixes(prefixes: Seq[String]): Unit = {
+    val todo = prefixes.filter(sweptLegacy.add)
+    if (todo.isEmpty) return
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     if (!Files.isDirectory(tmp)) return
     val l = Files.list(tmp)
     try l.iterator().asScala.toVector.foreach { p =>
       val n = p.getFileName.toString
-      if (prefixes.exists(n.startsWith)) Q.deleteRecursively(p)
+      if (todo.exists(n.startsWith)) Q.deleteRecursively(p)
     } finally l.close()
   }
 
-  /** Per-JVM memo for constructed serve DataFrames, keyed by (session
-   * identity, store, stamp): a published artifact state is IMMUTABLE,
-   * but `spark.read.parquet(paths: _*)` resolves its relation eagerly —
+  /** Per-JVM memo for constructed serve DataFrames, keyed by (session,
+   * store, stamp): a published artifact state is IMMUTABLE, but
+   * `spark.read.parquet(paths: _*)` resolves its relation eagerly —
    * listing every referenced partition dir costs ~40–60 ms per call at
    * gate scale, and the LSH/graph consumers construct the serve frame
    * several times per entry. The memo returns the same (immutable,
    * plan-reusable) DataFrame for repeat calls; a corpus change moves
-   * the stamp and naturally misses. Entries are few (stamps seen per
-   * JVM × 2 artifacts) — no eviction needed. */
-  private val frameMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), Any]()
+   * the stamp and naturally misses. The outer map holds the SESSION
+   * weakly — a stopped, collected session releases every frame built
+   * on it (an identity-hash key would both pin those frames forever
+   * and risk serving a dead session's frame after hash reuse). Inner
+   * entries are few (stamps seen per session × 2 artifacts). */
+  private val frameMemo = new java.util.WeakHashMap[
+    AnyRef, java.util.concurrent.ConcurrentHashMap[(String, String), Any]]()
 
   def memoFrame[T](session: AnyRef, store: Path, stamp: String)
-                  (build: => T): T =
-    frameMemo.computeIfAbsent(
-      (System.identityHashCode(session), store.toString, stamp),
-      _ => build).asInstanceOf[T]
+                  (build: => T): T = {
+    val perSession = frameMemo.synchronized {
+      var m = frameMemo.get(session)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), Any]()
+        frameMemo.put(session, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((store.toString, stamp), _ => build)
+      .asInstanceOf[T]
+  }
+
+  /** Manifest entries for freshly published bucket dirs WITH their row
+   * counts, gathered in ONE delta-sized job (count(*) over parquet
+   * reads row-group metadata, and the segment just written is
+   * delta-sized by construction); bucket attribution comes from the
+   * published dir name in the file path. Build-path only — serves
+   * never call this. */
+  def entriesWithRows(s: SparkSession, store: Path, kind: String,
+                      kids: Seq[(Int, String)],
+                      dirCol: String = "bucket"): Seq[Entry] = {
+    import org.apache.spark.sql.functions._
+    if (kids.isEmpty) return Seq.empty
+    val counts = s.read
+      .parquet(kids.map(k => store.resolve(k._2).toString): _*)
+      .groupBy(regexp_extract(input_file_name(),
+        java.util.regex.Pattern.quote(dirCol + "_") + "([0-9]+)/", 1).as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0).toInt -> r.getLong(1)).toMap
+    kids.map { case (b, rel) => Entry(kind, b, rel, counts.getOrElse(b, 0L)) }
+  }
+
+  /** Schema-pinned multi-root read of one `kind`'s referenced
+   * partition dirs; a typed empty frame when none are referenced (an
+   * empty corpus publishes a manifest with zero entries — the explicit
+   * schema is what keeps that case typed). Shared by both indexes so a
+   * protocol change to the read posture lands once. */
+  def readEntries(s: SparkSession, store: Path, entries: Seq[Entry],
+                  kind: String, schema: StructType): DataFrame = {
+    val paths = entries.filter(_.kind == kind)
+      .map(e => store.resolve(e.rel).toString)
+    if (paths.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).parquet(paths: _*)
+  }
 
   /** Total bytes under a store-relative entry set — the observability
    * hook ScaleSmoke and the specs use to pin "refresh writes ∝ delta":

@@ -86,34 +86,23 @@ object MinHashSigIndex {
   def buildPlan(s: SparkSession, dir: String): DataFrame =
     graft.queries.LlmOps.sigsPlan(s, dir)
 
-  private def emptyDf(s: SparkSession, sch: StructType): DataFrame =
-    s.createDataFrame(s.sparkContext.emptyRDD[Row], sch)
-
-  private def readEntries(s: SparkSession, st: Path,
-                          entries: Seq[ManifestStore.Entry],
-                          kind: String, sch: StructType): DataFrame = {
-    val paths = entries.filter(_.kind == kind)
-      .map(e => st.resolve(e.rel).toString)
-    if (paths.isEmpty) emptyDf(s, sch)
-    else s.read.schema(sch).parquet(paths: _*)
-  }
-
   /** Serve the reconciled table from an entry set: union of data
    * segments, minus tombstoned keys. Steady-state (one segment, no
    * tombstones) this is a single multi-path scan — the r9 serve plan. */
   private def serveFrom(s: SparkSession, st: Path,
                         entries: Seq[ManifestStore.Entry]): DataFrame = {
-    val data = readEntries(s, st, entries, "data", schema)
+    val data = ManifestStore.readEntries(s, st, entries, "data", schema)
     val tombs = entries.filter(_.kind == "tomb")
     if (tombs.isEmpty) data
-    else data.join(readEntries(s, st, entries, "tomb", keySchema),
+    else data.join(ManifestStore.readEntries(s, st, entries, "tomb", keySchema),
         Seq("doc_id", "text_hash"), "left_anti")
       .select(schema.fieldNames.map(col): _*) // join hoists key columns
   }
 
   /** Write `df` (schema [+ bucket]) as one published bucket-partitioned
-   * segment; returns its manifest entries under `kind`. One shuffle on
-   * the bucket key keeps it one file per bucket dir. */
+   * segment; returns its manifest entries under `kind`, row counts
+   * recorded (the compaction-pressure statistic). One shuffle on the
+   * bucket key keeps it one file per bucket dir. */
   private def writeSeg(st: Path, df: DataFrame, kind: String)
       : Seq[ManifestStore.Entry] = {
     val staging = ManifestStore.newSegStaging(st)
@@ -122,8 +111,8 @@ object MinHashSigIndex {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(staging.toString)
     val seg = ManifestStore.finalizeSeg(staging)
-    ManifestStore.bucketChildren(st, seg)
-      .map { case (b, rel) => ManifestStore.Entry(kind, b, rel) }
+    ManifestStore.entriesWithRows(df.sparkSession, st, kind,
+      ManifestStore.bucketChildren(st, seg))
   }
 
   /** The persisted signature table for `dir`'s documents:
@@ -160,7 +149,7 @@ object MinHashSigIndex {
         // never crosses an exchange — freshKeys (delta-sized) joins
         // back against the corpus scan, AQE broadcasts it when the
         // delta is small.
-        val segKeys = readEntries(s, st, base.entries, "data", keySchema)
+        val segKeys = ManifestStore.readEntries(s, st, base.entries, "data", keySchema)
         val dh = docs.select("doc_id", "text_hash")
         val freshKeys = dh.join(segKeys,
           Seq("doc_id", "text_hash"), "left_anti")
@@ -184,16 +173,31 @@ object MinHashSigIndex {
     ManifestStore.Manifest(stamp, entries)
   }
 
-  /** Buckets whose data chain outgrew [[MAXCHAIN]] rewrite into one
-   * fresh segment from their RECONCILED rows (per-bucket I/O); their
+  /** Buckets under compaction pressure rewrite into one fresh segment
+   * from their RECONCILED rows (per-bucket I/O, never corpus); their
    * old data entries and tombstones drop from the manifest. Everything
-   * else is carried over untouched. */
+   * else is carried over untouched. Two triggers, both read from the
+   * manifest's recorded row counts — no extra jobs:
+   *  - chain length > [[MAXCHAIN]] (append pressure: too many
+   *    segments to union at serve);
+   *  - tombstoned rows > 30% of the bucket's physical rows (delete
+   *    pressure: a shrink-only corpus appends no segments, so without
+   *    this the cumulative tombstone set would be rewritten per
+   *    refresh and dead rows never reclaimed — write I/O would grow
+   *    with total-ever-deleted instead of the delta). */
   private def maybeCompact(s: SparkSession, st: Path,
                            entries: Seq[ManifestStore.Entry])
       : Seq[ManifestStore.Entry] = {
-    val chainLen = entries.filter(_.kind == "data")
-      .groupBy(_.bucket).view.mapValues(_.size)
-    val compacting = chainLen.filter(_._2 > MAXCHAIN).keys.toSet
+    val data = entries.filter(_.kind == "data")
+    val chainLen = data.groupBy(_.bucket).view.mapValues(_.size)
+    val dataRows = data.groupBy(_.bucket).view.mapValues(_.map(_.rows).sum)
+    val deletePressure = entries.filter(_.kind == "tomb")
+      .groupBy(_.bucket).collect {
+        case (b, es) if es.map(_.rows).sum * 10 >
+          dataRows.getOrElse(b, 0L) * 3 => b
+      }.toSet
+    val compacting =
+      chainLen.filter(_._2 > MAXCHAIN).keys.toSet ++ deletePressure
     if (compacting.isEmpty) entries
     else {
       val slice = serveFrom(s, st,

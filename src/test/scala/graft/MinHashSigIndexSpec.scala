@@ -190,6 +190,28 @@ class MinHashSigIndexSpec extends AnyFunSuite {
     graft.queries.Q.deleteRecursively(Paths.get(dir))
   }
 
+  test("delete pressure compacts: a shrink-only corpus reclaims dead rows and tombstones") {
+    val dir = Files.createTempDirectory("graft_sigidx_shrink").toString
+    val docsPath = s"$dir/documents.parquet"
+    gen(0, 400, "v1").write.mode("overwrite").parquet(docsPath)
+    MinHashSigIndex.sigs(spark, dir).count()
+    // drop 75% of the corpus: no bucket appends a segment, so only the
+    // delete-pressure trigger can stop the tombstone set from being
+    // rewritten forever and the dead rows from being served-around
+    gen(0, 100, "v1").write.mode("overwrite").parquet(docsPath)
+    val shrunk = MinHashSigIndex.sigs(spark, dir)
+    val want = MinHashSigIndex.buildPlan(spark, dir)
+      .collect().map(row).sortBy(t => (t._1, t._3)).toSeq
+    assert(shrunk.collect().map(row).sortBy(t => (t._1, t._3)).toSeq == want,
+      "post-shrink serve diverged from full rebuild")
+    val m = manifest(dir)
+    assert(m.entries.forall(_.kind == "data"),
+      "75% deletion must compact the affected buckets — no live tombstones")
+    assert(m.entries.map(_.rows).sum == 100L,
+      "compacted manifest must account exactly the live rows")
+    graft.queries.Q.deleteRecursively(Paths.get(dir))
+  }
+
   test("empty→grown and grown→empty transitions refresh correctly") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_sigidx_trans").toString
