@@ -477,15 +477,23 @@ object LlmOps {
           .withColumn("rk", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
           .filter(col("rk") <= floor(col("sz") * lit(0.2)).cast("int") + lit(1))
-          .select(col("doc_id").as("a_id"), col("h"))
+          .select(col("doc_id").as("a_id"), col("sz").as("sza"), col("h"))
         // candidate distinct stays BEFORE the verify: deduping after
         // it instead (dropping this exchange) measured 2.38 s vs
         // 2.07 s — a pair surfacing via several prefix shingles pays
         // its array intersection per duplicate, which outweighs the
-        // candidate-set shuffle
+        // candidate-set shuffle. The EXACT length filter prunes inside
+        // the join (PPJoin's, same as the LSH family's): C(A,B) =
+        // |A∩B|/|A| ≥ 0.8 forces |B| ≥ |A∩B| ≥ 0.8·|A|, so any pair
+        // with |B| < 0.8·|A| is provably below threshold — no true
+        // pair can be lost, and the cross-size candidate mass never
+        // reaches the distinct shuffle or the verify.
         val cand = prefix
-          .join(ex.select(col("doc_id").as("b_id"), col("h")), "h")
-          .filter(col("a_id") =!= col("b_id"))
+          .join(ex.select(col("doc_id").as("b_id"), col("sz").as("szb"),
+              col("h")),
+            Seq("h"))
+          .filter(col("a_id") =!= col("b_id") &&
+            col("szb").cast("double") >= col("sza") * lit(0.8))
           .select("a_id", "b_id").distinct()
         cand
           .join(docs.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
