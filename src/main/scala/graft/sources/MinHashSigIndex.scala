@@ -125,10 +125,10 @@ object MinHashSigIndex {
     ManifestStore.memoFrame[DataFrame](s, st, stamp) {
       val m = ManifestStore.lockFor(st).synchronized {
         ManifestStore.currentManifest(st, stamp).getOrElse {
-          val built = refresh(s, st, dir, stamp)
-          ManifestStore.publish(st, built)
-          ManifestStore.gc(st, stamp)
-          built
+          // serve the ON-DISK winner, not the local build: a losing
+          // concurrent builder's segments are gc'ed as unreferenced
+          // (ManifestStore.publishAndServe doc; VERDICT r11 item 1)
+          ManifestStore.publishAndServe(st, refresh(s, st, dir, stamp))
         }
       }
       serveFrom(s, st, m.entries)

@@ -123,6 +123,86 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally graft.queries.Q.deleteRecursively(store)
   }
 
+  test("publishAndServe: a losing concurrent builder serves the winner's manifest, never its own gc'ed segments") {
+    val store = freshStore()
+    try {
+      // winner: a concurrent builder of the SAME stamp published first
+      val segW = mkSeg(store, Seq(0, 1))
+      val mW = Manifest("s1", ManifestStore.bucketChildren(store, segW)
+        .map { case (b, rel) => Entry("data", b, rel, 1L) })
+      ManifestStore.publish(store, mW)
+      // loser: built equivalent content, loses the publish race, and
+      // its own gc then sweeps its freshly written (unreferenced)
+      // segments — the r11-flagged hazard was serving the LOCAL
+      // manifest here, i.e. references to just-deleted dirs
+      val segL = mkSeg(store, Seq(0, 1))
+      val mL = Manifest("s1", ManifestStore.bucketChildren(store, segL)
+        .map { case (b, rel) => Entry("data", b, rel, 1L) })
+      val served = ManifestStore.publishAndServe(store, mL)
+      assert(served == mW, "the loser must serve the on-disk winner")
+      served.entries.foreach(e =>
+        assert(Files.isDirectory(store.resolve(e.rel)),
+          s"served reference must exist on disk: ${e.rel}"))
+      assert(!Files.exists(segL),
+        "the loser's orphan segments are swept, not served")
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
+  test("GC: staging older than STAGE_MAX_AGE_MS is reclaimed even while its owner PID is alive (PID recycling)") {
+    val store = freshStore()
+    try {
+      def aged(p: Path): Path = {
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - ManifestStore.STAGE_MAX_AGE_MS - 60000L))
+        p
+      }
+      val freshStage = ManifestStore.newSegStaging(store)
+      Files.createDirectories(freshStage)
+      val agedStage = aged {
+        val p = ManifestStore.newSegStaging(store)
+        Files.createDirectories(p); p
+      }
+      val agedTmp = aged {
+        val p = store.resolve(
+          s".manifest_tmp_${ProcessHandle.current().pid()}_999999")
+        Files.writeString(p, ""); p
+      }
+      ManifestStore.gc(store, "sX")
+      assert(Files.exists(freshStage),
+        "fresh live-owner staging must survive GC")
+      assert(!Files.exists(agedStage),
+        "aged staging must be reclaimed despite a live owner PID")
+      assert(!Files.exists(agedTmp),
+        "aged temp manifest must be reclaimed despite a live owner PID")
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
+  test("memoFrame: a dropped session is reclaimable even though its frames reference it") {
+    val store = freshStore()
+    try {
+      var session: AnyRef = new Object
+      val weakSession = new java.lang.ref.WeakReference[AnyRef](session)
+      // the memoized value references its session, exactly as a
+      // DataFrame references its SparkSession — the value→key pin
+      // ADVICE r11 flagged: with strong memo values this entry (and
+      // every frame and session in the memo) would live forever
+      ManifestStore.memoFrame[AnyRef](session, store, "s1")(
+        Array[AnyRef](session))
+      session = null
+      var tries = 0
+      while (weakSession.get() != null && tries < 100) {
+        System.gc()
+        ManifestStore.memoSessionCount // expunges stale entries
+        Thread.sleep(20)
+        tries += 1
+      }
+      assert(weakSession.get() == null,
+        "the session must become collectable once the caller drops it — " +
+          "a strong memo value would pin it via the frame's session ref")
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
   test("memoFrame keys on (session identity, store, stamp)") {
     val store = freshStore()
     try {
