@@ -256,14 +256,14 @@ object Curation {
     // ~|pairs| surviving rows against the md5 split assignment.
     QueryDef("q_split_leakage",
       (s, dir) => {
-        val docs = LlmOps.docsWithShingles(s, dir).cache()
         val split = rd(s, dir, "documents")
           .withColumn("sb", expr(TrainPrep.splitByteExpr))
           .select(col("doc_id"),
             when(col("sb") < 204, "train").when(col("sb") < 230, "val")
               .otherwise("test").as("split"))
-        LlmOps.neardupPairs(docs, threshold = 0.5,
-            Some(graft.sources.MinHashSigIndex.sigs(s, dir)))
+        // pairs from the persisted pair table (round 12) — the audit is
+        // a graph-sized join against the split assignment
+        graft.sources.NeardupPairsIndex.pairs(s, dir)
           .join(split.select(col("doc_id").as("a_id"), col("split").as("split_a")), "a_id")
           .join(split.select(col("doc_id").as("b_id"), col("split").as("split_b")), "b_id")
           .filter(col("split_a") =!= col("split_b"))

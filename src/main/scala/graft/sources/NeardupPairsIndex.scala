@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Q
+
+/**
+ * Content-stamped persisted near-duplicate PAIR table for the
+ * unfiltered documents corpus — the second corpus-scale dedup artifact,
+ * one level above [[MinHashSigIndex]]: exact-Jaccard-verified
+ * MinHash-LSH pairs at the declared 0.5 threshold, materialized once
+ * per corpus state.
+ *
+ * Production rationale (the same build-once/serve-many argument that
+ * introduced the signature index in round 8): a dedup pipeline runs
+ * candidates+verify ONCE and persists the resulting pair/edge table;
+ * transitive clustering, representative selection, split-leakage
+ * audits, and estimator audits are all downstream consumers of that
+ * GRAPH-sized table — none of them re-runs the corpus-wide band join.
+ * Before this artifact, six gate entries each re-ran the identical
+ * candidates+verify pipeline per execution; at 100 TB that is six
+ * corpus-scale shuffles where one suffices. The pair table is tiny
+ * relative to the corpus (near-dup graphs are sparse — |pairs| ≪ n),
+ * so the serve is a single small parquet scan.
+ *
+ * Layout: the shared stamped-artifact protocol (Q.ensureStamped —
+ * per-process staging, one atomic publish, stale-stamp sweep), not the
+ * per-partition ManifestStore: the artifact is graph-sized, so a
+ * full republish IS delta-sized in the sense that matters (it is
+ * orders of magnitude below corpus I/O). Incremental maintenance at
+ * lake scale composes from the pieces already pinned elsewhere: the
+ * delta's pairs come from banding delta signatures against the full
+ * signature table (exactly q_incr_dedup / s_incr_dedup's cross-set
+ * shape, oracle-pinned) unioned with carried pairs among surviving
+ * docs; the full rebuild here keeps the gate artifact simple and the
+ * equivalence spec-pinned (StampedArtifactSpec posture:
+ * NeardupPairsIndexSpec pins artifact ≡ fresh pipeline, reuse without
+ * rebuild, and stamp-change rebuild).
+ *
+ * Serve schema: (a_id, b_id, jaccard) with a_id < b_id, full-precision
+ * jaccard — consumers round at their declared output.
+ */
+object NeardupPairsIndex {
+
+  val schema: StructType = StructType(Seq(
+    StructField("a_id", LongType),
+    StructField("b_id", LongType),
+    StructField("jaccard", DoubleType)))
+
+  /** Threshold is part of the layout: a different operating point must
+   * address a fresh store (only 0.5 is declared in the gate). */
+  private def prefix(threshold: Double) =
+    s"graft_neardup_pairs_t${(threshold * 100).toInt}_"
+
+  /** The full candidates+verify build plan (unpersisted) — exposed for
+   * the equivalence spec pin. Signatures come from the persisted
+   * [[MinHashSigIndex]]; shingle arrays are re-derived for the exact
+   * verify (they never persist — text-derived arrays are corpus-sized,
+   * the signature table is the persisted projection). */
+  def buildPlan(s: SparkSession, dir: String,
+                threshold: Double = 0.5): DataFrame =
+    graft.queries.LlmOps.neardupPairs(
+      graft.queries.LlmOps.docsWithShingles(s, dir), threshold,
+      Some(MinHashSigIndex.sigs(s, dir)))
+
+  /** The persisted pair table for `dir`'s documents: build-if-absent,
+   * then a single-file scan (memoized per session+stamp like the other
+   * artifacts' serve frames). */
+  def pairs(s: SparkSession, dir: String,
+            threshold: Double = 0.5): DataFrame = {
+    val stamp = Q.contentStamp(dir, "documents")
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val idx = Q.ensureStamped(prefix(threshold) + tag + "_", stamp) {
+      staging =>
+        // graph-sized output: one file, one listing at every serve
+        buildPlan(s, dir, threshold).coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+    }
+    ManifestStore.memoFrame[DataFrame](s, idx, stamp) {
+      s.read.schema(schema).parquet(idx.toString)
+    }
+  }
+}
