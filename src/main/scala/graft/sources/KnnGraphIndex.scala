@@ -99,20 +99,62 @@ object KnnGraphIndex {
         signBucket("embedding").as("bucket"),
         xxhash64(col("embedding")).as("vec_hash"))
 
+  /** Hot-bucket split thresholds (VERDICT r11 item 4). The sign bucket
+   * is the pair join's blocking key, so a bucket's |B|² pair mass lands
+   * in ONE shuffle task — one dense embedding cluster makes the build
+   * (and any refresh touching that bucket) as slow as its hottest
+   * bucket, regardless of cluster width. Buckets larger than
+   * [[SPLIT_ROWS]] split for the BUILD: the a-side subdivides by an
+   * extra vec_id hash into ceil(|B|/SPLIT_ROWS) sub-buckets (capped at
+   * [[MAX_SUB]]) and the b-side replicates to every sub-bucket, so each
+   * sub-task probes the FULL parent bucket (the multiprobe side). Every
+   * in-bucket pair still meets exactly once — the edge set is
+   * row-identical to the unsplit build (spec-pinned) — while the hot
+   * bucket's quadratic mass spreads over nsub tasks of ≤ ~SPLIT_ROWS
+   * a-rows each. Replication is linear (nsub·|B| extra b-rows), the
+   * price of parallelizing the quadratic term. Cold buckets get
+   * nsub = 1 (sub ≡ 0), the pre-split plan. Gate corpora peak at 137
+   * rows/bucket — far under threshold; the split engages only at scale
+   * (ScaleSmoke plants a hot bucket and measures both variants). */
+  val SPLIT_ROWS = 2048L
+  val MAX_SUB = 64
+
+  /** The salted build sides over a (vec_id, embedding, bucket) frame:
+   * a-side rows carry sub = hash(vec_id) mod nsub(bucket); b-side rows
+   * replicate to all nsub subs. Exposed to the spec so it can pin the
+   * per-sub-task a-row bound and the b-side replication factor. */
+  private[graft] def saltedSides(e: DataFrame, splitRows: Long)
+      : (DataFrame, DataFrame) = {
+    val sizes = e.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    val sized = e.join(broadcast(sizes), "bucket").withColumn("nsub",
+      least(lit(MAX_SUB.toLong),
+        greatest(lit(1L), ceil(col("bucket_n") / lit(splitRows.toDouble))))
+        .cast("int"))
+    val a = sized.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("bucket"),
+      pmod(xxhash64(col("vec_id")), col("nsub")).cast("int").as("sub"))
+    val b = sized.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("bucket"),
+      explode(sequence(lit(0), col("nsub") - 1)).as("sub"))
+    (a, b)
+  }
+
   /**
    * The edge-BUILD plan over a (vec_id, embedding, bucket) frame:
    * every vector's top-[[KMAX]] in-bucket cosine neighbors,
-   * rn-labelled. Per-bucket work is (N/16)², never global N²; the
-   * per-vector cut is the TopKPerKey map-side prune (a bare window
-   * would sort each bucket's full pair set in one partition); the rn
+   * rn-labelled. Per-bucket work is (N/16)², never global N² — and a
+   * hot bucket's share spreads over sub-bucket tasks (see
+   * [[SPLIT_ROWS]]); the per-vector cut is the TopKPerKey map-side
+   * prune (a bare window would sort each bucket's full pair set in one
+   * partition — every a_id's candidates sit in one (bucket, sub)
+   * partition, so the partial prune still sees each key whole); the rn
    * label is then a window over ≤ KMAX rows per vector.
    */
-  private def edgesFor(e: DataFrame): DataFrame = {
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-      col("bucket"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-      col("bucket"))
-    val scored = a.join(b, Seq("bucket"))
+  private def edgesFor(e: DataFrame): DataFrame = edgesFor(e, SPLIT_ROWS)
+
+  private[graft] def edgesFor(e: DataFrame, splitRows: Long): DataFrame = {
+    val (a, b) = saltedSides(e, splitRows)
+    val scored = a.join(b, Seq("bucket", "sub"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos",
         graft.functions.VectorFunctions.vecCosine(col("ea"), col("eb")))

@@ -196,4 +196,59 @@ class KnnGraphIndexSpec extends AnyFunSuite {
     // and the real corpus's index is untouched by the other build
     assert(KnnGraphIndex.edges(spark, sf).count() > 0L)
   }
+
+  test("hot-bucket split: split build ≡ unsplit build; sub-tasks bounded; b-side multiprobes the full bucket") {
+    // planted skew: 300 vectors land in sign bucket 15 (all first-4
+    // components positive), ~100 spread across the others — a 10×+
+    // hot bucket at a 64-row split threshold (nsub = ceil(300/64) = 5)
+    val corpus = spark.range(0, 400).selectExpr(
+      "id AS vec_id",
+      """CASE WHEN id < 300
+        |  THEN transform(sequence(0, 63), i -> CAST(abs(sin(id * 131 + i)) + 0.01 AS FLOAT))
+        |  ELSE transform(sequence(0, 63), i -> CAST(sin(id * 131 + i) AS FLOAT))
+        |END AS embedding""".stripMargin)
+      .selectExpr("vec_id", "embedding",
+        """CAST(element_at(embedding, 1) > 0 AS INT)
+          |+ 2 * CAST(element_at(embedding, 2) > 0 AS INT)
+          |+ 4 * CAST(element_at(embedding, 3) > 0 AS INT)
+          |+ 8 * CAST(element_at(embedding, 4) > 0 AS INT) AS bucket""".stripMargin)
+      .cache()
+    try {
+      graft.functions.VectorFunctions.register(spark)
+      val hotN = corpus.filter(col("bucket") === 15).count()
+      assert(hotN >= 300L, s"plant failed: bucket 15 has $hotN rows")
+      // the contract: the edge set is ROW-identical with and without
+      // the split — sub-bucketing is a build-parallelism refinement,
+      // never a semantics change
+      val unsplit = KnnGraphIndex.edgesFor(corpus, splitRows = Long.MaxValue)
+        .collect().map(_.toString).sorted.toSeq
+      val split = KnnGraphIndex.edgesFor(corpus, splitRows = 64L)
+        .collect().map(_.toString).sorted.toSeq
+      assert(split.nonEmpty && split == unsplit,
+        "split build diverged from the unsplit edge set")
+      // per-sub-task cost bound: the hot bucket's a-side spreads over
+      // nsub = ceil(|B|/threshold) subs, none holding more than ~2×
+      // the threshold (hash-uniformity slack); cold buckets stay whole
+      val (aSide, bSide) = KnnGraphIndex.saltedSides(corpus, 64L)
+      val aGroups = aSide.groupBy("bucket", "sub")
+        .agg(count(lit(1)).as("n")).collect()
+      val hotSubs = aGroups.filter(_.getInt(0) == 15)
+      val expectSubs = math.ceil(hotN / 64.0).toInt
+      assert(hotSubs.length == expectSubs,
+        s"hot bucket split into ${hotSubs.length} subs, wanted $expectSubs")
+      assert(hotSubs.map(_.getLong(2)).max <= 128L,
+        "a sub-task's a-side exceeded 2× the split threshold")
+      aGroups.filter(r => r.getInt(0) != 15 && corpus
+          .filter(col("bucket") === r.getInt(0)).count() <= 64L)
+        .foreach(r => assert(r.getInt(1) == 0,
+          s"cold bucket ${r.getInt(0)} was split"))
+      // multiprobe: every sub-task's candidate b-side is the FULL
+      // parent bucket — replication factor is exactly nsub
+      val bHot = bSide.filter(col("bucket") === 15)
+        .groupBy("sub").agg(count(lit(1)).as("n")).collect()
+      assert(bHot.length == expectSubs &&
+        bHot.forall(_.getLong(1) == hotN),
+        "b-side does not replicate the full hot bucket to every sub")
+    } finally corpus.unpersist()
+  }
 }
