@@ -74,8 +74,12 @@ object NeardupPairsIndex {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val idx = Q.ensureStamped(prefix(threshold) + tag + "_", stamp) {
       staging =>
-        // graph-sized output: one file, one listing at every serve
-        buildPlan(s, dir, threshold).coalesce(1)
+        // graph-sized output: one file, one listing at every serve.
+        // repartition, NOT coalesce — coalesce(1) would collapse the
+        // build's final stage (the exact-verify join runs after the
+        // last exchange) to one task; the explicit shuffle moves only
+        // the graph-sized result rows and keeps the verify parallel
+        buildPlan(s, dir, threshold).repartition(1)
           .write.mode("overwrite").parquet(staging.toString)
     }
     ManifestStore.memoFrame[DataFrame](s, idx, stamp) {

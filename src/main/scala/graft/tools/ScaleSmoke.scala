@@ -241,6 +241,111 @@ object ScaleSmoke {
     graft.queries.Q.deleteRecursively(
       java.nio.file.Paths.get(edgeStore))
 
+    // ---- round-12 hot-bucket split A/B (VERDICT r11 item 4) ------------
+    // The sign bucket is the edge build's blocking key, so a dense
+    // embedding cluster concentrates |B|² pair mass in ONE join task.
+    // Plant ~60% of a 12k-vector corpus in one sign bucket (≈10× the
+    // uniform 1/16 share) and run the edge build with the split
+    // disabled vs the shipped SPLIT_ROWS threshold: identical edge set
+    // (checksummed here, row-pinned in KnnGraphIndexSpec), the hot
+    // mass spread over ceil(|B|/SPLIT_ROWS) sub-tasks instead of one.
+    graft.functions.VectorFunctions.register(spark)
+    val nVec = 12000L
+    val hotVecs = spark.range(nVec).selectExpr(
+      "id AS vec_id",
+      """CASE WHEN id % 5 < 3
+        |  THEN transform(sequence(0, 63), i -> CAST(abs(sin(id * 131 + i)) + 0.01 AS FLOAT))
+        |  ELSE transform(sequence(0, 63), i -> CAST(sin(id * 131 + i) AS FLOAT))
+        |END AS embedding""".stripMargin)
+      .selectExpr("vec_id", "embedding",
+        """CAST(element_at(embedding, 1) > 0 AS INT)
+          |+ 2 * CAST(element_at(embedding, 2) > 0 AS INT)
+          |+ 4 * CAST(element_at(embedding, 3) > 0 AS INT)
+          |+ 8 * CAST(element_at(embedding, 4) > 0 AS INT) AS bucket""".stripMargin)
+      .cache()
+    val hotMass = hotVecs.filter(col("bucket") === 15).count()
+    record("hot_corpus_rows", nVec); record("hot_bucket_rows", hotMass)
+    record("hot_nsub", math.ceil(hotMass.toDouble /
+      graft.sources.KnnGraphIndex.SPLIT_ROWS).toInt)
+    println(s"[scale]   hot bucket rows=$hotMass of $nVec")
+    def edgeSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("a_id"), col("b_id"), col("rn"))))
+        .head().getLong(0)
+    // measure in the SHUFFLED-join regime: at smoke scale a 12k-vector
+    // b-side auto-broadcasts and the input partitioning hides the skew
+    // entirely (hot rows spread uniformly over input splits); at lake
+    // scale the corpus is far past any broadcast threshold and the join
+    // shuffles on the blocking key — the regime where one bucket's |B|²
+    // pair mass lands in one task. AQE's skew split cannot see it
+    // either: it keys on pre-join shuffle-partition BYTES (the hot
+    // bucket's a-side is ~2 MB here), not on join-output explosion.
+    val prevBJ = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sumUnsplit = time("edge build, hot bucket, split OFF")(
+      edgeSum(graft.sources.KnnGraphIndex.edgesFor(hotVecs, Long.MaxValue)))
+    val sumSplit = time("edge build, hot bucket, split ON")(
+      edgeSum(graft.sources.KnnGraphIndex.edgesFor(hotVecs,
+        graft.sources.KnnGraphIndex.SPLIT_ROWS)))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBJ)
+    println(s"[scale]   edge-set checksums agree=${sumUnsplit == sumSplit}")
+    record("hot_split_agree", sumUnsplit == sumSplit)
+    hotVecs.unpersist()
+
+    // ---- round-12 serve cost vs segment-chain length (VERDICT r11 item 8)
+    // A sig-store serve reads each bucket's reconciled CHAIN of
+    // segments; every extra segment per bucket is another root to
+    // list, plan, and scan per action. Grow a corpus by deltas so the
+    // max chain walks 1 → 2 → 3 → 4, timing a serve-only call (3-rep
+    // min) at each length, then push past MAXCHAIN so the refresh
+    // compacts chains back to one segment per bucket and time that —
+    // the before/after of the compaction policy, and the measured
+    // justification for its threshold.
+    val chainDir = java.nio.file.Files
+      .createTempDirectory("graft_scale_chain").toString
+    def writeDocs(lo: Long, hi: Long, mode: String): Unit =
+      spark.range(lo, hi).selectExpr("id AS doc_id",
+          "concat('chain doc ', id, ' body text for the serve curve ', id * 31) AS text",
+          "'l0' AS lang", "'gen' AS source", "48L AS n_chars")
+        .write.mode(mode).parquet(s"$chainDir/documents.parquet")
+    val chainStore = graft.sources.MinHashSigIndex.store(chainDir)
+    def maxChain(): Int = {
+      val stamp = graft.queries.Q.contentStamp(chainDir, "documents")
+      graft.sources.ManifestStore.currentManifest(chainStore, stamp)
+        .map(_.entries.filter(_.kind == "data").groupBy(_.bucket)
+          .values.map(_.size).max).getOrElse(0)
+    }
+    def chainFiles(): Long = {
+      val w = java.nio.file.Files.walk(chainStore)
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala
+          .count(java.nio.file.Files.isRegularFile(_)).toLong
+      } finally w.close()
+    }
+    def chainPoint(step: Int): Unit = {
+      // first call pays the (delta-sized) refresh; the timed reps are
+      // pure serves of the already-published manifest
+      graft.sources.MinHashSigIndex.sigs(spark, chainDir).count()
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.sources.MinHashSigIndex.sigs(spark, chainDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val c = maxChain(); val f = chainFiles()
+      println(f"[scale]   serve step=$step chain=$c files=$f $secs%8.3f s")
+      record(f"sig_serve_chain_$step", Map(
+        "max_chain" -> c, "store_files" -> f,
+        "serve_sec" -> math.round(secs * 1000) / 1000.0))
+    }
+    writeDocs(0, 40000, "overwrite")
+    time("sig chain base build (40k docs)")(chainPoint(0))
+    (1 to 4).foreach { i =>
+      writeDocs(40000L + (i - 1) * 4000L, 40000L + i * 4000L, "append")
+      chainPoint(i)
+    }
+    graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(chainDir))
+    graft.queries.Q.deleteRecursively(chainStore)
+
     // ---- round-8 ExactSubstr kernel A/B at the same scale --------------
     // substr_hash_windows vs the interpreted transform-HOF it replaced:
     // same window multiset (equal substrings hash equal under both), so
