@@ -215,14 +215,40 @@ object StreamingOps {
    * s_semantic_decon and s_late_data. The memo is the same
    * weak-valued serve-frame memo the persisted artifacts use (memory-
    * sink tables are session-lived; a corpus change moves the stamp). */
+  /** Strong memo for the shared runs — NOT ManifestStore.memoFrame:
+   * that memo's WeakReference values are sized for a ~50 ms artifact
+   * relation re-resolve, where a cleared entry is a cheap rebuild.
+   * Here the value is a memory-sink-backed result whose rebuild is a
+   * full streaming bring-up, and the twins run far enough apart that
+   * any minor GC between them would clear a weak value — forfeiting
+   * the one-run-per-shape saving nondeterministically and leaking the
+   * orphaned memory-sink table each miss. Values strongly reference
+   * their session, so entries are swept once their session stops
+   * (checked on every call); size is bounded by live sessions ×
+   * shapes, and a corpus change replaces the same key's entry (old
+   * stamp evicted with it) rather than accreting. */
+  private val sharedRuns = scala.collection.mutable.HashMap[
+    (SparkSession, String, String), (String, DataFrame)]()
+
   private def sharedWindowedRun(s: SparkSession, dir: String,
                                 shape: String)
-                               (agg: DataFrame => DataFrame): DataFrame =
-    graft.sources.ManifestStore.memoFrame[DataFrame](s,
-      java.nio.file.Paths.get(dir, "stream_" + shape),
-      Q.contentStamp(dir, "events")) {
-      runToBatch(s, agg(streamEvents(s, dir)), "s_shared_" + shape)
+                               (agg: DataFrame => DataFrame): DataFrame = {
+    val stamp = Q.contentStamp(dir, "events")
+    // the lock spans the run itself: gate paths execute entries
+    // sequentially per session, so contention is only ever a twin of
+    // ANOTHER shape arriving mid-run, and the ceiling is one bring-up
+    sharedRuns.synchronized {
+      sharedRuns.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      sharedRuns.get((s, dir, shape)) match {
+        case Some((`stamp`, df)) => df
+        case _ =>
+          val df = runToBatch(s, agg(streamEvents(s, dir)),
+            "s_shared_" + shape)
+          sharedRuns.put((s, dir, shape), (stamp, df))
+          df
+      }
     }
+  }
 
   private def tumblingAgg(ev: DataFrame): DataFrame = ev
     .withWatermark("ts", "10 minutes")

@@ -122,10 +122,18 @@ object KnnGraphIndex {
   /** The salted build sides over a (vec_id, embedding, bucket) frame:
    * a-side rows carry sub = hash(vec_id) mod nsub(bucket); b-side rows
    * replicate to all nsub subs. Exposed to the spec so it can pin the
-   * per-sub-task a-row bound and the b-side replication factor. */
-  private[graft] def saltedSides(e: DataFrame, splitRows: Long)
+   * per-sub-task a-row bound and the b-side replication factor.
+   * `sizesIn`: per-bucket row counts (bucket, bucket_n) when the
+   * caller already has a cheap source — [[refresh]] passes its cached
+   * 24-byte (vec_id, bucket, vec_hash) projection's counts so the size
+   * pass never re-scans (and re-sign-buckets) the embedding vectors;
+   * bucket is COMPUTED from the embedding column, so column pruning
+   * cannot save a sizes aggregation taken from `e` itself. */
+  private[graft] def saltedSides(e: DataFrame, splitRows: Long,
+                                 sizesIn: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
-    val sizes = e.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    val sizes = sizesIn.getOrElse(
+      e.groupBy("bucket").agg(count(lit(1)).as("bucket_n")))
     val sized = e.join(broadcast(sizes), "bucket").withColumn("nsub",
       least(lit(MAX_SUB.toLong),
         greatest(lit(1L), ceil(col("bucket_n") / lit(splitRows.toDouble))))
@@ -150,10 +158,16 @@ object KnnGraphIndex {
    * partition, so the partial prune still sees each key whole); the rn
    * label is then a window over ≤ KMAX rows per vector.
    */
-  private def edgesFor(e: DataFrame): DataFrame = edgesFor(e, SPLIT_ROWS)
+  private def edgesFor(e: DataFrame,
+                       sizesIn: Option[DataFrame] = None): DataFrame =
+    edgesFor(e, SPLIT_ROWS, sizesIn)
 
-  private[graft] def edgesFor(e: DataFrame, splitRows: Long): DataFrame = {
-    val (a, b) = saltedSides(e, splitRows)
+  private[graft] def edgesFor(e: DataFrame, splitRows: Long): DataFrame =
+    edgesFor(e, splitRows, None)
+
+  private[graft] def edgesFor(e: DataFrame, splitRows: Long,
+                              sizesIn: Option[DataFrame]): DataFrame = {
+    val (a, b) = saltedSides(e, splitRows, sizesIn)
     val scored = a.join(b, Seq("bucket", "sub"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos",
@@ -259,13 +273,21 @@ object KnnGraphIndex {
             // sign key, turning this into a pruned scan of exactly the
             // changed buckets' files.
             val slice = cur.filter(col("bucket").isin(changed.toSeq: _*))
-            writeSeg(st, edgesFor(slice), "edges", withRn = true) ++
+            // split sizes from the CACHED 24-byte projection — never a
+            // second scan+rehash of the embedding vectors (saltedSides)
+            val sliceSizes = curMeta
+              .filter(col("bucket").isin(changed.toSeq: _*))
+              .groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+            writeSeg(st, edgesFor(slice, Some(sliceSizes)),
+                "edges", withRn = true) ++
               writeSeg(st,
                 curMeta.filter(col("bucket").isin(changed.toSeq: _*)),
                 "vecs", withRn = false) ++ carried
           }
         case None =>
-          writeSeg(st, edgesFor(cur), "edges", withRn = true) ++
+          val sizes = curMeta.groupBy("bucket")
+            .agg(count(lit(1)).as("bucket_n"))
+          writeSeg(st, edgesFor(cur, Some(sizes)), "edges", withRn = true) ++
             writeSeg(st, curMeta, "vecs", withRn = false)
       }
       ManifestStore.Manifest(stamp, entries)

@@ -200,18 +200,29 @@ object ManifestStore {
     val target = manifestFile(store, m.stamp)
     try { Files.createLink(target, tmp); Files.deleteIfExists(tmp) }
     catch {
-      case _: UnsupportedOperationException =>
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp) // lost the race benignly
+      case _@(_: UnsupportedOperationException |
+              _: java.nio.file.FileSystemException)
+          if Files.exists(target) =>
+        // link failed AND the target exists: a concurrent publisher
+        // won between our attempt and this check — same benign loss
+        Files.deleteIfExists(tmp)
+      case _@(_: UnsupportedOperationException |
+              _: java.nio.file.FileSystemException) =>
+        // no winner on disk: the filesystem itself refused the link.
+        // The JDK's default providers surface missing hard-link
+        // support (vfat/exFAT, some network/overlay mounts — link(2)
+        // EPERM/EOPNOTSUPP) as FileSystemException, NOT
+        // UnsupportedOperationException, so both types must reach
+        // this replace-prone rename fallback; publishAndServe's
+        // re-read still converges every caller onto on-disk state.
         try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
         catch { case _: java.nio.file.FileSystemException =>
           Files.deleteIfExists(tmp)
           if (!Files.exists(target)) throw new IllegalStateException(
             s"manifest publish for ${m.stamp} failed")
         }
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.FileSystemException =>
-        Files.deleteIfExists(tmp)
-        if (!Files.exists(target)) throw new IllegalStateException(
-          s"manifest publish for ${m.stamp} failed")
     }
   }
 
@@ -249,22 +260,38 @@ object ManifestStore {
       .exists(_.isAlive)
   }
 
-  /** Staging older than this is reclaimable regardless of PID liveness
-   * (ADVICE r11: PIDs recycle — an unrelated long-lived process that
-   * happens to reuse a crashed builder's PID would otherwise keep its
-   * `.stage_` dirs alive indefinitely). No real build stages anywhere
-   * near this long: a segment write is delta-sized by construction. */
+  /** Staging with no write ACTIVITY for this long is reclaimable
+   * regardless of PID liveness (ADVICE r11: PIDs recycle — an
+   * unrelated long-lived process that happens to reuse a crashed
+   * builder's PID would otherwise keep its `.stage_` dirs alive
+   * indefinitely). Age is measured from the newest mtime anywhere
+   * under the staging tree, not the dir's creation: an in-flight
+   * write keeps producing files and so keeps refreshing its own
+   * lease — even a multi-hour initial full-corpus segment build
+   * stays protected while it streams — whereas a genuinely abandoned
+   * tree goes quiet and ages out. */
   private[graft] val STAGE_MAX_AGE_MS: Long = 6L * 3600 * 1000
 
+  /** Newest last-modified time under `p` (the dir itself counts): the
+   * "last write activity" signal for the staging lease. Staging trees
+   * are delta-sized, so the walk is a cheap metadata pass; gc is the
+   * only caller. IO errors mean entries vanishing under a concurrent
+   * reclaim — report "no activity". */
+  private def newestMtime(p: Path): Long =
+    try {
+      val w = Files.walk(p)
+      try w.iterator().asScala
+        .map(f => Files.getLastModifiedTime(f).toMillis)
+        .foldLeft(0L)(math.max)
+      finally w.close()
+    } catch { case _: java.io.IOException => 0L }
+
   /** In-flight staging survives GC only while its owner is alive AND
-   * the entry is younger than [[STAGE_MAX_AGE_MS]] — bare liveness is
-   * not proof of ownership after PID recycling. */
+   * the tree saw write activity within [[STAGE_MAX_AGE_MS]] — bare
+   * liveness is not proof of ownership after PID recycling. */
   private def stageLive(p: Path): Boolean =
-    ownerAlive(p.getFileName.toString) && {
-      try System.currentTimeMillis() -
-        Files.getLastModifiedTime(p).toMillis < STAGE_MAX_AGE_MS
-      catch { case _: java.io.IOException => false } // vanished mid-walk
-    }
+    ownerAlive(p.getFileName.toString) &&
+      System.currentTimeMillis() - newestMtime(p) < STAGE_MAX_AGE_MS
 
   /** Drop superseded manifests, then every segment-PARTITION dir no
    * surviving manifest references (a refresh that replaces one bucket
@@ -361,9 +388,18 @@ object ManifestStore {
    * published); a stopped session whose frames are no longer
    * reachable collapses to weakly-reachable and its whole entry is
    * expunged (ManifestStoreSpec pins the reclaim). */
+  /** Per-key cell: the lock granularity for [[memoFrame]]. Locking the
+   * whole per-session map would serialize EVERY artifact's serve/build
+   * on a session behind whichever build happens to be in flight (a
+   * corpus refresh can run minutes); a holder per (store, stamp) blocks
+   * only same-key callers — exactly the dedup the memo exists for. */
+  private final class MemoCell {
+    var ref: java.lang.ref.WeakReference[Any] = null
+  }
+
   private val frameMemo = new java.util.WeakHashMap[
     AnyRef, java.util.concurrent.ConcurrentHashMap[
-      (String, String), java.lang.ref.WeakReference[Any]]]()
+      (String, String), MemoCell]]()
 
   /** Sessions currently holding memo entries — the spec's reclaim
    * probe. Calling size() expunges stale (collected-key) entries. */
@@ -376,19 +412,21 @@ object ManifestStore {
       var m = frameMemo.get(session)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[
-          (String, String), java.lang.ref.WeakReference[Any]]()
+          (String, String), MemoCell]()
         frameMemo.put(session, m)
       }
       m
     }
-    val key = (store.toString, stamp)
-    // not computeIfAbsent: a present-but-cleared reference must rebuild
-    perSession.synchronized {
-      Option(perSession.get(key)).flatMap(r => Option(r.get())) match {
+    val cell = perSession.computeIfAbsent(
+      (store.toString, stamp), _ => new MemoCell)
+    // per-cell lock, not computeIfAbsent on the value: a present-but-
+    // GC-cleared reference must rebuild, and only same-key callers wait
+    cell.synchronized {
+      Option(cell.ref).flatMap(r => Option(r.get())) match {
         case Some(v) => v.asInstanceOf[T]
         case None =>
           val v = build
-          perSession.put(key, new java.lang.ref.WeakReference[Any](v))
+          cell.ref = new java.lang.ref.WeakReference[Any](v)
           v
       }
     }

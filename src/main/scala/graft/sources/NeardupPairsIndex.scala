@@ -61,8 +61,12 @@ object NeardupPairsIndex {
    * the signature table is the persisted projection). */
   def buildPlan(s: SparkSession, dir: String,
                 threshold: Double = 0.5): DataFrame =
-    graft.queries.LlmOps.neardupPairs(
-      graft.queries.LlmOps.docsWithShingles(s, dir), threshold,
+    buildFrom(s, dir, threshold,
+      graft.queries.LlmOps.docsWithShingles(s, dir))
+
+  private def buildFrom(s: SparkSession, dir: String, threshold: Double,
+                        docs: DataFrame): DataFrame =
+    graft.queries.LlmOps.neardupPairs(docs, threshold,
       Some(MinHashSigIndex.sigs(s, dir)))
 
   /** The persisted pair table for `dir`'s documents: build-if-absent,
@@ -74,13 +78,19 @@ object NeardupPairsIndex {
     val tag = java.lang.Integer.toHexString(dir.hashCode)
     val idx = Q.ensureStamped(prefix(threshold) + tag + "_", stamp) {
       staging =>
+        // the shingled docs frame feeds BOTH sides of the exact-verify
+        // join — uncached, the corpus scan + tokenize + shingle
+        // pipeline would run twice per build (VERDICT r1 finding 6's
+        // cost class; every call site this artifact replaced cached it)
+        val docs = graft.queries.LlmOps.docsWithShingles(s, dir).cache()
         // graph-sized output: one file, one listing at every serve.
         // repartition, NOT coalesce — coalesce(1) would collapse the
         // build's final stage (the exact-verify join runs after the
         // last exchange) to one task; the explicit shuffle moves only
         // the graph-sized result rows and keeps the verify parallel
-        buildPlan(s, dir, threshold).repartition(1)
+        try buildFrom(s, dir, threshold, docs).repartition(1)
           .write.mode("overwrite").parquet(staging.toString)
+        finally docs.unpersist()
     }
     ManifestStore.memoFrame[DataFrame](s, idx, stamp) {
       s.read.schema(schema).parquet(idx.toString)

@@ -168,6 +168,15 @@ class ManifestStoreSpec extends AnyFunSuite {
           s".manifest_tmp_${ProcessHandle.current().pid()}_999999")
         Files.writeString(p, ""); p
       }
+      // the lease is WRITE ACTIVITY, not dir age: an old staging dir
+      // whose tree saw a recent write is an in-flight build (e.g. a
+      // multi-hour initial corpus segment), never reclaimable
+      val activeStage = {
+        val p = ManifestStore.newSegStaging(store)
+        Files.createDirectories(p)
+        Files.writeString(p.resolve("part-00000"), "in flight")
+        aged(p) // dir mtime aged; the file inside stays fresh
+      }
       ManifestStore.gc(store, "sX")
       assert(Files.exists(freshStage),
         "fresh live-owner staging must survive GC")
@@ -175,6 +184,8 @@ class ManifestStoreSpec extends AnyFunSuite {
         "aged staging must be reclaimed despite a live owner PID")
       assert(!Files.exists(agedTmp),
         "aged temp manifest must be reclaimed despite a live owner PID")
+      assert(Files.exists(activeStage),
+        "staging with recent write activity must survive an aged dir mtime")
     } finally graft.queries.Q.deleteRecursively(store)
   }
 

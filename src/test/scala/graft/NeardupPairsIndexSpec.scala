@@ -32,9 +32,13 @@ class NeardupPairsIndexSpec extends AnyFunSuite {
       "concat_ws(' ', 'alpha', 'beta', CAST(id AS STRING), 'gamma', " +
         "CAST(id % 5 AS STRING), 'delta', 'epsilon', 'zeta') AS text")
     // planted near-dups: every cloneEvery-th doc re-keyed with one
-    // appended token (jaccard just under 1, far above 0.5)
+    // appended token (jaccard just under 1, far above 0.5). Clone ids
+    // offset far past ANY batch's base range — `+ hi` would collide
+    // with a later appended batch's base ids (gen(0,400).clones hit
+    // 400.. which gen(400,500) then reuses), silently merging two
+    // texts' shingles under one doc_id in the signature build
     base.union(base.filter(col("doc_id") % cloneEvery === 0)
-      .select((col("doc_id") + hi).as("doc_id"),
+      .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" tail")).as("text")))
   }
 
