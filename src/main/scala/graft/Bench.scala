@@ -92,8 +92,15 @@ object Bench {
       s""","java":"${System.getProperty("java.version")}"""" +
       s""","heap_max_mb":${rt.maxMemory() / (1024 * 1024)}""" +
       s""","host_cpus":${rt.availableProcessors()}}"""
+    // the shared streaming runs' one-time bring-up walls: rep 1 pays
+    // them, rep 2 serves the memo, so no entry's MIN carries the cost —
+    // it is real and lives only in wall_sec unless recorded here
+    // (VERDICT r12 item 3)
+    val bringUp = graft.queries.StreamingOps.bringUpSeconds.toSeq.sorted
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wall%.3f}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wall,"config":$config,"samples":$allSamples}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wall,"config":$config,"stream_bring_up":$bringUp,"samples":$allSamples}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }

@@ -140,8 +140,20 @@ object StreamingOps {
                          mode: String = "complete",
                          stateParts: Int = 1,
                          appendNeedsNoDataBatch: Boolean = true): DataFrame =
+    runToBatchNamed(s, agg, name, mode, stateParts, appendNeedsNoDataBatch)._1
+
+  /** As runToBatch, but also returns the memory-sink table name so a
+   * caller that MEMOIZES the result (sharedWindowedRun) can drop the
+   * superseded temp view when a stamp change replaces its entry —
+   * without the name the orphaned sink table lives for the session's
+   * lifetime (ADVICE r12). */
+  private def runToBatchNamed(s: SparkSession, agg: DataFrame, name: String,
+                              mode: String = "complete",
+                              stateParts: Int = 1,
+                              appendNeedsNoDataBatch: Boolean = true)
+      : (DataFrame, String) =
     withStatePartitions(s, stateParts) {
-      def run(): DataFrame = {
+      def run(): (DataFrame, String) = {
         val qn = name + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val base = streamTmpDir(name)
         val q = agg.writeStream.outputMode(mode).format("memory").queryName(qn)
@@ -151,7 +163,7 @@ object StreamingOps {
         // the moment the bounded query stops
         try { try q.processAllAvailable() finally q.stop() }
         finally deleteRec(base)
-        s.table(qn)
+        (s.table(qn), qn)
       }
       // Append-mode WINDOWED AGG emission NEEDS the trailing no-data
       // batch (finalized windows emit in it); complete and update
@@ -228,7 +240,23 @@ object StreamingOps {
    * shapes, and a corpus change replaces the same key's entry (old
    * stamp evicted with it) rather than accreting. */
   private val sharedRuns = scala.collection.mutable.HashMap[
-    (SparkSession, String, String), (String, DataFrame)]()
+    (SparkSession, String, String), (String, String, DataFrame)]()
+
+  /** One-time bring-up wall (seconds) of each shared windowed run,
+   * keyed by shape — the cost the bench's min-of-reps accounting hides
+   * (VERDICT r12 item 3: rep 1 pays the streaming bring-up, rep 2
+   * serves the memo, so the min records ~0.09 s and the real cost
+   * appears in NO entry's min, only in wall_sec). Bench emits this map
+   * into bench_out.json as `stream_bring_up` so the committed artifact
+   * carries the number; a stamp change overwrites with the newest
+   * bring-up. */
+  private val bringUps =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  def bringUpSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    bringUps.asScala.toMap
+  }
 
   private def sharedWindowedRun(s: SparkSession, dir: String,
                                 shape: String)
@@ -240,11 +268,17 @@ object StreamingOps {
     sharedRuns.synchronized {
       sharedRuns.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
       sharedRuns.get((s, dir, shape)) match {
-        case Some((`stamp`, df)) => df
-        case _ =>
-          val df = runToBatch(s, agg(streamEvents(s, dir)),
+        case Some((`stamp`, _, df)) => df
+        case stale =>
+          // a stamp change replaces this key's entry; the superseded
+          // run's memory-sink temp view would otherwise outlive it for
+          // the session's lifetime (ADVICE r12) — drop it first
+          stale.foreach { case (_, oldQn, _) => s.catalog.dropTempView(oldQn) }
+          val t0 = System.nanoTime()
+          val (df, qn) = runToBatchNamed(s, agg(streamEvents(s, dir)),
             "s_shared_" + shape)
-          sharedRuns.put((s, dir, shape), (stamp, df))
+          bringUps.put(shape, (System.nanoTime() - t0) / 1e9)
+          sharedRuns.put((s, dir, shape), (stamp, qn, df))
           df
       }
     }
@@ -261,6 +295,21 @@ object StreamingOps {
     .agg(count(lit(1)).as("n_events"),
       (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)))
         .as("avg_value"))
+
+  /** Test hook (StreamingAppendSpec): run a windowed shape through a
+   * REAL append-mode file-sink execution. The gate's append twins are
+   * served as watermark-cut views of the shared complete-mode run
+   * (exact on bounded input — see sharedWindowedRun), which means the
+   * gate itself no longer exercises append-mode EVICTION timing for
+   * tumbling/sliding aggs (ADVICE r12); this hook keeps the
+   * emission-cut equivalence empirically pinned per test run instead
+   * of assumed. */
+  private[graft] def appendModeRun(s: SparkSession, dir: String,
+                                   shape: String): DataFrame =
+    runToFileSink(s, shape match {
+      case "tumbling" => tumblingAgg(streamEvents(s, dir))
+      case "sliding"  => slidingAgg(streamEvents(s, dir))
+    }, "s_append_pin_" + shape)
 
   /** The append-mode emission cut over a complete-mode windowed result:
    * windows whose end is at or before the final watermark

@@ -214,15 +214,48 @@ object ManifestStore {
         // The JDK's default providers surface missing hard-link
         // support (vfat/exFAT, some network/overlay mounts — link(2)
         // EPERM/EOPNOTSUPP) as FileSystemException, NOT
-        // UnsupportedOperationException, so both types must reach
-        // this replace-prone rename fallback; publishAndServe's
-        // re-read still converges every caller onto on-disk state.
-        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException =>
-          Files.deleteIfExists(tmp)
-          if (!Files.exists(target)) throw new IllegalStateException(
-            s"manifest publish for ${m.stamp} failed")
+        // UnsupportedOperationException, so both types must reach a
+        // fallback. The fallback must stay create-if-absent as far as
+        // the platform allows: a bare exists-check + ATOMIC_MOVE had a
+        // TOCTOU where a winner landing between the check and the
+        // rename was silently REPLACED (ADVICE r12) — re-creating the
+        // gc-deletes-the-winner's-live-segments hazard the hard link
+        // fixed. So: retry the link a few times (transient refusals —
+        // e.g. a network mount hiccup — resolve), then fall to
+        // Files.move WITHOUT options: the providers fail it with
+        // FileAlreadyExistsException when a target exists at move
+        // time (= a winner appeared → benign loss) instead of
+        // replacing. The residual window is the provider's own
+        // check-to-rename gap — microseconds, on link-less
+        // filesystems only; publishAndServe's re-read still converges
+        // every caller onto on-disk state.
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 3) {
+          attempts += 1
+          try { Files.createLink(target, tmp); done = true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => done = true
+            case _@(_: UnsupportedOperationException |
+                    _: java.nio.file.FileSystemException)
+                if Files.exists(target) => done = true
+            case _@(_: UnsupportedOperationException |
+                    _: java.nio.file.FileSystemException) => ()
+          }
         }
+        if (!done) {
+          try Files.move(tmp, target) // no REPLACE: winner ⇒ loud loss
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => () // lost benignly
+            case _: java.nio.file.FileSystemException =>
+              if (!Files.exists(target)) {
+                Files.deleteIfExists(tmp)
+                throw new IllegalStateException(
+                  s"manifest publish for ${m.stamp} failed")
+              }
+          }
+        }
+        Files.deleteIfExists(tmp)
     }
   }
 
@@ -275,8 +308,14 @@ object ManifestStore {
   /** Newest last-modified time under `p` (the dir itself counts): the
    * "last write activity" signal for the staging lease. Staging trees
    * are delta-sized, so the walk is a cheap metadata pass; gc is the
-   * only caller. IO errors mean entries vanishing under a concurrent
-   * reclaim — report "no activity". */
+   * only caller. IO errors during the walk mean entries CHANGING under
+   * us — and the likeliest changer is the live owner's parquet
+   * task-commit renames (NoSuchFileException mid-walk), so the safe
+   * reading of an error is "recent activity", keeping the staging
+   * alive: a genuinely dead tree is quiet, walks cleanly, and ages out
+   * on the next gc. (Reporting "no activity" here inverted the lease's
+   * safe default: a walk error caused by the live owner's own writes
+   * would have handed its in-flight staging to the reclaimer.) */
   private def newestMtime(p: Path): Long =
     try {
       val w = Files.walk(p)
@@ -284,7 +323,7 @@ object ManifestStore {
         .map(f => Files.getLastModifiedTime(f).toMillis)
         .foldLeft(0L)(math.max)
       finally w.close()
-    } catch { case _: java.io.IOException => 0L }
+    } catch { case _: java.io.IOException => System.currentTimeMillis() }
 
   /** In-flight staging survives GC only while its owner is alive AND
    * the tree saw write activity within [[STAGE_MAX_AGE_MS]] — bare

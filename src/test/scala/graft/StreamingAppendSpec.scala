@@ -53,4 +53,33 @@ class StreamingAppendSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "vacuous: no closed windows at this sf")
     assert(streamed == expected)
   }
+
+  test("REAL append-mode file-sink emission equals the watermark-cut view the gate serves") {
+    // the gate's append twins are watermark-cut VIEWS of the shared
+    // complete-mode run (one streaming job per shape); this test keeps
+    // the equivalence EMPIRICAL (ADVICE r12): an actual append-mode
+    // execution — eviction-timed emission through a parquet file sink —
+    // must produce exactly the rows the view serves
+    val tumbling = graft.queries.StreamingOps
+      .appendModeRun(spark, sf, "tumbling")
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val tumblingView = SparkEntry.queries("s_tumbling_append")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(tumbling.nonEmpty, "vacuous: tumbling append emitted nothing")
+    assert(tumbling == tumblingView,
+      "real tumbling append-mode emission diverged from the served view")
+
+    val sliding = graft.queries.StreamingOps
+      .appendModeRun(spark, sf, "sliding")
+      .select(col("window.start").as("window_start"), col("n_events"),
+        col("avg_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val slidingView = SparkEntry.queries("s_sliding_append")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sliding.nonEmpty, "vacuous: sliding append emitted nothing")
+    assert(sliding == slidingView,
+      "real sliding append-mode emission diverged from the served view")
+  }
 }
