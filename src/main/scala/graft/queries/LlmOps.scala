@@ -34,10 +34,17 @@ object LlmOps {
       |                 i -> concat_ws(' ', slice(toks, i + 1, 3)))
       |  ELSE array() END)""".stripMargin
 
-  private[graft] def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.Shingles.register(s)
-    rd(s, dir, "documents")
-      .withColumn("toks", toks(col("text")))
+  private[graft] def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    shingled(rd(s, dir, "documents"))
+
+  /** Shingle derivation over any (doc_id, text, ...) frame — split out
+   * of [[docsWithShingles]] so the incremental pair-table verify can
+   * shingle ONLY candidate-restricted docs (a semi-join placed BEFORE
+   * this projection keeps the expensive tokenize+shingle off
+   * non-candidate rows; placed after, every corpus row would pay it). */
+  private[graft] def shingled(docs: DataFrame): DataFrame = {
+    graft.functions.Shingles.register(docs.sparkSession)
+    docs.withColumn("toks", toks(col("text")))
       .withColumn("sh", graft.functions.Shingles.of(col("toks"), 3))
       .select("doc_id", "sh")
   }
@@ -122,9 +129,6 @@ object LlmOps {
     // expressions (the shuffle already carried 32 partial-min longs
     // per doc either way; the win is plan width and per-row CPU)
     val sigs = sigsOpt.getOrElse(minhashSigs(docs))
-    val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
-      xxhash64(element_at(col("sig"), 2 * b + 1),
-        element_at(col("sig"), 2 * b + 2)).as("bv")))
     // Band rows carry the doc's shingle-set SIZE (n_sh, computed with
     // the signature itself — no second corpus join) so the EXACT length
     // filter (PPJoin's) can prune candidates inside the join, BEFORE
@@ -142,11 +146,7 @@ object LlmOps {
     // SCALING.md (more rows per band would square it away, at the cost
     // of recall at the declared 0.5 threshold — the oracle's
     // exact-pair-set contract keeps 16×2).
-    val bands = sigs
-      .select(col("doc_id"), col("n_sh").as("sz"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("sz"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val bands = bandsOf(sigs)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id") &&
@@ -156,6 +156,68 @@ object LlmOps {
       .distinct()
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") > threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** (doc_id, sz, band, bv) band rows of a signature frame — the LSH
+   * blocking unit, 16 bands × 2 rows hashed to one 8-byte value.
+   * Shared by the self-join candidate path above and the cross-set
+   * incremental path below; a signature is a pure function of its
+   * row's text, so band rows from the persisted index and from a fresh
+   * aggregation are interchangeable. */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
+      xxhash64(element_at(col("sig"), 2 * b + 1),
+        element_at(col("sig"), 2 * b + 2)).as("bv")))
+    sigs
+      .select(col("doc_id"), col("n_sh").as("sz"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sz"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
+  /** Cross-set near-dup pairs for INCREMENTAL pair-table maintenance
+   * (NeardupPairsIndex refresh; the q_incr_dedup cross-set shape
+   * applied to the persisted artifact): candidates are band collisions
+   * between the DELTA's signatures and the FULL signature table —
+   * never corpus × corpus — normalized to a_id < b_id (a delta-delta
+   * pair collides from both sides; the distinct absorbs it), with the
+   * same exact length filter as the self-join path. The exact-Jaccard
+   * verify then shingles ONLY candidate docs: the semi-join sits below
+   * the shingle projection (see [[shingled]]), so at a small delta the
+   * candidate ids broadcast and the corpus pays one cheap column scan,
+   * not a full re-shingle. A pair (x, y) survives iff it shares a band
+   * AND verifies above threshold — the identical condition the full
+   * rebuild applies — which is what makes incremental ≡ rebuild exact
+   * (NeardupPairsIndexSpec pins it). */
+  private[graft] def neardupPairsCross(s: SparkSession, dir: String,
+                                       threshold: Double,
+                                       deltaSigs: DataFrame,
+                                       fullSigs: DataFrame): DataFrame = {
+    val dx = bandsOf(deltaSigs)
+    val fy = bandsOf(fullSigs)
+    val cand = dx.as("x").join(fy.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")).cast("double") >
+            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      .distinct()
+    // cand's subtree appears three times below (ids twice + the verify
+    // join); the distinct's exchange is reused across them within the
+    // one plan (ReuseExchange), so the band join runs once per action
+    val ids = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val vdocs = shingled(
+      rd(s, dir, "documents").join(ids, Seq("doc_id"), "left_semi"))
+    val a = vdocs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = vdocs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
     cand.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
@@ -183,6 +245,35 @@ object LlmOps {
   /** register the vec_dot kernel in this session (idempotent) */
   private def vecReady(s: SparkSession): Unit =
     graft.functions.VectorFunctions.register(s)
+
+  /** q_semdedup's hot-cluster split threshold: clusters past this many
+   * rows subdivide through [[graft.plans.Salting.saltedSelfSides]]
+   * (same defaults as the kNN edge build's hot-bucket split — the
+   * sibling skewed-key quadratic). Gate corpora sit far under it, so
+   * gate plans keep the pre-split broadcast shape. */
+  private[graft] val SEMDEDUP_SPLIT = 2048L
+
+  /** The q_semdedup dropped set — (label, bi) pairs where some
+   * lower-id same-cluster vector is within τ=0.3 cosine — with the
+   * cluster self-join hot-split at `splitRows` (VERDICT r12 item 1).
+   * Every in-cluster pair meets exactly once whatever the split (the
+   * Salting contract), and `ai < bi` dedups orientation, so the result
+   * is row-identical to the unsplit join; SaltingSpec plants a hot
+   * cluster and pins the equivalence. Exposed for that spec. */
+  private[graft] def semdedupDropped(e: DataFrame,
+                                     splitRows: Long): DataFrame = {
+    val (a0, b0) = graft.plans.Salting.saltedSelfSides(
+      e, "label", "vec_id", splitRows, graft.sources.KnnGraphIndex.MAX_SUB)
+    val a = a0.select(col("label"), col("sub"), col("vec_id").as("ai"),
+      col("embedding").as("ea"))
+    val b = b0.select(col("label"), col("sub"), col("vec_id").as("bi"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("label", "sub"))
+      .filter(col("ai") < col("bi"))
+      .withColumn("cos", cosine("ea", "eb"))
+      .filter(col("cos") > 0.3)
+      .select(col("label"), col("bi")).distinct()
+  }
 
   /** 16-way LSH sign bucket from the first 4 embedding components —
    * the blocking key for pairwise similarity (bounded candidates at any
@@ -1792,23 +1883,20 @@ object LlmOps {
     // every vector whose cosine to a LOWER-id vector in the same
     // cluster exceeds τ=0.3 (keep-first). Work is Σ|cluster|², never
     // corpus² — the whole point of clustering first; the self-join
-    // shuffles on the cluster key only. Scoring runs the codegen
-    // FloatVecCosine kernel; the oracle recomputes the identical IEEE
-    // expression, so the τ cut is bit-deterministic. Output pins
-    // per-cluster membership of the dropped set (count + id sum).
+    // shuffles on the cluster key only, with groups past SEMDEDUP_SPLIT
+    // rows split by the shared Salting helper so ONE dense cluster's
+    // |C|² pair mass spreads over sub-tasks instead of serializing the
+    // job (VERDICT r12 item 1 — the same skewed-key quadratic the edge
+    // build fixed; SaltingSpec pins split ≡ unsplit). Scoring runs the
+    // codegen FloatVecCosine kernel; the oracle recomputes the
+    // identical IEEE expression, so the τ cut is bit-deterministic.
+    // Output pins per-cluster membership of the dropped set (count +
+    // id sum).
     QueryDef("q_semdedup",
       (s, dir) => {
         vecReady(s)
         val e = rd(s, dir, "embeddings").select("vec_id", "label", "embedding")
-        val a = e.select(col("label"), col("vec_id").as("ai"),
-          col("embedding").as("ea"))
-        val b = e.select(col("label"), col("vec_id").as("bi"),
-          col("embedding").as("eb"))
-        val dropped = a.join(b, Seq("label"))
-          .filter(col("ai") < col("bi"))
-          .withColumn("cos", cosine("ea", "eb"))
-          .filter(col("cos") > 0.3)
-          .select(col("label"), col("bi")).distinct()
+        val dropped = semdedupDropped(e, SEMDEDUP_SPLIT)
         e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
           .join(dropped.groupBy("label")
             .agg(count(lit(1)).as("nd"), sum(col("bi")).as("sd")),

@@ -132,18 +132,16 @@ object KnnGraphIndex {
   private[graft] def saltedSides(e: DataFrame, splitRows: Long,
                                  sizesIn: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
-    val sizes = sizesIn.getOrElse(
-      e.groupBy("bucket").agg(count(lit(1)).as("bucket_n")))
-    val sized = e.join(broadcast(sizes), "bucket").withColumn("nsub",
-      least(lit(MAX_SUB.toLong),
-        greatest(lit(1L), ceil(col("bucket_n") / lit(splitRows.toDouble))))
-        .cast("int"))
-    val a = sized.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-      col("bucket"),
-      pmod(xxhash64(col("vec_id")), col("nsub")).cast("int").as("sub"))
-    val b = sized.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-      col("bucket"),
-      explode(sequence(lit(0), col("nsub") - 1)).as("sub"))
+    // the split machinery itself is the shared graft.plans.Salting
+    // helper (q_semdedup's hot-cluster split reuses it); this wrapper
+    // only applies the edge build's column naming
+    val (a0, b0) = graft.plans.Salting.saltedSelfSides(
+      e, "bucket", "vec_id", splitRows, MAX_SUB,
+      sizesIn.map(_.withColumnRenamed("bucket_n", "group_n")))
+    val a = a0.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("bucket"), col("sub"))
+    val b = b0.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("bucket"), col("sub"))
     (a, b)
   }
 

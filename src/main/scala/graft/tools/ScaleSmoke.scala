@@ -171,6 +171,15 @@ object ScaleSmoke {
       graft.sources.MinHashSigIndex.sigs(spark, idxDir).count())
     time("sig index serve only (call 2)")(
       graft.sources.MinHashSigIndex.sigs(spark, idxDir).count())
+    // the PAIR-table artifact over the same corpus: the build pays the
+    // full LSH+verify once (the headline number the incremental path
+    // exists to avoid re-paying); the serve is a graph-sized scan; the
+    // 2% delta refresh below is the round-13 claim under test
+    val nPairsBuilt = time("pair table BUILD+serve (call 1)")(
+      graft.sources.NeardupPairsIndex.pairs(spark, idxDir).count())
+    record("pair_table_rows", nPairsBuilt)
+    time("pair table serve only (call 2)")(
+      graft.sources.NeardupPairsIndex.pairs(spark, idxDir).count())
     // synthetic embeddings at rows/10 (the pairwise edge build is
     // Σ|bucket|² — quadratic per bucket BY DESIGN; the smoke sizes the
     // vector corpus so the build stays a smoke, the serve curve is the
@@ -223,6 +232,14 @@ object ScaleSmoke {
       s"net-growth=${duDir(sigStore) - sigBase}")
     record("sig_store_base_bytes", sigBase)
     record("sig_store_refresh_growth_bytes", duDir(sigStore) - sigBase)
+    // pair-table refresh on the same 2% delta (VERDICT r12 item 2):
+    // carried pairs anti-join the removed set (graph-sized), fresh
+    // pairs band the DELTA's signatures against the full table — the
+    // number to beat is the full build above, which a stamp change
+    // re-paid wholesale before round 13
+    val nPairsRefreshed = time("pair table INCREMENTAL (2% delta)")(
+      graft.sources.NeardupPairsIndex.pairs(spark, idxDir).count())
+    record("pair_table_rows_refreshed", nPairsRefreshed)
     spark.range(rows / 10, rows / 10 + rows / 500).select(
         col("id").as("vec_id"),
         expr("transform(sequence(0, 63), i -> CAST(abs(sin(id * 131 + i)) AS FLOAT))")
@@ -235,11 +252,15 @@ object ScaleSmoke {
       s"net-growth=${duDir(edgeStore) - edgeBase}")
     record("edge_store_base_bytes", edgeBase)
     record("edge_store_refresh_growth_bytes", duDir(edgeStore) - edgeBase)
+    // pair artifact path must resolve while idxDir's parquet still
+    // exists (the stamp is content-derived)
+    val pairIdx = graft.sources.NeardupPairsIndex.artifactDir(idxDir)
     graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(idxDir))
     graft.queries.Q.deleteRecursively(
       java.nio.file.Paths.get(sigStore))
     graft.queries.Q.deleteRecursively(
       java.nio.file.Paths.get(edgeStore))
+    graft.queries.Q.deleteRecursively(pairIdx)
 
     // ---- round-12 hot-bucket split A/B (VERDICT r11 item 4) ------------
     // The sign bucket is the edge build's blocking key, so a dense
@@ -286,9 +307,29 @@ object ScaleSmoke {
     val sumSplit = time("edge build, hot bucket, split ON")(
       edgeSum(graft.sources.KnnGraphIndex.edgesFor(hotVecs,
         graft.sources.KnnGraphIndex.SPLIT_ROWS)))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBJ)
     println(s"[scale]   edge-set checksums agree=${sumUnsplit == sumSplit}")
     record("hot_split_agree", sumUnsplit == sumSplit)
+
+    // ---- round-13 hot-CLUSTER split A/B for q_semdedup -----------------
+    // The sibling skewed-key quadratic (VERDICT r12 item 1): the
+    // semdedup cluster join blocks on the kmeans label, so one dense
+    // cluster's |C|² pair mass serializes in one task. Reuse the
+    // planted-hot corpus with the sign bucket standing in as the
+    // cluster label (60% of 12k vectors in one cluster) in the same
+    // shuffled-join regime; SaltingSpec row-pins the equivalence, the
+    // checksum re-confirms it here at scale.
+    val semCorpus = hotVecs.select(col("vec_id"), col("embedding"),
+      col("bucket").as("label"))
+    def semSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(bit_xor(xxhash64(col("label"), col("bi")))).head().getLong(0)
+    val semUnsplit = time("semdedup, hot cluster, split OFF")(
+      semSum(graft.queries.LlmOps.semdedupDropped(semCorpus, Long.MaxValue)))
+    val semSplit = time("semdedup, hot cluster, split ON")(
+      semSum(graft.queries.LlmOps.semdedupDropped(semCorpus,
+        graft.queries.LlmOps.SEMDEDUP_SPLIT)))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBJ)
+    println(s"[scale]   semdedup drop-set checksums agree=${semUnsplit == semSplit}")
+    record("semdedup_split_agree", semUnsplit == semSplit)
     hotVecs.unpersist()
 
     // ---- round-12 serve cost vs segment-chain length (VERDICT r11 item 8)

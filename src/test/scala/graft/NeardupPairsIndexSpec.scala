@@ -6,11 +6,13 @@ import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.NeardupPairsIndex
 
-/** Pins the persisted near-dup pair table (round 12): the artifact
- * equals a fresh candidates+verify run exactly, reuse is
- * content-stamped (zero file churn), and a corpus content change
- * rebuilds under the new stamp and sweeps the stale sibling — the
- * StampedArtifactSpec posture for the second corpus dedup artifact. */
+/** Pins the persisted near-dup pair table (round 12; incremental since
+ * round 13): the artifact equals a fresh candidates+verify run exactly,
+ * reuse is content-stamped (zero file churn), and a corpus change
+ * REFRESHES incrementally — carried pairs really carry (tamper probe),
+ * removed/re-texted endpoints really drop, and incremental ≡ rebuild
+ * unconditionally — the MinHashSigIndexSpec posture for the second
+ * corpus dedup artifact. */
 class NeardupPairsIndexSpec extends AnyFunSuite {
   import SparkTestBase.{spark, sf}
 
@@ -42,6 +44,20 @@ class NeardupPairsIndexSpec extends AnyFunSuite {
         concat(col("text"), lit(" tail")).as("text")))
   }
 
+  private def sweep(dir: String): Unit = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    val l = Files.list(tmp)
+    try l.iterator().asScala.toVector
+      .filter(_.getFileName.toString
+        .startsWith(s"graft_neardup_pairs_v2_t50_${tag}_"))
+      .foreach(graft.queries.Q.deleteRecursively)
+    finally l.close()
+    // the scenario corpus also built a signature store; sweep it
+    graft.queries.Q.deleteRecursively(
+      graft.sources.MinHashSigIndex.store(dir))
+  }
+
   test("persisted pairs equal the build plan; reuse is stamped, zero file churn") {
     val got = NeardupPairsIndex.pairs(spark, sf)
       .collect().map(row).sortBy(p => (p._1, p._2)).toSeq
@@ -52,10 +68,7 @@ class NeardupPairsIndexSpec extends AnyFunSuite {
     assert(got.forall(p => p._1 < p._2), "pairs must be a_id < b_id")
     // unchanged corpus → second call touches NO file anywhere in tmp
     // for this artifact's stamp
-    val stamp = graft.queries.Q.contentStamp(sf, "documents")
-    val tag = java.lang.Integer.toHexString(sf.hashCode)
-    val idx = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_neardup_pairs_t50_${tag}_$stamp")
+    val idx = NeardupPairsIndex.artifactDir(sf)
     assert(Files.isDirectory(idx), "artifact dir must exist after a serve")
     val before = fileState(idx)
     NeardupPairsIndex.pairs(spark, sf).count()
@@ -63,7 +76,7 @@ class NeardupPairsIndexSpec extends AnyFunSuite {
       "pair table churned files for unchanged content")
   }
 
-  test("a corpus content change rebuilds under the new stamp and sweeps the stale artifact") {
+  test("incremental refresh: tampered base pairs carry over; result ≡ rebuild plus the tamper; stale stamp swept") {
     val dir = Files.createTempDirectory("graft_pairsidx").toString
     try {
       gen(0, 400, 20).write.mode("overwrite")
@@ -71,34 +84,79 @@ class NeardupPairsIndexSpec extends AnyFunSuite {
       val p1 = NeardupPairsIndex.pairs(spark, dir)
         .collect().map(row).toSet
       assert(p1.nonEmpty, "planted clones must pair")
-      val stamp1 = graft.queries.Q.contentStamp(dir, "documents")
-      // grow the corpus: stamp moves, artifact rebuilds, result tracks
+      val idx1 = NeardupPairsIndex.artifactDir(dir)
+      assert(Files.exists(idx1.resolve("cover").resolve("_SUCCESS")),
+        "v2 artifact must carry its cover table")
+      // tamper the BASE pair table: inject a sentinel pair between ids
+      // that exist in NO corpus state. Its endpoints are never in the
+      // removed set, so a refresh that actually RUNS the carry path
+      // keeps it — a silent full rebuild would erase it.
+      val sentinel = (900000001L, 900000002L, 0.987)
+      val pairsDir = idx1.resolve("pairs").toString
+      val existing = spark.read.schema(NeardupPairsIndex.schema)
+        .parquet(pairsDir).collect().toSeq
+      import spark.implicits._
+      (existing.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) :+
+          sentinel)
+        .toDF("a_id", "b_id", "jaccard").repartition(1)
+        .write.mode("overwrite").parquet(pairsDir)
+      // grow the corpus: stamp moves, base survives long enough to be
+      // the incremental base (post-publish sweep), result must be the
+      // fresh rebuild PLUS the carried sentinel
       gen(400, 500, 20).write.mode("append")
         .parquet(s"$dir/documents.parquet")
-      val stamp2 = graft.queries.Q.contentStamp(dir, "documents")
-      assert(stamp1 != stamp2, "content change must move the stamp")
       val p2 = NeardupPairsIndex.pairs(spark, dir)
         .collect().map(row).toSet
       val want = NeardupPairsIndex.buildPlan(spark, dir)
         .collect().map(row).toSet
-      assert(p2 == want, "post-change artifact must equal a fresh run")
-      assert(p2 != p1, "grown corpus plants new pairs")
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val stale = Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_neardup_pairs_t50_${tag}_$stamp1")
-      assert(!Files.exists(stale), "stale-stamp artifact must be swept")
+      val sentinelRow = (sentinel._1, sentinel._2,
+        math.round(sentinel._3 * 1e9))
+      assert(p2.contains(sentinelRow),
+        "refresh rebuilt from scratch — the carry path never ran")
+      assert(p2 - sentinelRow == want,
+        "incremental refresh diverged from a full rebuild")
+      assert((p2 - sentinelRow).exists(p => p._1 >= 400L || p._2 >= 400L),
+        "the appended batch plants new pairs — the fresh path is vacuous")
+      assert(p1.subsetOf(p2),
+        "append-only growth must keep every base pair")
+      assert(!Files.exists(idx1), "stale-stamp artifact must be swept")
     } finally {
       graft.queries.Q.deleteRecursively(Paths.get(dir))
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
-      val l = Files.list(tmp)
-      try l.iterator().asScala.toVector
-        .filter(_.getFileName.toString.startsWith(s"graft_neardup_pairs_t50_${tag}_"))
-        .foreach(graft.queries.Q.deleteRecursively)
-      finally l.close()
-      // the scenario corpus also built a signature store; sweep it
-      graft.queries.Q.deleteRecursively(
-        graft.sources.MinHashSigIndex.store(dir))
+      sweep(dir)
+    }
+  }
+
+  test("incremental refresh drops pairs whose endpoint was removed or re-texted") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_pairsidx").toString
+    try {
+      gen(0, 400, 20).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val p1 = NeardupPairsIndex.pairs(spark, dir)
+        .collect().map(row).toSet
+      // doc 0's clone is 1000000; the pair (0, 1000000) is planted
+      assert(p1.contains((0L, 1000000L, p1.find(p =>
+          p._1 == 0L && p._2 == 1000000L).map(_._3).getOrElse(-1L))),
+        "plant failed: (0, 1000000) not paired")
+      // v2 corpus: DELETE doc 1000000 (0's partner), RE-TEXT doc 20 so
+      // its clone pair (20, 1000020) must re-verify against new text
+      gen(0, 400, 20).filter(col("doc_id") =!= 1000000L)
+        .withColumn("text", when(col("doc_id") === 20L,
+          lit("totally different words now here")).otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val p2 = NeardupPairsIndex.pairs(spark, dir)
+        .collect().map(row).toSet
+      val want = NeardupPairsIndex.buildPlan(spark, dir)
+        .collect().map(row).toSet
+      assert(p2 == want,
+        "incremental refresh with removals diverged from a full rebuild")
+      assert(!p2.exists(p => p._1 == 1000000L || p._2 == 1000000L),
+        "a deleted doc's pairs survived the refresh")
+      assert(!p2.exists(p => p._1 == 20L && p._2 == 1000020L),
+        "a re-texted doc's stale pair survived the refresh")
+    } finally {
+      graft.queries.Q.deleteRecursively(Paths.get(dir))
+      sweep(dir)
     }
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Salting
+
+/** Pins the shared hot-group-split contract (graft.plans.Salting) on
+ * q_semdedup's cluster join — the KnnGraphIndexSpec:200 pattern applied
+ * to the sibling operator (VERDICT r12 item 1): a planted hot cluster,
+ * split ≡ unsplit output, the per-sub a-side bound, and cold clusters
+ * left whole. */
+class SaltingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  // planted skew: 300 vectors in cluster 7, ~25 in each of 4 others —
+  // a 10×+ hot cluster at a 64-row split threshold (nsub = ceil(300/64)
+  // = 5). Embeddings are deterministic sin-mix floats; plenty of pairs
+  // land on both sides of the τ=0.3 cut so the equivalence is
+  // non-vacuous in both directions.
+  private lazy val corpus = spark.range(0, 400).selectExpr(
+      "id AS vec_id",
+      "CASE WHEN id < 300 THEN 7 ELSE 8 + CAST(id % 4 AS INT) END AS label",
+      """transform(sequence(0, 15),
+        |  i -> CAST(sin(id * 37 + i * CAST(id % 11 AS DOUBLE) / 7) AS FLOAT))
+        |  AS embedding""".stripMargin)
+    .cache()
+
+  test("hot-cluster split: semdedup dropped set ≡ unsplit; sub-tasks bounded; cold clusters whole") {
+    graft.functions.VectorFunctions.register(spark)
+    val hotN = corpus.filter(col("label") === 7).count()
+    assert(hotN == 300L, s"plant failed: cluster 7 has $hotN rows")
+
+    val unsplit = graft.queries.LlmOps
+      .semdedupDropped(corpus, splitRows = Long.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    val split = graft.queries.LlmOps
+      .semdedupDropped(corpus, splitRows = 64L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(unsplit.nonEmpty, "plant produced no dropped vectors — vacuous")
+    assert(split == unsplit,
+      "split cluster join diverged from the unsplit dropped set")
+    // and not everything was dropped, so the < τ side is exercised too
+    assert(unsplit.length < 395, "plant dropped ~everything — vacuous cut")
+
+    // per-sub-task bound on the generic helper itself: the hot
+    // cluster's a-side spreads over ceil(|C|/64) subs, none more than
+    // ~2× the threshold (hash-uniformity slack); cold clusters keep
+    // sub ≡ 0
+    val (aSide, bSide) = Salting.saltedSelfSides(
+      corpus, "label", "vec_id", 64L, 64)
+    val aGroups = aSide.groupBy("label", "sub")
+      .agg(count(lit(1)).as("n")).collect()
+    val hotSubs = aGroups.filter(_.getInt(0) == 7)
+    val expectSubs = math.ceil(hotN / 64.0).toInt
+    assert(hotSubs.length == expectSubs,
+      s"hot cluster split into ${hotSubs.length} subs, wanted $expectSubs")
+    assert(hotSubs.map(_.getLong(2)).max <= 128L,
+      "a sub-task's a-side exceeded 2× the split threshold")
+    aGroups.filter(_.getInt(0) != 7).foreach(r =>
+      assert(r.getInt(1) == 0, s"cold cluster ${r.getInt(0)} was split"))
+
+    // multiprobe: each hot sub-task's b-side is the FULL cluster
+    val bHot = bSide.filter(col("label") === 7)
+      .groupBy("sub").agg(count(lit(1)).as("n")).collect()
+    assert(bHot.length == expectSubs && bHot.forall(_.getLong(1) == hotN),
+      "b-side does not multiprobe the full parent cluster")
+  }
+
+  test("gate threshold leaves gate-scale clusters unsplit") {
+    // the declared SEMDEDUP_SPLIT must not engage on the driver's
+    // corpora (the gate plan stays the pre-split broadcast shape);
+    // sf0.001's largest label group is ~hundreds of rows
+    val e = graft.queries.Q.rd(spark, SparkTestBase.sf, "embeddings")
+      .select("vec_id", "label", "embedding")
+    val maxCluster = e.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(maxCluster < graft.queries.LlmOps.SEMDEDUP_SPLIT,
+      s"gate corpus has a $maxCluster-row cluster past the split " +
+        "threshold — the 'gate plans unaffected' claim no longer holds")
+    val (aSide, _) = Salting.saltedSelfSides(
+      e, "label", "vec_id", graft.queries.LlmOps.SEMDEDUP_SPLIT, 64)
+    assert(aSide.filter(col("sub") =!= 0).count() == 0L,
+      "gate-scale corpus was split at the declared threshold")
+  }
+}
