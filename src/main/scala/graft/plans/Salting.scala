@@ -42,7 +42,13 @@ object Salting {
    * optionally supplies per-group row counts as a (key, group_n) frame
    * when the caller has a cheaper source than re-aggregating `df` —
    * e.g. a cached narrow projection when `df`'s key column is COMPUTED
-   * from a wide column that pruning cannot drop.
+   * from a wide column that pruning cannot drop. The join against the
+   * sizes frame is LEFT, with an absent group defaulting to nsub = 1:
+   * a caller-supplied sizes frame that is stale or differently
+   * filtered must degrade a group to the unsplit plan (still
+   * row-identical output, just unprotected from skew), never silently
+   * drop its rows from both sides — the whole contract here is
+   * "row-identical to the unsplit join".
    */
   def saltedSelfSides(df: DataFrame, key: String, id: String,
                       splitRows: Long, maxSub: Int,
@@ -50,9 +56,12 @@ object Salting {
       : (DataFrame, DataFrame) = {
     val sizes = sizesIn.getOrElse(
       df.groupBy(key).agg(count(lit(1)).as("group_n")))
-    val sized = df.join(broadcast(sizes), Seq(key)).withColumn("__nsub",
-      least(lit(maxSub.toLong),
-        greatest(lit(1L), ceil(col("group_n") / lit(splitRows.toDouble))))
+    val sized = df.join(broadcast(sizes), Seq(key), "left")
+      .withColumn("__nsub",
+        least(lit(maxSub.toLong),
+          greatest(lit(1L),
+            ceil(coalesce(col("group_n"), lit(1L)) /
+              lit(splitRows.toDouble))))
         .cast("int"))
     val a = sized
       .withColumn("sub", pmod(xxhash64(col(id)), col("__nsub")).cast("int"))

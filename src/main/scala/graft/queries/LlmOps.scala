@@ -194,11 +194,21 @@ object LlmOps {
    * not a full re-shingle. A pair (x, y) survives iff it shares a band
    * AND verifies above threshold — the identical condition the full
    * rebuild applies — which is what makes incremental ≡ rebuild exact
-   * (NeardupPairsIndexSpec pins it). */
-  private[graft] def neardupPairsCross(s: SparkSession, dir: String,
-                                       threshold: Double,
-                                       deltaSigs: DataFrame,
-                                       fullSigs: DataFrame): DataFrame = {
+   * (NeardupPairsIndexSpec pins it).
+   *
+   * Loan-pattern: the candidate set feeds three subtrees (both verify
+   * ids and the join) and the shingled-candidate frame feeds both
+   * verify sides; relying on ReuseExchange to dedupe them is exactly
+   * what the full-build branch's docs cache exists to avoid (the
+   * structurally-identical self-join reuse did not materialize there
+   * — r12 measurement). Both frames are cached for the duration of
+   * `use`'s action — cand is graph-sized, the shingles
+   * candidate-restricted — and dropped on exit. */
+  private[graft] def neardupPairsCross[T](s: SparkSession, dir: String,
+                                          threshold: Double,
+                                          deltaSigs: DataFrame,
+                                          fullSigs: DataFrame)
+                                         (use: DataFrame => T): T = {
     val dx = bandsOf(deltaSigs)
     val fy = bandsOf(fullSigs)
     val cand = dx.as("x").join(fy.as("y"),
@@ -209,21 +219,23 @@ object LlmOps {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
       .distinct()
-    // cand's subtree appears three times below (ids twice + the verify
-    // join); the distinct's exchange is reused across them within the
-    // one plan (ReuseExchange), so the band join runs once per action
+      .cache()
     val ids = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val vdocs = shingled(
       rd(s, dir, "documents").join(ids, Seq("doc_id"), "left_semi"))
-    val a = vdocs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
-    val b = vdocs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
-    cand.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
-      .filter(col("jaccard") > threshold)
-      .select("a_id", "b_id", "jaccard")
+      .cache()
+    try {
+      val a = vdocs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+      val b = vdocs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+      use(cand.join(a, "a_id").join(b, "b_id")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("jaccard") > threshold)
+        .select("a_id", "b_id", "jaccard"))
+    } finally { vdocs.unpersist(); cand.unpersist() }
   }
 
   /** Sequential-fold double dot product over two float arrays, via the

@@ -239,8 +239,13 @@ object ManifestStore {
             case _@(_: UnsupportedOperationException |
                     _: java.nio.file.FileSystemException)
                 if Files.exists(target) => done = true
-            case _@(_: UnsupportedOperationException |
-                    _: java.nio.file.FileSystemException) => ()
+            case _: UnsupportedOperationException =>
+              // permanent by definition — retrying is pointless
+              attempts = 3
+            case _: java.nio.file.FileSystemException =>
+              // transient refusals need time to resolve; back-to-back
+              // retries would all land inside the same hiccup
+              if (attempts < 3) Thread.sleep(25L << attempts)
           }
         }
         if (!done) {
@@ -315,7 +320,11 @@ object ManifestStore {
    * alive: a genuinely dead tree is quiet, walks cleanly, and ages out
    * on the next gc. (Reporting "no activity" here inverted the lease's
    * safe default: a walk error caused by the live owner's own writes
-   * would have handed its in-flight staging to the reclaimer.) */
+   * would have handed its in-flight staging to the reclaimer.)
+   * `Files.walk` surfaces traversal-time IO failures — including the
+   * mid-walk vanish this guards against — as UncheckedIOException
+   * (a RuntimeException), so that type must be caught alongside the
+   * direct IOException from the explicit getLastModifiedTime call. */
   private def newestMtime(p: Path): Long =
     try {
       val w = Files.walk(p)
@@ -323,7 +332,10 @@ object ManifestStore {
         .map(f => Files.getLastModifiedTime(f).toMillis)
         .foldLeft(0L)(math.max)
       finally w.close()
-    } catch { case _: java.io.IOException => System.currentTimeMillis() }
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException =>
+        System.currentTimeMillis()
+    }
 
   /** In-flight staging survives GC only while its owner is alive AND
    * the tree saw write activity within [[STAGE_MAX_AGE_MS]] — bare

@@ -165,9 +165,10 @@ object NeardupPairsIndex {
             .join(removed, oldPairs("b_id") === removed("rid"), "left_anti")
           val deltaSigs = sigs.join(deltaKeys,
             Seq("doc_id", "text_hash"), "left_semi")
-          val fresh = graft.queries.LlmOps.neardupPairsCross(
-            s, dir, threshold, deltaSigs, sigs)
-          writeParts(carried.unionByName(fresh), curCover, staging)
+          graft.queries.LlmOps.neardupPairsCross(
+            s, dir, threshold, deltaSigs, sigs) { fresh =>
+            writeParts(carried.unionByName(fresh), curCover, staging)
+          }
         case None =>
           // the shingled docs frame feeds BOTH sides of the exact-
           // verify join — uncached, the corpus scan + tokenize +
