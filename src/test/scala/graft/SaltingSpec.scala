@@ -67,6 +67,26 @@ class SaltingSpec extends AnyFunSuite {
       "b-side does not multiprobe the full parent cluster")
   }
 
+  test("a sizesIn frame missing a group degrades it to unsplit, never drops rows") {
+    // the contract is "row-identical to the unsplit join": a stale or
+    // differently-filtered caller-supplied sizes frame must leave an
+    // uncovered group WHOLE on both sides (nsub = 1), not silently
+    // lose it from the output
+    val sizes = corpus.filter(col("label") =!= 7)
+      .groupBy("label").agg(count(lit(1)).as("group_n"))
+    val (aSide, bSide) = Salting.saltedSelfSides(
+      corpus, "label", "vec_id", 64L, 64, Some(sizes))
+    val total = corpus.count()
+    assert(aSide.count() == total,
+      "a-side lost rows for the group absent from sizesIn")
+    val aHot = aSide.filter(col("label") === 7)
+    assert(aHot.count() == 300L && aHot.filter(col("sub") =!= 0).count() == 0L,
+      "uncovered group should be whole and unsplit on the a-side")
+    val bHot = bSide.filter(col("label") === 7)
+    assert(bHot.count() == 300L && bHot.filter(col("sub") =!= 0).count() == 0L,
+      "uncovered group should be whole and unsplit on the b-side")
+  }
+
   test("gate threshold leaves gate-scale clusters unsplit") {
     // the declared SEMDEDUP_SPLIT must not engage on the driver's
     // corpora (the gate plan stays the pre-split broadcast shape);
