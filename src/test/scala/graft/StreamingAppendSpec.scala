@@ -81,5 +81,22 @@ class StreamingAppendSpec extends AnyFunSuite {
     assert(sliding.nonEmpty, "vacuous: sliding append emitted nothing")
     assert(sliding == slidingView,
       "real sliding append-mode emission diverged from the served view")
+
+    // session windows joined the shared-run scaffold in round 13: a
+    // session [start, end) is final iff wm ≥ end (any admissible event
+    // has ts ≥ wm ≥ end and cannot merge into it), so the real
+    // append-mode session emission must equal the served cut view
+    val session = graft.queries.StreamingOps
+      .appendModeRun(spark, sf, "session")
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .collect().map(_.toString).sorted.toSeq
+    val sessionView = SparkEntry.queries("s_session_append")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(session.nonEmpty, "vacuous: session append emitted nothing")
+    assert(session == sessionView,
+      "real session append-mode emission diverged from the served view")
   }
 }
