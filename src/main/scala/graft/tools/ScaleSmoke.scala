@@ -389,9 +389,17 @@ object ScaleSmoke {
 
     // ---- round-8 ExactSubstr kernel A/B at the same scale --------------
     // substr_hash_windows vs the interpreted transform-HOF it replaced:
-    // same window multiset (equal substrings hash equal under both), so
-    // the distinct-count ratio is a correctness cross-check and the
-    // wall-time ratio is the O(n) vs O(n·k) evidence at N× gate scale.
+    // same window multiset, but the two variants hash under DIFFERENT
+    // hash families (the kernel's rolling hash vs xxhash64 of the
+    // substring), so the two approx_count_distinct(rsd=0.01) sketches are
+    // independent estimates of the same cardinality — expect them to agree
+    // to a few percent, not byte-for-byte (the artifact rows read ~130.3M
+    // vs ~126.6M, a 2.8% gap, in band for two rsd-0.01 sketches over
+    // distinct hash mappings). The kernel's grouping equivalence (equal
+    // windows hash equal, UTF-8 boundary handling) is pinned separately in
+    // SubstrHashSpec; here the distinct-count pair is
+    // a sanity cross-check and the wall-time ratio is the O(n) vs O(n·k)
+    // evidence at N× gate scale.
     graft.functions.SubstrHash.register(spark)
     val longDocs = corpus.filter(length(col("text")) >= 30).cache()
     longDocs.count()
