@@ -408,9 +408,10 @@ object StreamingOps {
     // watermark (max ts − 10 min) are absent; the oracle applies the
     // same cut. Served as the watermark cut of the shared tumbling run
     // (see sharedWindowedRun: for a bounded input the cut of the
-    // complete result IS the append-emitted set — checked: max ts
-    // carries a µs offset at every sf, so the cut never lands exactly
-    // on an hour boundary and the <= boundary is unambiguous). The
+    // complete result IS the append-emitted set — max ts carries a µs
+    // offset at every sf, so the cut never lands exactly on an hour
+    // boundary and the <= boundary is unambiguous; spec-enforced over
+    // every sf dir by StreamingAppendSpec's boundary test). The
     // append/file-sink MACHINERY itself is exercised by the six
     // append-mode entries below.
     QueryDef("s_tumbling_append",
@@ -465,8 +466,9 @@ object StreamingOps {
     // run (a session [start, end) is final iff wm ≥ end: any
     // admissible event has ts ≥ wm ≥ end and cannot merge into it —
     // the same bounded-input equivalence as the tumbling/sliding
-    // twins; checked: no session ends exactly AT the cut in any sf, so
-    // the <= boundary is unambiguous). Append-mode session EMISSION
+    // twins; no session ends exactly AT the cut in any sf, so the <=
+    // boundary is unambiguous — spec-enforced over every sf dir by
+    // StreamingAppendSpec's boundary test). Append-mode session EMISSION
     // stays empirically pinned by StreamingAppendSpec's real
     // file-sink run per test, and the append/file-sink machinery by
     // the five append entries below.

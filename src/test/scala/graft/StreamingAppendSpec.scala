@@ -99,4 +99,33 @@ class StreamingAppendSpec extends AnyFunSuite {
     assert(session == sessionView,
       "real session append-mode emission diverged from the served view")
   }
+
+  test("no window of any shared shape ends exactly AT the watermark cut, at any sf") {
+    // the served append views filter `unix_micros(end) <= cut` — the
+    // <= is only unambiguous because no window END coincides with the
+    // cut in the test corpora (a coinciding window would be emitted by
+    // the view but the real append run's emit-when-wm-PASSES-end timing
+    // could legitimately go either way on the boundary). That was a
+    // by-hand claim in the s_session_append comment; enforce it here in
+    // batch for all three shapes over every generated sf dir, so a
+    // testdata regeneration that lands max(ts) on a window boundary
+    // fails loudly instead of turning the twins flaky
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val ev = graft.queries.Q.events(spark, dir)
+      val cut = ev.agg(expr("max(unix_micros(ts))")).head().getLong(0) -
+        600000000L
+      def endsAtCut(df: org.apache.spark.sql.DataFrame, end: String): Long =
+        df.filter(expr(s"unix_micros($end)") === lit(cut)).count()
+      assert(endsAtCut(ev.groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1))), "window.end") == 0L,
+        s"$dir: a tumbling window ends exactly at the cut")
+      assert(endsAtCut(ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(count(lit(1))), "window.end") == 0L,
+        s"$dir: a sliding window ends exactly at the cut")
+      assert(endsAtCut(ev.groupBy(session_window(col("ts"), "30 minutes"),
+            col("user_id")).agg(count(lit(1))), "session_window.end") == 0L,
+        s"$dir: a session ends exactly at the cut")
+    }
+  }
 }
