@@ -126,6 +126,64 @@ class NeardupPairsIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("a second refresh from a refreshed base still equals a rebuild") {
+    // The single-cycle tests refresh from a FRESH-built base, so they
+    // never exercise the refreshed artifact as an incremental base —
+    // in particular its republished COVER table, the (doc_id,
+    // text_hash) identity refresh N+1 keys delta detection on. A wrong
+    // refreshed cover (carried doc missing, stale hash) would pass
+    // cycle 1's pairs ≡ rebuild check and only misclassify in cycle 2.
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_pairsidx").toString
+    try {
+      gen(0, 300, 20).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      NeardupPairsIndex.pairs(spark, dir).count() // cycle 0: full build
+      gen(300, 400, 20).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+      NeardupPairsIndex.pairs(spark, dir).count() // cycle 1: refresh
+      val idx2 = NeardupPairsIndex.artifactDir(dir)
+      // sentinel into the REFRESHED pair table: cycle 2 keeping it
+      // proves the carry path ran from the refreshed artifact, not a
+      // silent rebuild
+      val sentinel = (900000001L, 900000002L, 0.987)
+      val pairsDir = idx2.resolve("pairs").toString
+      val existing = spark.read.schema(NeardupPairsIndex.schema)
+        .parquet(pairsDir).collect().toSeq
+      import spark.implicits._
+      (existing.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) :+
+          sentinel)
+        .toDF("a_id", "b_id", "jaccard").repartition(1)
+        .write.mode("overwrite").parquet(pairsDir)
+      // cycle 2: append batch (400,500) AND re-text doc 40 — a FIRST-
+      // batch doc whose clone pair (40, 1000040) was carried through
+      // cycle 1; dropping it now depends on cycle 1's cover being right
+      gen(0, 500, 20)
+        .withColumn("text", when(col("doc_id") === 40L,
+          lit("totally different words now here")).otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val p3 = NeardupPairsIndex.pairs(spark, dir)
+        .collect().map(row).toSet
+      val want = NeardupPairsIndex.buildPlan(spark, dir)
+        .collect().map(row).toSet
+      val sentinelRow = (sentinel._1, sentinel._2,
+        math.round(sentinel._3 * 1e9))
+      assert(p3.contains(sentinelRow),
+        "cycle 2 rebuilt from scratch — the carry path never ran")
+      assert(p3 - sentinelRow == want,
+        "second refresh from a refreshed base diverged from a rebuild")
+      assert(!p3.exists(p => p._1 == 40L && p._2 == 1000040L),
+        "a doc re-texted in cycle 2 kept its carried cycle-1 pair — " +
+          "the refreshed cover misidentified it")
+      assert((p3 - sentinelRow).exists(p => p._1 >= 400L || p._2 >= 400L),
+        "the cycle-2 batch plants new pairs — the fresh path is vacuous")
+      assert(!Files.exists(idx2), "cycle-1 artifact must be swept")
+    } finally {
+      graft.queries.Q.deleteRecursively(Paths.get(dir))
+      sweep(dir)
+    }
+  }
+
   test("incremental refresh drops pairs whose endpoint was removed or re-texted") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_pairsidx").toString
