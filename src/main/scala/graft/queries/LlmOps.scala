@@ -128,32 +128,7 @@ object LlmOps {
     // one signature state — one aggregation state/pass instead of 32 agg
     // expressions (the shuffle already carried 32 partial-min longs
     // per doc either way; the win is plan width and per-row CPU)
-    val sigs = sigsOpt.getOrElse(minhashSigs(docs))
-    // Band rows carry the doc's shingle-set SIZE (n_sh, computed with
-    // the signature itself — no second corpus join) so the EXACT length
-    // filter (PPJoin's) can prune candidates inside the join, BEFORE
-    // the distinct shuffle and the doc-array verify: jacc(A,B) ≤
-    // min(|A|,|B|)/max(|A|,|B|), so any pair failing
-    // min/max > threshold is provably below threshold — no true pair
-    // is ever dropped. This is the quadratic-candidate guard at scale:
-    // a 2-row band collides with probability s², so the LOW-similarity
-    // pair mass (which grows ~quadratically with corpus size on a
-    // self-similar corpus) leaks candidates linearly in Σ|bucket|² —
-    // tools/ScaleSmoke measured candidates 2.7M → 10.4M for 100k →
-    // 200k synthetic docs, 99.8% of them spurious. Size filtering cuts
-    // the cross-size portion of every bucket for free; the residual
-    // same-size junk is the banding selectivity trade documented in
-    // SCALING.md (more rows per band would square it away, at the cost
-    // of recall at the declared 0.5 threshold — the oracle's
-    // exact-pair-set contract keeps 16×2).
-    val bands = bandsOf(sigs)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.sz"), col("y.sz")).cast("double") >
-            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val cand = selfCandidates(sigsOpt.getOrElse(minhashSigs(docs)), threshold)
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
     cand.join(a, "a_id").join(b, "b_id")
@@ -162,6 +137,35 @@ object LlmOps {
         col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") > threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** LSH self-join candidate pairs over a signature frame, a_id < b_id,
+   * distinct. Band rows carry the doc's shingle-set SIZE (n_sh,
+   * computed with the signature itself — no second corpus join) so the
+   * EXACT length filter (PPJoin's) can prune candidates inside the
+   * join, BEFORE the distinct shuffle and the doc-array verify:
+   * jacc(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair failing
+   * min/max > threshold is provably below threshold — no true pair is
+   * ever dropped. This is the quadratic-candidate guard at scale: a
+   * 2-row band collides with probability s², so the LOW-similarity
+   * pair mass (which grows ~quadratically with corpus size on a
+   * self-similar corpus) leaks candidates linearly in Σ|bucket|² —
+   * tools/ScaleSmoke measured candidates 2.7M → 10.4M for 100k → 200k
+   * synthetic docs, 99.8% of them spurious. Size filtering cuts the
+   * cross-size portion of every bucket for free; the residual
+   * same-size junk is the banding selectivity trade documented in
+   * SCALING.md (more rows per band would square it away, at the cost
+   * of recall at the declared 0.5 threshold — the oracle's
+   * exact-pair-set contract keeps 16×2). */
+  private def selfCandidates(sigs: DataFrame, threshold: Double): DataFrame = {
+    val bands = bandsOf(sigs)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")).cast("double") >
+            lit(threshold) * greatest(col("x.sz"), col("y.sz")))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
   }
 
   /** (doc_id, sz, band, bv) band rows of a signature frame — the LSH
@@ -187,23 +191,11 @@ object LlmOps {
    * between the DELTA's signatures and the FULL signature table —
    * never corpus × corpus — normalized to a_id < b_id (a delta-delta
    * pair collides from both sides; the distinct absorbs it), with the
-   * same exact length filter as the self-join path. The exact-Jaccard
-   * verify then shingles ONLY candidate docs: the semi-join sits below
-   * the shingle projection (see [[shingled]]), so at a small delta the
-   * candidate ids broadcast and the corpus pays one cheap column scan,
-   * not a full re-shingle. A pair (x, y) survives iff it shares a band
-   * AND verifies above threshold — the identical condition the full
-   * rebuild applies — which is what makes incremental ≡ rebuild exact
-   * (NeardupPairsIndexSpec pins it).
-   *
-   * Loan-pattern: the candidate set feeds three subtrees (both verify
-   * ids and the join) and the shingled-candidate frame feeds both
-   * verify sides; relying on ReuseExchange to dedupe them is exactly
-   * what the full-build branch's docs cache exists to avoid (the
-   * structurally-identical self-join reuse did not materialize there
-   * — r12 measurement). Both frames are cached for the duration of
-   * `use`'s action — cand is graph-sized, the shingles
-   * candidate-restricted — and dropped on exit. */
+   * same exact length filter as the self-join path. A pair (x, y)
+   * survives iff it shares a band AND verifies above threshold — the
+   * identical condition the full rebuild applies — which is what makes
+   * incremental ≡ rebuild exact (NeardupPairsIndexSpec pins it). The
+   * verify is the shared two-phase [[verifyCandidates]]. */
   private[graft] def neardupPairsCross[T](s: SparkSession, dir: String,
                                           threshold: Double,
                                           deltaSigs: DataFrame,
@@ -219,23 +211,121 @@ object LlmOps {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
       .distinct()
-      .cache()
+    verifyCandidates(cand, threshold, ids =>
+      shingled(rd(s, dir, "documents").join(ids, Seq("doc_id"), "left_semi")))(use)
+  }
+
+  /** The pair-table FULL-build fast path (artifact first build; the
+   * one corpus-scale job a new corpus cannot avoid): LSH self-join
+   * candidates from the persisted signature frame, verified by the
+   * two-phase [[verifyCandidates]]. Output ≡ [[neardupPairs]]'s
+   * single-stage plan — NeardupPairsIndexSpec pins the published
+   * artifact against that reference plan, so the equivalence is
+   * re-proven on every spec run, not assumed. */
+  private[graft] def neardupPairsBuild[T](s: SparkSession, dir: String,
+                                          threshold: Double,
+                                          sigs: DataFrame)
+                                         (use: DataFrame => T): T =
+    verifyCandidates(selfCandidates(sigs, threshold), threshold, ids =>
+      shingled(rd(s, dir, "documents").join(ids, Seq("doc_id"), "left_semi")))(use)
+
+  /** [[neardupPairsBuild]] over an in-memory (doc_id, sh) frame —
+   * tools/ScaleSmoke's standalone pipeline measurement. */
+  private[graft] def neardupPairsFast[T](docs: DataFrame, threshold: Double)
+                                        (use: DataFrame => T): T =
+    verifyCandidates(selfCandidates(minhashSigs(docs), threshold), threshold,
+      ids => docs.join(ids, Seq("doc_id"), "left_semi"))(use)
+
+  /** The verify prefilter's keep condition over the phase-1 join row —
+   * columns `na`/`nb` (string shingle counts), `da`/`db` (sorted
+   * DISTINCT hashed shingle arrays), `ih` (their merge-intersect
+   * count). Split out so the exactness-critical routing is directly
+   * unit-testable (SortedIntersectSpec evaluates it over crafted
+   * frames — real xxhash64 collisions cannot be planted).
+   *
+   * Exactness argument: when h = xxhash64 is injective on a doc's
+   * shingle set (inj ⟺ size(d) = n, checkable per doc), |A_h| = |A|
+   * and |h(A∩B)| = |A∩B|; h(A∩B) ⊆ A_h∩B_h always (equal strings hash
+   * equal), so I_h ≥ I_s and U_h = |A_h|+|B_h|−I_h ≤ U_s — hence
+   * jacc_h = I_h/U_h ≥ jacc_s. Cross-collisions between the two docs
+   * can only INFLATE jacc_h, never deflate it. So for a pair with both
+   * sides injective, `jacc_h > threshold` keeps every true pair
+   * (jacc_s > threshold ⟹ jacc_h > threshold); a pair with EITHER
+   * side non-injective bypasses the prefilter entirely (kept
+   * unconditionally — the bound needs injectivity). False survivors
+   * are eliminated by the string-exact phase 2, so the two-phase
+   * result is equal to the single-stage plan BY CONSTRUCTION, not
+   * probabilistically. */
+  private[graft] def prefilterKeep(threshold: Double): Column =
+    col("na") =!= size(col("da")) || col("nb") =!= size(col("db")) ||
+      col("ih").cast("double") >
+        lit(threshold) * (size(col("da")) + size(col("db")) - col("ih"))
+
+  /** Two-phase EXACT verify of LSH candidate pairs — the near-dup
+   * family's scale fix for the verify stage, which PairProfile measured
+   * as 86 s of the 109 s full build at 220k docs (7.6M candidates, 20k
+   * true pairs — 99.7% spurious, each paying a string-array
+   * `array_intersect`).
+   *
+   * Phase 1 joins the candidate pairs to a NARROW per-doc frame —
+   * sorted distinct hashed shingles (8 bytes/shingle instead of the
+   * ~20-byte strings) — and prunes with [[prefilterKeep]]'s
+   * jacc-over-hashes bound via the [[graft.functions.SortedIntersect]]
+   * merge kernel: provably lossless (see prefilterKeep), so survivors
+   * ⊇ true pairs and are graph-sized. Phase 2 joins ONLY the survivors
+   * back to the string shingle arrays and applies the original exact
+   * string-Jaccard condition — identical output to the single-stage
+   * plan, with the corpus-scale join mass carried on hashed longs and
+   * the string `array_intersect` paid by the graph-sized remnant.
+   *
+   * `docsFor(ids)` supplies the (doc_id, sh) verify frame restricted
+   * to the candidate-endpoint ids — callers place the semi-join BELOW
+   * their shingle projection so non-candidate rows never pay
+   * tokenize+shingle (the r12 cross-path trick, now shared by the full
+   * build).
+   *
+   * Loan-pattern: cand feeds three subtrees (endpoint ids + the
+   * phase-1 join) and the restricted docs frame feeds both phase-1
+   * hashed sides and both phase-2 string sides; relying on
+   * ReuseExchange to dedupe them did not materialize (r12
+   * measurement), so both are cached for the duration of `use`'s
+   * action and dropped on exit. */
+  private def verifyCandidates[T](cand0: DataFrame, threshold: Double,
+                                  docsFor: DataFrame => DataFrame)
+                                 (use: DataFrame => T): T = {
+    val s = cand0.sparkSession
+    graft.functions.HashArray.register(s)
+    graft.functions.SortedIntersect.register(s)
+    val cand = cand0.cache()
     val ids = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    val vdocs = shingled(
-      rd(s, dir, "documents").join(ids, Seq("doc_id"), "left_semi"))
+    // one cached frame carries both representations; columnar cache
+    // pruning serves phase 1 the long arrays only and phase 2 the
+    // strings only
+    val v = docsFor(ids)
+      .withColumn("d", sort_array(array_distinct(
+        graft.functions.HashArray.arrayHash(col("sh")))))
+      .withColumn("n", size(col("sh")))
       .cache()
     try {
-      val a = vdocs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
-      val b = vdocs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
-      use(cand.join(a, "a_id").join(b, "b_id")
+      val ha = v.select(col("doc_id").as("a_id"), col("d").as("da"),
+        col("n").as("na"))
+      val hb = v.select(col("doc_id").as("b_id"), col("d").as("db"),
+        col("n").as("nb"))
+      val surv = cand.join(ha, "a_id").join(hb, "b_id")
+        .withColumn("ih", graft.functions.SortedIntersect.of(col("da"), col("db")))
+        .filter(prefilterKeep(threshold))
+        .select("a_id", "b_id")
+      val a = v.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+      val b = v.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+      use(surv.join(a, "a_id").join(b, "b_id")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
         .withColumn("jaccard",
           col("inter").cast("double") /
             (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("jaccard") > threshold)
         .select("a_id", "b_id", "jaccard"))
-    } finally { vdocs.unpersist(); cand.unpersist() }
+    } finally { v.unpersist(); cand.unpersist() }
   }
 
   /** Sequential-fold double dot product over two float arrays, via the

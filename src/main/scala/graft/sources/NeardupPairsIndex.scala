@@ -170,13 +170,13 @@ object NeardupPairsIndex {
             writeParts(carried.unionByName(fresh), curCover, staging)
           }
         case None =>
-          // the shingled docs frame feeds BOTH sides of the exact-
-          // verify join — uncached, the corpus scan + tokenize +
-          // shingle pipeline would run twice per build
-          val docs = graft.queries.LlmOps.docsWithShingles(s, dir).cache()
-          try writeParts(buildFrom(s, dir, threshold, docs),
-            curCover, staging)
-          finally docs.unpersist()
+          // two-phase verified fast path (round 13: PairProfile put
+          // 80% of the full build in the string-array verify; the
+          // hashed prefilter + candidate-restricted string pass is
+          // output-identical — the spec pins this artifact against
+          // buildPlan's single-stage reference on every run)
+          graft.queries.LlmOps.neardupPairsBuild(s, dir, threshold,
+            sigs) { fresh => writeParts(fresh, curCover, staging) }
       }
     }
     ManifestStore.memoFrame[DataFrame](s, idx, stamp) {

@@ -1,0 +1,141 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Stage-level profile of the near-dup PAIR-TABLE first build — the one
+ * corpus-scale job left whose wall time at the 110x smoke (~340 s)
+ * dwarfs everything else in SCALESMOKE_r13. The refresh path avoids
+ * re-paying it, but every corpus pays it ONCE; before optimizing,
+ * attribute the time to its stages:
+ *
+ *   1. signature build (shingle + 32-perm MinHash fold)
+ *   2. band rows + self-join candidates, pre-distinct
+ *   3. candidate distinct
+ *   4. corpus shingle materialize (the verify input)
+ *   5. exact-verify join + string array_intersect
+ *
+ * and measure the two exactness-preserving verify variants against the
+ * shipped shape: (a) verify sides semi-join-restricted to candidate
+ * ids (the neardupPairsCross trick applied to the full build), and
+ * (b) restricted + sorted-merge intersection kernel.
+ *
+ *   sbt "runMain graft.tools.PairProfile [rows] [partitions]"
+ */
+object PairProfile {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 200000L
+    val parts = if (args.length > 1) args(1).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "1048576"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[pairprof] $label%-42s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // the ScaleSmoke corpus: unique DocGen text + 5% exact clones + 5%
+    // near-dups, the same distribution the 110x number was measured on
+    val base = spark.read.format("graft.sources.DocGen")
+      .option("rows", rows).option("partitions", parts).option("seed", 11L)
+      .load().select("doc_id", "text")
+    val corpus = base
+      .union(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + rows).as("doc_id"), col("text")))
+      .union(base.filter(col("doc_id") % 20 === 1)
+        .select((col("doc_id") + 2 * rows).as("doc_id"),
+          concat(col("text"), lit(" trailing near dup marker")).as("text")))
+      .cache()
+    time("corpus materialize")(corpus.count())
+
+    graft.functions.Shingles.register(spark)
+    graft.functions.HashArray.register(spark)
+
+    val sigs = time("sigs build (shingle+minhash fold)") {
+      val f = graft.queries.LlmOps.sigsPlanFor(corpus).cache()
+      f.count(); f
+    }
+
+    // band rows — the bandsOf shape inlined (16 bands x 2 rows)
+    val bandCols = (0 until 16).map(b => struct(lit(b).as("band"),
+      xxhash64(element_at(col("sig"), 2 * b + 1),
+        element_at(col("sig"), 2 * b + 2)).as("bv")))
+    val bands = sigs
+      .select(col("doc_id"), col("n_sh").as("sz"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sz"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val preD = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")).cast("double") >
+            lit(0.5) * greatest(col("x.sz"), col("y.sz")))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val nPre = time("candidates pre-distinct")(preD.count())
+    println(s"[pairprof]   pre-distinct candidates=$nPre")
+    val cand = preD.distinct().cache()
+    val nCand = time("candidates distinct")(cand.count())
+    println(s"[pairprof]   distinct candidates=$nCand")
+
+    val docs = time("corpus shingle materialize") {
+      val f = graft.queries.LlmOps.shingled(corpus).cache()
+      f.count(); f
+    }
+
+    // shipped verify shape: full-corpus array frame on both sides
+    val nV1 = time("verify: full sides + array_intersect") {
+      val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+      val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+      cand.join(a, "a_id").join(b, "b_id")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("jaccard") > 0.5)
+        .count()
+    }
+    println(s"[pairprof]   pairs=$nV1")
+
+    // variant (a): semi-join-restrict the verify sides to candidate ids
+    val nV2 = time("verify: restricted sides + array_intersect") {
+      val ids = cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id").as("doc_id"))).distinct()
+      val v = docs.join(ids, Seq("doc_id"), "left_semi").cache()
+      try {
+        v.count()
+        val a = v.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+        val b = v.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+        cand.join(a, "a_id").join(b, "b_id")
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("jaccard") > 0.5)
+          .count()
+      } finally v.unpersist()
+    }
+    println(s"[pairprof]   pairs=$nV2 (agree=${nV1 == nV2})")
+
+    // variant (b): the shipped round-13 two-phase verify — hashed
+    // sorted-long prefilter kernel + string-exact verify of the
+    // graph-sized survivors (end-to-end, candidates included)
+    val nV3 = time("two-phase fast build (end-to-end)") {
+      graft.queries.LlmOps.neardupPairsFast(docs, 0.5)(_.count())
+    }
+    println(s"[pairprof]   pairs=$nV3 (agree=${nV1 == nV3})")
+
+    // how concentrated are candidate endpoints? (drives variant a's win)
+    val nIds = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct().count()
+    println(s"[pairprof]   candidate-endpoint docs=$nIds of ${corpus.count()}")
+
+    spark.stop()
+  }
+}

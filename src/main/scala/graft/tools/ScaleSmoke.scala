@@ -73,9 +73,15 @@ object ScaleSmoke {
       .cache()
     time("materialize + shingle")(docs.count())
 
-    val pairs = graft.queries.LlmOps.neardupPairs(docs, 0.5)
-      .select("a_id", "b_id").cache()
-    val nPairs = time("neardup pairs (LSH+verify)")(pairs.count())
+    // round 13: the two-phase-verified fast path (the artifact build's
+    // shape); the result cache materializes inside the loan so the
+    // downstream CC/recall consumers keep a valid frame after the
+    // loan's intermediates unpersist
+    val pairs = time("neardup pairs (LSH+verify)")(
+      graft.queries.LlmOps.neardupPairsFast(docs, 0.5) { df =>
+        val p = df.select("a_id", "b_id").cache(); p.count(); p
+      })
+    val nPairs = pairs.count()
     println(s"[scale]   pairs=$nPairs")
     record("pairs", nPairs)
     // planted-duplicate RECALL: the corpus plants one exact-clone pair
