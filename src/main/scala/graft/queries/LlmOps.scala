@@ -630,22 +630,28 @@ object LlmOps {
     // length, never corpus size.
     QueryDef("q_containment",
       (s, dir) => {
-        // shingle strings are hashed ONCE at the scan into long arrays
-        // and never appear again — the inverted index, the prefix, and
-        // the verify all run over 8-byte hashes (the neardupPairs
-        // explode lesson: long Generate output measured ~5x faster, and
-        // the verify's array_intersect over longs beats string compare).
+        // shingle strings are hashed ONCE at the scan into SORTED long
+        // arrays and never appear again — the inverted index, the
+        // prefix, and the verify all run over 8-byte hashes (the
+        // neardupPairs explode lesson: long Generate output measured
+        // ~5x faster), with the verify a sorted_long_intersect merge
+        // instead of array_intersect's per-row hash-set build.
         // 64-bit collisions across a corpus's distinct shingles are
         // ~1e-9-probability; the sf0.01 oracle pass pins the actual data.
         graft.functions.HashArray.register(s)
+        graft.functions.SortedIntersect.register(s)
         // cached: feeds the maxK driver scalar's own action plus three
         // branches of the final plan (ex derivation + both verify
         // sides) — uncached, the scan + shingle + hash prefix re-ran
-        // per branch (A/B: 2.58 s vs 2.20 s, 3-rep mins)
+        // per branch (A/B: 2.58 s vs 2.20 s, 3-rep mins). Sorted at
+        // the scan so the verify can run the sorted_long_intersect
+        // merge kernel — nothing downstream is order-sensitive (the
+        // explode, df counts, and prefix ranking all re-order anyway),
+        // and |hs| is unchanged, so the containment value is identical.
         val docs = docsWithShingles(s, dir)
           .filter(size(col("sh")) > 0)
-          .select(col("doc_id"),
-            graft.functions.HashArray.arrayHash(col("sh")).as("hs"))
+          .select(col("doc_id"), sort_array(
+            graft.functions.HashArray.arrayHash(col("sh"))).as("hs"))
           .cache()
         // one explode, NOT cached (round 10): its three consumers all
         // sit in the one final plan over the already-cached docs, and
@@ -694,8 +700,8 @@ object LlmOps {
           .join(docs.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
           .join(docs.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
           .withColumn("containment",
-            size(array_intersect(col("ha"), col("hb"))).cast("double")
-              / size(col("ha")))
+            graft.functions.SortedIntersect.of(col("ha"), col("hb"))
+              .cast("double") / size(col("ha")))
           .filter(col("containment") >= 0.8)
           .select(col("a_id"), col("b_id"),
             round(col("containment"), 4).as("containment"))
