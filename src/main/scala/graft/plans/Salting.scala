@@ -15,23 +15,34 @@ import org.apache.spark.sql.functions._
  * EXPLODES in the join output looks healthy to it.
  *
  * The split: groups larger than `splitRows` subdivide the a-side by an
- * extra id hash into nsub = ceil(|G|/splitRows) sub-groups (capped at
+ * extra id hash into na = ceil(|G|/splitRows) sub-groups (capped at
  * `maxSub`); the b-side replicates to every sub-group, so each sub-task
  * probes the FULL parent group (the multiprobe side). Joining on
  * (key, sub) makes every in-group ordered pair (a, b) meet EXACTLY once
- * — in a's sub — so any downstream pair semantics (orientation filters
- * like `ai < bi`, top-k cuts keyed on a's id) are unchanged and the
- * result is row-identical to the unsplit join (KnnGraphIndexSpec and
- * SaltingSpec pin it). The quadratic mass spreads over nsub tasks of
- * ≤ ~splitRows a-rows each at linear replication cost (nsub·|G| extra
- * b-rows). Cold groups get nsub = 1 (sub ≡ 0) — the unsplit plan.
+ * — in the one sub where a's chunk meets b's chunk — so any downstream
+ * pair semantics (orientation filters like `ai < bi`, top-k cuts keyed
+ * on a's id) are unchanged and the result is row-identical to the
+ * unsplit join (KnnGraphIndexSpec and SaltingSpec pin it). The
+ * quadratic mass spreads over tasks of ≤ ~splitRows a-rows each at
+ * linear replication cost. Cold groups get one sub (sub ≡ 0) — the
+ * unsplit plan.
  *
- * Ceiling note (VERDICT r12 item 6): with maxSub = 64 the per-sub
- * a-side starts growing again past 64·splitRows rows in one group
- * (~131k at the kNN defaults). The next lever at that scale is a
- * second split level — recursive sub-split, or one more hash bit per
- * doubling — which changes only nsub's computation, not the join
- * shape; at gate and ScaleSmoke scales the cap is never approached.
+ * Past the old maxSub CEILING (VERDICT r12 item 6 — with maxSub = 64
+ * the per-sub a-side started growing again past 64·splitRows rows in
+ * one group, ~131k at the kNN defaults) the split now goes
+ * TWO-DIMENSIONAL (round 13): when the needed chunk count N =
+ * ceil(|G|/splitRows) exceeds maxSub, the b-side also chunks by a
+ * second id hash into nb = ceil(N/maxSub) chunks (its own cap maxSub),
+ * and sub becomes the GRID cell (a-chunk, b-chunk) — a-rows replicate
+ * across the nb b-chunks, b-rows across the na a-chunks, and the
+ * ordered pair (a, b) still meets exactly once, in cell (chunk(a),
+ * chunk(b)). Per-task pair mass stays ≤ ~splitRows·|G|/ (na·nb/N)
+ * ≈ splitRows·|G|/nb — the one-more-hash-bit-per-doubling lever the
+ * r12 ceiling note named, now implemented; the knee moves from
+ * maxSub·splitRows to maxSub²·splitRows (~8.4M rows/group at the kNN
+ * defaults). Below the old knee nb = 1 and the shape — including hash
+ * values and replication counts — is bit-identical to the
+ * one-dimensional split, so no plan below the ceiling changes.
  */
 object Salting {
 
@@ -57,18 +68,35 @@ object Salting {
     val sizes = sizesIn.getOrElse(
       df.groupBy(key).agg(count(lit(1)).as("group_n")))
     val sized = df.join(broadcast(sizes), Seq(key), "left")
-      .withColumn("__nsub",
+      .withColumn("__nchunks",
+        greatest(lit(1L),
+          ceil(coalesce(col("group_n"), lit(1L)) /
+            lit(splitRows.toDouble))))
+      .withColumn("__na",
+        least(lit(maxSub.toLong), col("__nchunks")).cast("int"))
+      .withColumn("__nb",
         least(lit(maxSub.toLong),
-          greatest(lit(1L),
-            ceil(coalesce(col("group_n"), lit(1L)) /
-              lit(splitRows.toDouble))))
-        .cast("int"))
+          ceil(col("__nchunks") / lit(maxSub.toDouble))).cast("int"))
+    // sub = grid cell (a-chunk · nb + b-chunk). An a-row sits in ONE
+    // a-chunk and replicates across the nb b-chunks; a b-row sits in
+    // ONE b-chunk (independent second hash) and replicates across the
+    // na a-chunks — so the ordered pair (a, b) meets exactly once, in
+    // cell (chunk(a), chunk(b)). nb = 1 until the group needs more
+    // than maxSub chunks, which degenerates to the one-dimensional
+    // split byte-for-byte (sub = a-chunk; b-side multiprobes all subs).
     val a = sized
-      .withColumn("sub", pmod(xxhash64(col(id)), col("__nsub")).cast("int"))
-      .drop("group_n", "__nsub")
+      .withColumn("__sb", explode(sequence(lit(0), col("__nb") - 1)))
+      .withColumn("sub",
+        (pmod(xxhash64(col(id)), col("__na")).cast("int") * col("__nb") +
+          col("__sb")).cast("int"))
+      .drop("group_n", "__nchunks", "__na", "__nb", "__sb")
     val b = sized
-      .withColumn("sub", explode(sequence(lit(0), col("__nsub") - 1)))
-      .drop("group_n", "__nsub")
+      .withColumn("__sa", explode(sequence(lit(0), col("__na") - 1)))
+      .withColumn("sub",
+        (col("__sa") * col("__nb") +
+          pmod(xxhash64(col(id), lit(1)), col("__nb")).cast("int"))
+          .cast("int"))
+      .drop("group_n", "__nchunks", "__na", "__nb", "__sa")
     (a, b)
   }
 }

@@ -115,7 +115,13 @@ object KnnGraphIndex {
    * price of parallelizing the quadratic term. Cold buckets get
    * nsub = 1 (sub ≡ 0), the pre-split plan. Gate corpora peak at 137
    * rows/bucket — far under threshold; the split engages only at scale
-   * (ScaleSmoke plants a hot bucket and measures both variants). */
+   * (ScaleSmoke plants a hot bucket and measures both variants).
+   * Past MAX_SUB·SPLIT_ROWS rows in ONE bucket the shared Salting
+   * helper goes two-dimensional (round 13; Salting.scala scaladoc):
+   * the b-side also chunks and `sub` becomes a grid cell, so per-task
+   * b-rows stay bounded instead of one sub-task buffering the full
+   * parent bucket — the knee moves to MAX_SUB²·SPLIT_ROWS (~8.4M
+   * rows/bucket). */
   val SPLIT_ROWS = 2048L
   val MAX_SUB = 64
 

@@ -67,6 +67,69 @@ class SaltingSpec extends AnyFunSuite {
       "b-side does not multiprobe the full parent cluster")
   }
 
+  test("past the maxSub knee the split goes 2-D: pairs meet exactly once, both sides bounded") {
+    // splitRows = 16, maxSub = 2 puts the knee at 32 rows/group; the
+    // 300-row hot cluster needs N = 19 chunks, so na = 2 and the
+    // b-side ALSO chunks (nb = 2) — the grid regime the r12 ceiling
+    // note documented and round 13 implemented
+    val (aSide, bSide) = Salting.saltedSelfSides(
+      corpus, "label", "vec_id", 16L, 2)
+    val hotN = 300L
+
+    // the load-bearing contract, checked at the PAIR level: joining on
+    // (key, sub) yields every ordered in-group pair EXACTLY once —
+    // no pair lost by the grid routing, none duplicated by the
+    // two-sided replication
+    val pairs = aSide.select(col("label"), col("sub"), col("vec_id").as("ai"))
+      .join(bSide.select(col("label"), col("sub"), col("vec_id").as("bi")),
+        Seq("label", "sub"))
+      .groupBy("label", "ai", "bi").agg(count(lit(1)).as("c"))
+    assert(pairs.filter(col("c") =!= 1).count() == 0L,
+      "an ordered pair met zero or multiple times under the 2-D split")
+    val wantPairs = corpus.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).head().getLong(0)
+    assert(pairs.count() == wantPairs,
+      "the 2-D split's ordered-pair count is not Σ|G|²")
+
+    // two-sided replication and per-cell bounds: the hot cluster's
+    // a-side replicates nb = 2×, its b-side na = 2×, and NO cell holds
+    // the full group on either side (the 1-D scheme's b-side would)
+    assert(aSide.filter(col("label") === 7).count() == hotN * 2,
+      "a-side did not replicate across the b-chunks")
+    assert(bSide.filter(col("label") === 7).count() == hotN * 2,
+      "b-side did not replicate across the a-chunks")
+    val maxCellB = bSide.filter(col("label") === 7)
+      .groupBy("sub").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(maxCellB < hotN,
+      "a grid cell's b-side still carries the full parent group")
+
+    // and the downstream semantics are unchanged: the semdedup join
+    // shape (ai < bi orientation + distinct) over the grid sides
+    // equals the unsplit join's output
+    graft.functions.VectorFunctions.register(spark)
+    def dropped(a0: org.apache.spark.sql.DataFrame,
+                b0: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val a = a0.select(col("label"), col("sub"), col("vec_id").as("ai"),
+        col("embedding").as("ea"))
+      val b = b0.select(col("label"), col("sub"), col("vec_id").as("bi"),
+        col("embedding").as("eb"))
+      a.join(b, Seq("label", "sub"))
+        .filter(col("ai") < col("bi"))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.vecCosine(col("ea"), col("eb")))
+        .filter(col("cos") > 0.3)
+        .select(col("label"), col("bi")).distinct()
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val (ua, ub) = Salting.saltedSelfSides(
+      corpus, "label", "vec_id", Long.MaxValue, 2)
+    val want = dropped(ua, ub)
+    val got = dropped(aSide, bSide)
+    assert(want.nonEmpty && got == want,
+      "2-D split changed the semdedup-shape output")
+  }
+
   test("a sizesIn frame missing a group degrades it to unsplit, never drops rows") {
     // the contract is "row-identical to the unsplit join": a stale or
     // differently-filtered caller-supplied sizes frame must leave an
