@@ -62,6 +62,53 @@ case class XxHash64ArrayExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "xxhash64_array"
 }
 
+/**
+ * [[XxHash64ArrayExpr]]'s NARROW sibling: the HIGH 32 bits of each
+ * element's xxhash64, as `array<int>` —
+ * `xxhash64_array_hi32(array<string>) -> array<int>`.
+ *
+ * Exists for the near-dup verify PREFILTER, whose per-pair join ships
+ * a hashed copy of every candidate doc's shingle set through a
+ * pair-cardinality shuffle (47.65M rows at the 110× profile): the
+ * prefilter's exactness argument (LlmOps.prefilterKeep) needs only a
+ * DETERMINISTIC per-element hash plus a per-doc injectivity check —
+ * never 64 bits — so halving the element width halves the dominant
+ * shuffle's array bytes. NOT interchangeable with [[XxHash64ArrayExpr]]
+ * where 64-bit identity is load-bearing (MinHash signatures, band
+ * values, persisted artifacts). High bits, not a cast: Spark 4 runs
+ * ANSI by default and a long→int Cast overflow throws; the high word
+ * of xxhash64's finalization mixes as well as the low.
+ */
+case class XxHash64ArrayHi32Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"xxhash64_array_hi32 expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashArray.hashAllHi32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.HashArray.hashAllHi32($a);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): XxHash64ArrayHi32Expr = copy(child = newChild)
+
+  override def prettyName: String = "xxhash64_array_hi32"
+}
+
 object HashArray {
 
   /** Spark's default seed for the `xxhash64` SQL function. */
@@ -83,15 +130,42 @@ object HashArray {
     new GenericArrayData(out)
   }
 
+  /** High 32 bits of each element's xxhash64 (see
+   * [[XxHash64ArrayHi32Expr]]) — null elements hash from the seed,
+   * matching [[hashAll]]'s convention. */
+  def hashAllHi32(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (arr.isNullAt(i)) SEED
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(arr.getUTF8String(i), SEED)
+      out(i) = (h >>> 32).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Idempotent per-session registration (functionExists guard — see
    * VectorFunctions.register doc). */
   def register(spark: SparkSession): Unit =
     if (!spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("xxhash64_array")))
+      org.apache.spark.sql.catalyst.FunctionIdentifier("xxhash64_array"))) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "xxhash64_array", exprs => XxHash64ArrayExpr(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "xxhash64_array_hi32",
+        exprs => XxHash64ArrayHi32Expr(exprs(0)), "scala_udf")
+    }
 
   /** Elementwise xxhash64 of a string-array column — requires
    * [[register]] on the column's session. */
   def arrayHash(c: Column): Column = call_function("xxhash64_array", c)
+
+  /** Elementwise high-32-bit xxhash64 as array<int> — requires
+   * [[register]]. */
+  def arrayHashHi32(c: Column): Column =
+    call_function("xxhash64_array_hi32", c)
 }

@@ -25,6 +25,8 @@ import org.apache.spark.sql.types._
  * each input's duplicate runs skipped during the merge — equal to
  * `size(array_intersect(a, b))` whenever both inputs are sorted
  * ascending (duplicates allowed; SortedIntersectSpec pins the parity).
+ * Accepts two array<long> or two array<int> (the prefilter's narrow
+ * xxhash64_array_hi32 form); element types must match.
  * UNSORTED input is a caller contract violation and undercounts
  * silently — every call site feeds `sort_array(...)` output. Null
  * ARRAY → null (BinaryExpression's null-intolerance); null ELEMENTS are
@@ -36,29 +38,43 @@ case class SortedLongIntersectExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  private def isInt: Boolean = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(LongType, _) => true
-      case _ => false
+    def elem(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => Some(LongType)
+      case ArrayType(IntegerType, _) => Some(IntegerType)
+      case _ => None
     }
-    if (ok(left.dataType) && ok(right.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"sorted_long_intersect expects (array<long>, array<long>), got " +
-          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(l), Some(r)) if l == r =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_long_intersect expects two sorted arrays of the SAME " +
+            s"element type (long or int), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
   }
 
   override def nullSafeEval(l: Any, r: Any): Any =
-    SortedIntersect.count(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (isInt)
+      SortedIntersect.countInt(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    else
+      SortedIntersect.count(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isInt) "countInt" else "count"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |${ev.value} = graft.functions.SortedIntersect.count($a, $b);
+         |${ev.value} = graft.functions.SortedIntersect.$fn($a, $b);
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedLongIntersectExpr =
@@ -93,6 +109,33 @@ object SortedIntersect {
           i += 1; j += 1
           while (i < na && !a.isNullAt(i) && a.getLong(i) == x) i += 1
           while (j < nb && !b.isNullAt(j) && b.getLong(j) == x) j += 1
+        }
+      }
+    }
+    c
+  }
+
+  /** [[count]] over array<int> inputs — the verify prefilter's narrow
+   * variant (elements are xxhash64_array_hi32 output). */
+  def countInt(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getInt(i)
+        val y = b.getInt(j)
+        if (x < y) i += 1
+        else if (x > y) j += 1
+        else {
+          c += 1
+          i += 1; j += 1
+          while (i < na && !a.isNullAt(i) && a.getInt(i) == x) i += 1
+          while (j < nb && !b.isNullAt(j) && b.getInt(j) == x) j += 1
         }
       }
     }

@@ -236,30 +236,53 @@ object LlmOps {
     verifyCandidates(selfCandidates(minhashSigs(docs), threshold), threshold,
       ids => docs.join(ids, Seq("doc_id"), "left_semi"))(use)
 
-  /** The verify prefilter's keep condition over the phase-1 join row —
-   * columns `na`/`nb` (string shingle counts), `da`/`db` (sorted
-   * DISTINCT hashed shingle arrays), `ih` (their merge-intersect
-   * count). Split out so the exactness-critical routing is directly
-   * unit-testable (SortedIntersectSpec evaluates it over crafted
-   * frames — real xxhash64 collisions cannot be planted).
+  /** The verify prefilter's keep condition — inputs `na`/`nb` (string
+   * shingle counts), `da`/`db` (sorted DISTINCT hashed shingle
+   * arrays), `ih` (their merge-intersect count). Split out so the
+   * exactness-critical routing is directly unit-testable
+   * (SortedIntersectSpec evaluates it over crafted frames — real hash
+   * collisions cannot be planted), and parameterized on Columns so the
+   * same expression serves both the frame form and the fused
+   * JOIN-CONDITION form (see [[verifyCandidates]]).
    *
-   * Exactness argument: when h = xxhash64 is injective on a doc's
-   * shingle set (inj ⟺ size(d) = n, checkable per doc), |A_h| = |A|
+   * Exactness argument: when the prefilter hash h (any DETERMINISTIC
+   * per-element hash — the shipped one is xxhash64's high 32 bits,
+   * which halves the pair-shuffle's array bytes) is injective on a
+   * doc's shingle set (inj ⟺ size(d) = n, checkable per doc), |A_h| = |A|
    * and |h(A∩B)| = |A∩B|; h(A∩B) ⊆ A_h∩B_h always (equal strings hash
    * equal), so I_h ≥ I_s and U_h = |A_h|+|B_h|−I_h ≤ U_s — hence
    * jacc_h = I_h/U_h ≥ jacc_s. Cross-collisions between the two docs
    * can only INFLATE jacc_h, never deflate it. So for a pair with both
-   * sides injective, `jacc_h > threshold` keeps every true pair
+   * sides injective, jacc_h > threshold keeps every true pair
    * (jacc_s > threshold ⟹ jacc_h > threshold); a pair with EITHER
    * side non-injective bypasses the prefilter entirely (kept
    * unconditionally — the bound needs injectivity). False survivors
    * are eliminated by the string-exact phase 2, so the two-phase
    * result is equal to the single-stage plan BY CONSTRUCTION, not
-   * probabilistically. */
+   * probabilistically.
+   *
+   * The comparison is the single-`ih`-reference algebraic form
+   * ih·(1+t) + 0.5 > t·(|da|+|db|) — over the reals equivalent to
+   * jacc_h > t — with a HALF-INTEGER slack: ih is an integer, so the
+   * slack changes the outcome only for pairs whose jacc_h sits within
+   * rounding distance of t (kept, then killed by phase 2 — a
+   * graph-sized handful), while swallowing any double-rounding
+   * asymmetry between this form and phase 2's division form — the
+   * losslessness proof needs no floating-point case analysis. Single
+   * reference matters in the fused join condition, where each `ih`
+   * occurrence re-runs the merge kernel. */
+  private[graft] def prefilterKeepExpr(threshold: Double,
+                                       na: Column, da: Column,
+                                       nb: Column, db: Column,
+                                       ih: Column): Column =
+    na =!= size(da) || nb =!= size(db) ||
+      ih.cast("double") * lit(1.0 + threshold) + lit(0.5) >
+        lit(threshold) * (size(da) + size(db))
+
+  /** [[prefilterKeepExpr]] over the phase-1 frame's column names. */
   private[graft] def prefilterKeep(threshold: Double): Column =
-    col("na") =!= size(col("da")) || col("nb") =!= size(col("db")) ||
-      col("ih").cast("double") >
-        lit(threshold) * (size(col("da")) + size(col("db")) - col("ih"))
+    prefilterKeepExpr(threshold, col("na"), col("da"),
+      col("nb"), col("db"), col("ih"))
 
   /** Two-phase EXACT verify of LSH candidate pairs — the near-dup
    * family's scale fix for the verify stage, which PairProfile measured
@@ -268,8 +291,8 @@ object LlmOps {
    * `array_intersect`).
    *
    * Phase 1 joins the candidate pairs to a NARROW per-doc frame —
-   * sorted distinct hashed shingles (8 bytes/shingle instead of the
-   * ~20-byte strings) — and prunes with [[prefilterKeep]]'s
+   * sorted distinct hashed shingles (4 bytes/shingle, the hi32 form,
+   * instead of the ~20-byte strings) — and prunes with [[prefilterKeep]]'s
    * jacc-over-hashes bound via the [[graft.functions.SortedIntersect]]
    * merge kernel: provably lossless (see prefilterKeep), so survivors
    * ⊇ true pairs and are graph-sized. Phase 2 joins ONLY the survivors
@@ -304,7 +327,7 @@ object LlmOps {
     // strings only
     val v = docsFor(ids)
       .withColumn("d", sort_array(array_distinct(
-        graft.functions.HashArray.arrayHash(col("sh")))))
+        graft.functions.HashArray.arrayHashHi32(col("sh")))))
       .withColumn("n", size(col("sh")))
       .cache()
     try {
@@ -312,13 +335,30 @@ object LlmOps {
         col("n").as("na"))
       val hb = v.select(col("doc_id").as("b_id"), col("d").as("db"),
         col("n").as("nb"))
-      val surv = cand.join(ha, "a_id").join(hb, "b_id")
-        .withColumn("ih", graft.functions.SortedIntersect.of(col("da"), col("db")))
-        .filter(prefilterKeep(threshold))
-        .select("a_id", "b_id")
+      // SHUFFLE-HASH, not sort-merge: the candidate side is the big one
+      // (PairProfile: 47.65M pairs at 550k docs) and under SMJ the
+      // second join SORTS it carrying the first join's array payload —
+      // tens of GB of spill that dominated the whole build. Hash-
+      // building on the hashed-doc side (narrow, corpus-CARDINALITY —
+      // per-partition build fits by sizing shuffle.partitions, the
+      // standard lake-scale knob) streams the candidate side with no
+      // sort. The prefilter is FUSED into join 2's condition, not a
+      // filter above it: the probe evaluates it per match and emits
+      // ONLY survivors, so the 47.65M spurious pairs never materialize
+      // as joined output rows — materializing them (two array copies
+      // per row) was the dominant cost even under shuffle-hash
+      // (PairProfile at 550k: survivors-as-filter 74 s, fused 11.8 s).
+      val j1 = cand.join(ha.hint("shuffle_hash"), "a_id")
+      val surv = j1.as("l").join(hb.hint("shuffle_hash").as("r"),
+          col("l.b_id") === col("r.b_id") &&
+            prefilterKeepExpr(threshold,
+              col("l.na"), col("l.da"), col("r.nb"), col("r.db"),
+              graft.functions.SortedIntersect.of(col("l.da"), col("r.db"))))
+        .select(col("l.a_id").as("a_id"), col("l.b_id").as("b_id"))
       val a = v.select(col("doc_id").as("a_id"), col("sh").as("sa"))
       val b = v.select(col("doc_id").as("b_id"), col("sh").as("sb"))
-      use(surv.join(a, "a_id").join(b, "b_id")
+      // phase 2's build side is the graph-sized survivor set
+      use(surv.hint("shuffle_hash").join(a, "a_id").join(b, "b_id")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
         .withColumn("jaccard",
           col("inter").cast("double") /

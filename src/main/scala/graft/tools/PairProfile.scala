@@ -91,6 +91,51 @@ object PairProfile {
       f.count(); f
     }
 
+    // SPARK_GRAFT_PAIRPROF_FAST=1 skips the superseded verify shapes
+    // (quadratically slow at large rows — measured and committed at
+    // 220k) and profiles only the shipped two-phase path's stages
+    val fastOnly = sys.env.get("SPARK_GRAFT_PAIRPROF_FAST").contains("1")
+    if (fastOnly) {
+      // sub-stage attribution of the two-phase verify over the cached
+      // candidate set (mirrors LlmOps.verifyCandidates' internals)
+      graft.functions.HashArray.register(spark)
+      graft.functions.SortedIntersect.register(spark)
+      val ids = cand.select(col("a_id").as("doc_id"))
+        .union(cand.select(col("b_id").as("doc_id"))).distinct()
+      val nIds = time("  ids distinct")(ids.count())
+      println(s"[pairprof]   candidate-endpoint docs=$nIds of ${corpus.count()}")
+      val v = docs.join(ids, Seq("doc_id"), "left_semi")
+        .withColumn("d", sort_array(array_distinct(
+          graft.functions.HashArray.arrayHashHi32(col("sh")))))
+        .withColumn("n", size(col("sh")))
+        .cache()
+      time("  v hashed+strings materialize")(v.count())
+      val ha = v.select(col("doc_id").as("a_id"), col("d").as("da"),
+        col("n").as("na"))
+      val hb = v.select(col("doc_id").as("b_id"), col("d").as("db"),
+        col("n").as("nb"))
+      val j1 = cand.join(ha.hint("shuffle_hash"), "a_id")
+      time("  phase1 join-1 only (count)")(j1.count())
+      // the shipped fused-condition shape (verifyCandidates): the
+      // prefilter runs inside join 2's probe, spurious pairs never
+      // materialize as output rows
+      val surv = j1.as("l").join(hb.hint("shuffle_hash").as("r"),
+          col("l.b_id") === col("r.b_id") &&
+            graft.queries.LlmOps.prefilterKeepExpr(0.5,
+              col("l.na"), col("l.da"), col("r.nb"), col("r.db"),
+              graft.functions.SortedIntersect.of(col("l.da"), col("r.db"))))
+        .select(col("l.a_id").as("a_id"), col("l.b_id").as("b_id"))
+      val nSurv = time("  phase1 full survivors (count)")(surv.count())
+      println(s"[pairprof]   survivors=$nSurv")
+      v.unpersist()
+      val nV3 = time("two-phase fast build (end-to-end)") {
+        graft.queries.LlmOps.neardupPairsFast(docs, 0.5)(_.count())
+      }
+      println(s"[pairprof]   pairs=$nV3")
+      spark.stop()
+      return
+    }
+
     // shipped verify shape: full-corpus array frame on both sides
     val nV1 = time("verify: full sides + array_intersect") {
       val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sa"))

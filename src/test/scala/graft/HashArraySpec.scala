@@ -47,6 +47,19 @@ class HashArraySpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("hi32 variant: elementwise high word of xxhash64, null element from the seed") {
+    HashArray.register(spark)
+    val r = spark.sql(
+      """SELECT xxhash64_array_hi32(array('a', '', '日本語', CAST(NULL AS STRING))) AS k,
+        |  array(xxhash64('a'), xxhash64(''), xxhash64('日本語')) AS w""".stripMargin)
+      .head()
+    val k = r.getSeq[Int](0)
+    val w = r.getSeq[Long](1)
+    assert(k.take(3) == w.map(h => (h >>> 32).toInt),
+      "hi32 kernel diverged from the high word of xxhash64")
+    assert(k(3) == (HashArray.SEED >>> 32).toInt)
+  }
+
   test("kernel compiles under CODEGEN_ONLY (no silent fallback)") {
     HashArray.register(spark)
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")

@@ -40,6 +40,29 @@ class SortedIntersectSpec extends AnyFunSuite {
     assert(n == 0L, s"$n cases diverge from array_intersect")
   }
 
+  test("int-array variant: parity with size(array_intersect), incl. negatives and dups") {
+    SortedIntersect.register(spark)
+    val cases = Seq(
+      (Seq(1, 2, 3), Seq(2, 3, 4)),
+      (Seq.empty[Int], Seq(1, 2)),
+      (Seq(Int.MinValue, -7, 0, Int.MaxValue), Seq(Int.MinValue, 0, 5)),
+      (Seq(1, 1, 2, 2, 3), Seq(1, 2, 2, 4)),
+      (Seq(5, 5, 5), Seq(5)))
+    import spark.implicits._
+    val n = cases.toDF("a", "b")
+      .withColumn("k", SortedIntersect.of(col("a"), col("b")))
+      .withColumn("w", size(array_intersect(col("a"), col("b"))))
+      .filter(col("k") =!= col("w"))
+      .count()
+    assert(n == 0L, s"$n int cases diverge from array_intersect")
+    // mismatched element types are rejected
+    val ex = intercept[Exception] {
+      spark.sql("SELECT sorted_long_intersect(array(1L), array(1))").collect()
+    }
+    assert(ex.getMessage.contains("sorted_long_intersect") ||
+      ex.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
   test("parity on real hashed shingle arrays across the corpus") {
     SortedIntersect.register(spark)
     graft.functions.HashArray.register(spark)
@@ -87,11 +110,13 @@ class SortedIntersectSpec extends AnyFunSuite {
     // by the kernel inside the frame, as in the real phase-1 plan
     SortedIntersect.register(spark)
     val rows = Seq(
-      // injective both (na == |da|), jacc_h = 1/5 ≤ 0.5 → dropped
+      // injective both (na == |da|), jacc_h = 1/5 well below 0.5 →
+      // dropped (1·1.5 + 0.5 = 2 ≯ 0.5·6 = 3)
       (3, Seq(1L, 2L, 3L), 3, Seq(3L, 4L, 5L), false),
-      // injective both, jacc_h = 2/4 = 0.5 exactly → dropped (strict >;
-      // a true pair has jacc_s > t ⟹ jacc_h ≥ jacc_s > t strictly)
-      (3, Seq(1L, 2L, 3L), 3, Seq(2L, 3L, 4L), false),
+      // injective both, jacc_h = 2/4 = 0.5 EXACTLY → kept: the
+      // half-integer slack keeps boundary-equal pairs (conservative;
+      // phase 2's strict string filter drops them)
+      (3, Seq(1L, 2L, 3L), 3, Seq(2L, 3L, 4L), true),
       // injective both, jacc_h = 3/4 > 0.5 → kept
       (4, Seq(1L, 2L, 3L, 4L), 3, Seq(1L, 2L, 3L), true),
       // a-side NON-injective (na=4 but |da|=3 — a within-doc hash
@@ -99,9 +124,11 @@ class SortedIntersectSpec extends AnyFunSuite {
       (4, Seq(1L, 2L, 3L), 3, Seq(7L, 8L, 9L), true),
       // b-side non-injective: same bypass
       (3, Seq(1L, 2L, 3L), 5, Seq(7L, 8L, 9L), true),
-      // empty shingle sets: inj (0 == 0), ih = 0, 0 > 0 false → dropped
-      // (matches the single-stage plan, where 0/0 jaccard is null)
-      (0, Seq.empty[Long], 0, Seq.empty[Long], false))
+      // empty shingle sets: kept by the slack (0·1.5 + 0.5 > 0) —
+      // conservative; phase 2's 0/0 null jaccard drops them, and empty
+      // docs never band into candidates anyway (no exploded rows →
+      // no signature row)
+      (0, Seq.empty[Long], 0, Seq.empty[Long], true))
     val got = rows.toDF("na", "da", "nb", "db", "want")
       .withColumn("ih", SortedIntersect.of(col("da"), col("db")))
       .withColumn("keep", graft.queries.LlmOps.prefilterKeep(0.5))
