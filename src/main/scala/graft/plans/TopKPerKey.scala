@@ -34,11 +34,27 @@ final case class TopKPerKeyNode(k: Int, keys: Seq[Expression],
 }
 
 /**
- * Physical emit-first-k-per-key over a stream sorted by (keys, order).
- * `partial = true` runs on whatever partitioning the child has (map-side
- * prune); `partial = false` requires clustering by key (final pass).
- * Spark inserts the needed SortExec/Exchange to satisfy
- * requiredChildDistribution/Ordering.
+ * Physical per-key top-k in two flavors:
+ *
+ * `partial = true` — a SORT-FREE map-side prune on whatever
+ * partitioning and ordering the child has: a hash map of per-key
+ * bounded heaps (≤ k rows each, the heap ordered so its head is the
+ * WORST kept row). The round-13 edge-build profile motivated this: the
+ * old partial required the child sorted by (keys ++ order), so Spark
+ * sorted the FULL pair-cardinality stream before the prune — 44 s of a
+ * 65 s kNN edge build at 382M pairs was that sort; a row rejected by a
+ * full heap costs one comparison and never allocates. Memory stays
+ * bounded WITHOUT spill machinery because a partial top-k is a PRUNE —
+ * any superset of the true per-key top-k is correct, the final pass
+ * re-prunes — so when the buffered-row budget trips, the map flushes
+ * its contents downstream and restarts empty (a key split across
+ * flushes just emits ≤ k rows per flush). Declares no output ordering.
+ *
+ * `partial = false` — the final pass after the key exchange: requires
+ * clustering by key AND the (keys ++ order) sort — by then the stream
+ * is partial-pruned to ≤ k·keys rows, so the sort is graph-sized — and
+ * emits the first k rows per key group, preserving the sorted output
+ * (downstream windows reuse it via outputOrdering).
  */
 final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
                                 order: Seq[SortOrder], partial: Boolean,
@@ -52,9 +68,11 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     else ClusteredDistribution(keys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
 
-  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else requiredChildOrdering.head
 
   override def outputPartitioning = child.outputPartitioning
 
@@ -63,9 +81,53 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     // the child SparkPlan into the task closure (not serializable)
     val kLocal = k
     val keysLocal = keys
+    val orderLocal = order
     val childOutput = child.output
     val keyTypes = keys.map(_.dataType)
-    GraftSqlBridge.mapPartitionsInternal(child.execute()) { iter =>
+    if (partial) GraftSqlBridge.mapPartitionsInternal(child.execute()) { iter =>
+      if (kLocal <= 0) Iterator.empty
+      else {
+        val keyProj = UnsafeProjection.create(keysLocal, childOutput)
+        val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .create(orderLocal, childOutput)
+        // head = the kept row that sorts LAST (the first to evict)
+        val worstFirst = ord.reverse
+        val heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+        var buffered = 0L
+        def drain(): Iterator[InternalRow] = {
+          val out = new scala.collection.mutable.ArrayBuffer[InternalRow](
+            math.min(buffered, Int.MaxValue.toLong).toInt)
+          heaps.values.forEach { pq =>
+            val it = pq.iterator(); while (it.hasNext) out += it.next()
+          }
+          heaps.clear(); buffered = 0L
+          out.iterator
+        }
+        iter.flatMap { row =>
+          val key = keyProj(row)
+          var pq = heaps.get(key)
+          if (pq == null) {
+            pq = new java.util.PriorityQueue[InternalRow](
+              math.max(1, math.min(kLocal, 16)), worstFirst)
+            heaps.put(key.copy(), pq)
+          }
+          if (pq.size < kLocal) {
+            pq.offer(row.copy())
+            buffered += 1
+            // ties at the boundary keep the first-buffered row (compare
+            // must be strictly <) — same unspecified-choice contract as
+            // the sorted scan, and immaterial to every caller (their
+            // orderings are total per key)
+            if (buffered > TopKPerKeyExec.PARTIAL_ROW_BUDGET) drain()
+            else Iterator.empty
+          } else if (ord.compare(row, pq.peek()) < 0) {
+            pq.poll(); pq.offer(row.copy())
+            Iterator.empty
+          } else Iterator.empty
+        } ++ drain()
+      }
+    } else GraftSqlBridge.mapPartitionsInternal(child.execute()) { iter =>
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       // group boundaries must use the SAME logical ordering as the sort
       // (byte equality would split sort-equal keys with distinct binary
@@ -88,6 +150,17 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
+}
+
+object TopKPerKeyExec {
+  /** Partial-pass buffered-row cap before a flush-and-restart: bounds
+   * per-task memory to ~budget·(row + map/heap overhead) ≈ 100 MB at
+   * typical pruned-row widths, with no spill machinery — flushing is
+   * CORRECT (the final pass re-prunes), it only weakens the prune for
+   * pathological key cardinalities. Every gate caller sits orders of
+   * magnitude under it (the kNN edge build buffers ≤ splitRows·k ≈ 16k
+   * rows per task). */
+  private[plans] val PARTIAL_ROW_BUDGET = 512L * 1024
 }
 
 /** Planner strategy: partial prune per map partition, then final pass

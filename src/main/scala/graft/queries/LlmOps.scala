@@ -410,7 +410,11 @@ object LlmOps {
       col("embedding").as("ea"))
     val b = b0.select(col("label"), col("sub"), col("vec_id").as("bi"),
       col("embedding").as("eb"))
-    a.join(b, Seq("label", "sub"))
+    // merge-pinned for the same reason as the kNN edge build (see
+    // KnnGraphIndex.edgesFor): a blocked self-join's probe keys each
+    // match a whole cluster, and walking a HashedRelation chain per
+    // pair measured ~8x the CPU of SMJ's contiguous buffered group
+    a.hint("merge").join(b, Seq("label", "sub"))
       .filter(col("ai") < col("bi"))
       .withColumn("cos", cosine("ea", "eb"))
       .filter(col("cos") > 0.3)

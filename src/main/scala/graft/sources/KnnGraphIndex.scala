@@ -172,7 +172,15 @@ object KnnGraphIndex {
   private[graft] def edgesFor(e: DataFrame, splitRows: Long,
                               sizesIn: Option[DataFrame]): DataFrame = {
     val (a, b) = saltedSides(e, splitRows, sizesIn)
-    val scored = a.join(b, Seq("bucket", "sub"))
+    // SORT-MERGE, pinned: the blocking key has ~16·nsub distinct values
+    // over corpus-cardinality sides, so every probe key matches a whole
+    // sub-bucket. SMJ streams each a-row against the b-group buffered
+    // CONTIGUOUSLY; a hash join walks the HashedRelation's match chain
+    // per pair — EdgeProfile measured the identical 382M-pair plan at
+    // 125 s CPU under SMJ vs 1015 s when the refresh path's cached-
+    // projection stats tipped the planner into BroadcastHashJoin. The
+    // sort is over the SIDES (corpus-cardinality), never the pairs.
+    val scored = a.hint("merge").join(b, Seq("bucket", "sub"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos",
         graft.functions.VectorFunctions.vecCosine(col("ea"), col("eb")))
@@ -195,21 +203,28 @@ object KnnGraphIndex {
 
   /** Write one published segment: `df` keeps its full data schema;
    * `pb` is a DIRECTORY copy of the bucket used only for layout.
-   * Edges are RANGE-clustered on (bucket, rn) at two files per bucket
-   * so each file spans roughly half the rn range — parquet min/max
+   * Edges are split on (bucket, rn ≤ KMAX/2) at up to two files per
+   * bucket, each spanning exactly half the rn range — parquet min/max
    * stats then let a small-k serve skip the top-k tail's files
    * without a directory scheme (dir-level sub-partitions under
    * manifest roots trip Spark's multi-root partition discovery), and
    * the per-file scan overhead of a 16×KMAX-file layout (measured
-   * +0.1 s per serve at gate scale) is avoided. At lake scale the
-   * range width per file is the knob; files are row-group-sized
+   * +0.1 s per serve at gate scale) is avoided. The split is a HASH
+   * repartition on the deterministic half bit, NOT repartitionByRange
+   * (round 13): RangePartitioning samples its child, which RE-EXECUTES
+   * the full quadratic edge-build plan once for the sample and again
+   * for the write — EdgeProfile measured the artifact build at 2× the
+   * bare plan (41.9 vs 17.8 s at 50k vecs) from exactly this. A hash
+   * collision can merge a bucket's two halves into one file — benign
+   * (row-group stats still prune) and rare. At lake scale the
+   * half-split granularity is the knob; files are row-group-sized
    * either way. Returns manifest entries (one per bucket dir). */
   private def writeSeg(st: Path, df: DataFrame, kind: String,
                        withRn: Boolean): Seq[ManifestStore.Entry] = {
     val staging = ManifestStore.newSegStaging(st)
     val laid = df.withColumn("pb", col("bucket"))
     val clustered = if (withRn)
-      laid.repartitionByRange(2 * 16, col("pb"), col("rn"))
+      laid.repartition(2 * 16, col("pb"), col("rn") <= lit(KMAX / 2))
     else laid.repartition(col("pb"))
     clustered.write.mode("overwrite").partitionBy("pb")
       .parquet(staging.toString)
