@@ -159,8 +159,11 @@ object TopKPerKeyExec {
    * CORRECT (the final pass re-prunes), it only weakens the prune for
    * pathological key cardinalities. Every gate caller sits orders of
    * magnitude under it (the kNN edge build buffers ≤ splitRows·k ≈ 16k
-   * rows per task). */
-  private[plans] val PARTIAL_ROW_BUDGET = 512L * 1024
+   * rows per task). A mutable test knob ONLY so TopKPerKeySpec can
+   * force the flush path at spec scale (local[*] shares the JVM, so
+   * the task closure reads the updated value); never reassigned
+   * outside that spec. */
+  private[graft] var PARTIAL_ROW_BUDGET = 512L * 1024
 }
 
 /** Planner strategy: partial prune per map partition, then final pass
