@@ -1110,9 +1110,23 @@ object LlmOps {
         vecReady(s)
         val e = rd(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), signBucket("embedding").as("bucket"))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("bucket"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("bucket"))
-        a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+        // hot-bucket split + merge pin, the semdedupDropped posture
+        // (round 13): this was the last UN-SPLIT blocked pairwise
+        // self-join — one dense sign bucket put its |B|² pair mass in
+        // one task, and stats drift could flip the join to the
+        // hash-chain-walk regime (see KnnGraphIndex.edgesFor). Split ≡
+        // unsplit rows by the Salting contract; ai < bi dedups
+        // orientation; gate corpora sit far under the threshold so the
+        // gate plan keeps its pre-split shape apart from sub ≡ 0.
+        val (a0, b0) = graft.plans.Salting.saltedSelfSides(
+          e, "bucket", "vec_id", SEMDEDUP_SPLIT,
+          graft.sources.KnnGraphIndex.MAX_SUB)
+        val a = a0.select(col("vec_id").as("a_id"),
+          col("embedding").as("ea"), col("bucket"), col("sub"))
+        val b = b0.select(col("vec_id").as("b_id"),
+          col("embedding").as("eb"), col("bucket"), col("sub"))
+        a.hint("merge").join(b, Seq("bucket", "sub"))
+          .filter(col("a_id") < col("b_id"))
           .withColumn("cos", cosine("ea", "eb"))
           .filter(col("cos") > 0.35)
           .select(col("a_id"), col("b_id"), col("bucket"), round(col("cos"), 4).as("cosine"))
