@@ -87,6 +87,9 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     if (partial) GraftSqlBridge.mapPartitionsInternal(child.execute()) { iter =>
       if (kLocal <= 0) Iterator.empty
       else {
+        // one volatile read per TASK, not per row (also anchors the
+        // spec's knob write visibility at task start)
+        val budget = TopKPerKeyExec.PARTIAL_ROW_BUDGET
         val keyProj = UnsafeProjection.create(keysLocal, childOutput)
         val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
           .create(orderLocal, childOutput)
@@ -119,7 +122,7 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
             // must be strictly <) — same unspecified-choice contract as
             // the sorted scan, and immaterial to every caller (their
             // orderings are total per key)
-            if (buffered > TopKPerKeyExec.PARTIAL_ROW_BUDGET) drain()
+            if (buffered > budget) drain()
             else Iterator.empty
           } else if (ord.compare(row, pq.peek()) < 0) {
             pq.poll(); pq.offer(row.copy())
@@ -162,8 +165,11 @@ object TopKPerKeyExec {
    * rows per task). A mutable test knob ONLY so TopKPerKeySpec can
    * force the flush path at spec scale (local[*] shares the JVM, so
    * the task closure reads the updated value); never reassigned
-   * outside that spec. */
-  private[graft] var PARTIAL_ROW_BUDGET = 512L * 1024
+   * outside that spec. @volatile: the spec writes from the driver
+   * thread and task threads read — without it the JMM lets tasks see
+   * the stale default and the flush test silently exercises the
+   * normal path. */
+  @volatile private[graft] var PARTIAL_ROW_BUDGET = 512L * 1024
 }
 
 /** Planner strategy: partial prune per map partition, then final pass

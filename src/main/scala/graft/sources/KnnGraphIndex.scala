@@ -82,8 +82,10 @@ object KnnGraphIndex {
 
   /** 16-way LSH sign bucket from the first 4 embedding components —
    * the blocking key (same definition as LlmOps's pairwise family, and
-   * declared in every graph oracle's SQL). */
-  private def signBucket(a: String) =
+   * declared in every graph oracle's SQL). private[graft] so the
+   * profiling tools (EdgeProfile/EdgeExplain) reproduce the build's
+   * EXACT blocking key instead of drifting on a copy. */
+  private[graft] def signBucket(a: String) =
     expr(s"""CAST(element_at($a, 1) > 0 AS INT)
             |+ 2 * CAST(element_at($a, 2) > 0 AS INT)
             |+ 4 * CAST(element_at($a, 3) > 0 AS INT)
@@ -215,9 +217,13 @@ object KnnGraphIndex {
    * the full quadratic edge-build plan once for the sample and again
    * for the write — EdgeProfile measured the artifact build at 2× the
    * bare plan (41.9 vs 17.8 s at 50k vecs) from exactly this. A hash
-   * collision can merge a bucket's two halves into one file — benign
-   * (row-group stats still prune) and rare. At lake scale the
-   * half-split granularity is the knob; files are row-group-sized
+   * collision merges a bucket's two halves into one file (~40% chance
+   * SOME bucket collides per build at 32 keys into 32 partitions), so
+   * rows also sort by (pb, rn) WITHIN partitions — a graph-sized sort
+   * — which keeps row-group min/max stats tight on rn in merged files
+   * (interleaved rn would make every row group span the full range and
+   * defeat the pushed rn <= k filter for that bucket). At lake scale
+   * the half-split granularity is the knob; files are row-group-sized
    * either way. Returns manifest entries (one per bucket dir). */
   private def writeSeg(st: Path, df: DataFrame, kind: String,
                        withRn: Boolean): Seq[ManifestStore.Entry] = {
@@ -225,6 +231,7 @@ object KnnGraphIndex {
     val laid = df.withColumn("pb", col("bucket"))
     val clustered = if (withRn)
       laid.repartition(2 * 16, col("pb"), col("rn") <= lit(KMAX / 2))
+        .sortWithinPartitions(col("pb"), col("rn"))
     else laid.repartition(col("pb"))
     clustered.write.mode("overwrite").partitionBy("pb")
       .parquet(staging.toString)

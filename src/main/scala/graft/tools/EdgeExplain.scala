@@ -20,10 +20,7 @@ object EdgeExplain {
       expr("transform(sequence(0, 63), i -> CAST(sin(id * 131 + i) AS FLOAT))")
         .as("embedding"))
       .withColumn("bucket",
-        expr("""CAST(element_at(embedding, 1) > 0 AS INT)
-               |+ 2 * CAST(element_at(embedding, 2) > 0 AS INT)
-               |+ 4 * CAST(element_at(embedding, 3) > 0 AS INT)
-               |+ 8 * CAST(element_at(embedding, 4) > 0 AS INT)""".stripMargin))
+        graft.sources.KnnGraphIndex.signBucket("embedding"))
     graft.sources.KnnGraphIndex.edgesFor(e, 2048L).explain("formatted")
     spark.stop()
   }

@@ -38,11 +38,7 @@ object EdgeProfile {
 
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
-        expr("""CAST(element_at(embedding, 1) > 0 AS INT)
-               |+ 2 * CAST(element_at(embedding, 2) > 0 AS INT)
-               |+ 4 * CAST(element_at(embedding, 3) > 0 AS INT)
-               |+ 8 * CAST(element_at(embedding, 4) > 0 AS INT)""".stripMargin)
-          .as("bucket"))
+        graft.sources.KnnGraphIndex.signBucket("embedding").as("bucket"))
 
     // job/stage attribution: between t() stages, print every Spark job
     // with its task count — a doubled pair join shows up as two jobs
@@ -63,6 +59,10 @@ object EdgeProfile {
       val t0 = System.nanoTime()
       val r = f
       println(f"[edgeprof] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s ($r)")
+      // listener events arrive asynchronously on the bus thread; give
+      // the just-finished job's stage-completed events time to land so
+      // they print under THIS label, not the next one
+      Thread.sleep(500)
       var s = jobs.poll()
       while (s != null) { println(s); s = jobs.poll() }
       r
@@ -94,11 +94,7 @@ object EdgeProfile {
     // vec_hash, sizes come from the cached 24-byte projection
     val cur = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"),
-        expr("""CAST(element_at(embedding, 1) > 0 AS INT)
-               |+ 2 * CAST(element_at(embedding, 2) > 0 AS INT)
-               |+ 4 * CAST(element_at(embedding, 3) > 0 AS INT)
-               |+ 8 * CAST(element_at(embedding, 4) > 0 AS INT)""".stripMargin)
-          .as("bucket"),
+        graft.sources.KnnGraphIndex.signBucket("embedding").as("bucket"),
         xxhash64(col("embedding")).as("vec_hash"))
     val curMeta = cur.select("vec_id", "bucket", "vec_hash").cache()
     val sizes = curMeta.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))

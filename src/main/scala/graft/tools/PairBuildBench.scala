@@ -52,12 +52,17 @@ object PairBuildBench {
     val pairDir = graft.sources.NeardupPairsIndex.artifactDir(dir)
     for (i <- 1 to reps) {
       graft.queries.Q.deleteRecursively(pairDir)
-      // a fresh session memo per rep would be ideal, but the frame memo
-      // keys on (session, stamp) and the artifact dir is deleted — the
-      // serve re-reads; the BUILD is what dominates and re-runs
-      spark.catalog.clearCache()
+      // a FRESH child session per rep: the serve frame memoizes per
+      // (session, store, stamp) under a WeakReference, and the stamp is
+      // unchanged across reps — reusing the parent session would hand
+      // rep 2 the rep-1 frame whose listed part files were just
+      // deleted unless a GC happened to clear the reference (a flaky
+      // FileNotFoundException). A child session shares the context but
+      // gets its own memo map, so every rep deterministically re-reads.
+      val s = spark.newSession()
+      s.catalog.clearCache()
       val t0 = System.nanoTime()
-      val n = graft.sources.NeardupPairsIndex.pairs(spark, dir).count()
+      val n = graft.sources.NeardupPairsIndex.pairs(s, dir).count()
       println(f"[pairbench] rep$i build+serve ${(System.nanoTime() - t0) / 1e9}%.2f s pairs=$n")
     }
     graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(dir))
