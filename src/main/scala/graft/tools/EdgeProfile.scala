@@ -87,6 +87,7 @@ object EdgeProfile {
         .withColumn("pb", col("bucket"))
         .repartition(32, col("pb"),
           col("rn") <= lit(graft.sources.KnnGraphIndex.KMAX / 2))
+        .sortWithinPartitions(col("pb"), col("rn"))
         .write.mode("overwrite").partitionBy("pb").parquet(out)
       spark.read.parquet(out).count()
     })
