@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Matched-window wall for the signature index BUILD and 2% REFRESH in
+ * isolation — exists because `sig index INCREMENTAL` rose monotonically
+ * across the day's four smoke artifacts (3.6 → 6.9 → 11.8 → 29.7 s)
+ * while neighbouring stages tracked window load, which smells like
+ * state accumulating across runs (e.g. the day's orphaned sibling
+ * stores in tmp) rather than load. Same corpus + delta shape as
+ * ScaleSmoke's incremental section.
+ *
+ *   sbt "runMain graft.tools.SigRefreshBench [rows]"
+ */
+object SigRefreshBench {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 500000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[sigbench] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($r)")
+      r
+    }
+    val base = spark.read.format("graft.sources.DocGen")
+      .option("rows", rows).option("partitions", 64).option("seed", 11L)
+      .load().select("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sigbench").toString
+    base.withColumn("lang", lit("l0")).withColumn("source", lit("gen"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    t("sig BUILD (cold store)")(
+      graft.sources.MinHashSigIndex.sigs(spark, dir).count())
+    // 2% delta, the ScaleSmoke shape
+    base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 3 * rows).as("doc_id"), col("text"))
+      .withColumn("lang", lit("l0")).withColumn("source", lit("gen"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+    val s2 = spark.newSession() // fresh serve memo; the refresh is timed
+    t("sig REFRESH (2% delta)")(
+      graft.sources.MinHashSigIndex.sigs(s2, dir).count())
+    graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(dir))
+    graft.queries.Q.deleteRecursively(
+      graft.sources.MinHashSigIndex.store(dir))
+    spark.stop()
+  }
+}
