@@ -65,6 +65,16 @@ object Salting {
                       splitRows: Long, maxSub: Int,
                       sizesIn: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
+    // withColumn silently REPLACES a same-named caller column, so a
+    // frame already carrying one of the helper's working names would
+    // produce wrong splits with no error — fail loudly instead.
+    val reserved =
+      Set("sub", "group_n", "__nchunks", "__na", "__nb", "__sa", "__sb")
+    val collisions = df.columns.filter(reserved.contains).toSeq
+    require(collisions.isEmpty,
+      s"saltedSelfSides: input columns ${collisions.mkString(", ")} " +
+        "collide with the helper's reserved names " +
+        s"(${reserved.toSeq.sorted.mkString(", ")}); rename them first")
     val sizes = sizesIn.getOrElse(
       df.groupBy(key).agg(count(lit(1)).as("group_n")))
     val sized = df.join(broadcast(sizes), Seq(key), "left")

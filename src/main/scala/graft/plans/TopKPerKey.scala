@@ -186,7 +186,19 @@ object TopKPerKeyStrategy extends SparkStrategy {
 /** Column-level API. */
 object TopK {
   /** top-k rows per key, ordered by `order` within the key. Registers the
-   * strategy on the session (idempotent). */
+   * strategy on the session (idempotent).
+   *
+   * ==Ordering contract==
+   * `order` MUST be a total ordering of the rows within each key (no two
+   * rows of a key may compare equal). Boundary ties are broken by an
+   * unspecified, plan-dependent choice — the sort-free partial heap keeps
+   * the first-buffered row, the sorted final pass keeps the first in scan
+   * order — so a tie-prone ordering makes the RESULT nondeterministic
+   * across plans and partition layouts, not merely the row order. Callers
+   * with a non-unique primary sort must append a unique tiebreaker column
+   * (every in-repo caller orders by a distance/score plus a unique id).
+   * This is not mechanically checkable without a per-key uniqueness pass
+   * over the data, so it is a documented contract, not a runtime check. */
   def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))

@@ -324,8 +324,24 @@ object ManifestStore {
    * `Files.walk` surfaces traversal-time IO failures — including the
    * mid-walk vanish this guards against — as UncheckedIOException
    * (a RuntimeException), so that type must be caught alongside the
-   * direct IOException from the explicit getLastModifiedTime call. */
-  private def newestMtime(p: Path): Long =
+   * direct IOException from the explicit getLastModifiedTime call.
+   *
+   * Only the VANISH class (NoSuchFileException, bare or wrapped) gets
+   * the "activity = now" reading — it is the signature of the owner's
+   * concurrent renames. A PERSISTENT error of any other class (bad
+   * permissions, corrupt entry) must not renew the lease forever —
+   * that would leak the staging unboundedly — so those fall back to
+   * the root dir's own mtime (statable even when children error) and
+   * the tree ages out on its real last-touch time; if even the root
+   * stat fails, 0L hands it to the age check immediately (its owner
+   * being dead or recycled is already required for reclaim). */
+  private def newestMtime(p: Path): Long = {
+    def isVanish(e: Throwable): Boolean = e match {
+      case _: java.nio.file.NoSuchFileException => true
+      case u: java.io.UncheckedIOException =>
+        u.getCause.isInstanceOf[java.nio.file.NoSuchFileException]
+      case _ => false
+    }
     try {
       val w = Files.walk(p)
       try w.iterator().asScala
@@ -333,9 +349,13 @@ object ManifestStore {
         .foldLeft(0L)(math.max)
       finally w.close()
     } catch {
-      case _: java.io.IOException | _: java.io.UncheckedIOException =>
-        System.currentTimeMillis()
+      case e @ (_: java.io.IOException | _: java.io.UncheckedIOException) =>
+        if (isVanish(e)) System.currentTimeMillis()
+        else
+          try Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.io.IOException => 0L }
     }
+  }
 
   /** In-flight staging survives GC only while its owner is alive AND
    * the tree saw write activity within [[STAGE_MAX_AGE_MS]] — bare

@@ -78,4 +78,22 @@ class HashArraySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("xxhash64_array") ||
       ex.getMessage.toLowerCase.contains("datatype_mismatch"))
   }
+
+  test("register repairs a session where only the base function pre-exists") {
+    // ADVICE r13: a registration keyed solely on xxhash64_array's
+    // existence would silently skip hi32 in a session that already
+    // carries the base name — each name must guard itself
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    HashArray.register(spark)
+    val reg = spark.sessionState.functionRegistry
+    reg.dropFunction(FunctionIdentifier("xxhash64_array_hi32"))
+    assert(!reg.functionExists(FunctionIdentifier("xxhash64_array_hi32")))
+    assert(reg.functionExists(FunctionIdentifier("xxhash64_array")))
+    HashArray.register(spark)
+    assert(reg.functionExists(FunctionIdentifier("xxhash64_array_hi32")),
+      "hi32 registration must not be keyed on the base function's existence")
+    val r = spark.sql(
+      "SELECT xxhash64_array_hi32(array('a')) AS k").head().getSeq[Int](0)
+    assert(r.length == 1)
+  }
 }

@@ -166,4 +166,18 @@ class SaltingSpec extends AnyFunSuite {
     assert(aSide.filter(col("sub") =!= 0).count() == 0L,
       "gate-scale corpus was split at the declared threshold")
   }
+
+  test("reserved-name collision on the input frame fails loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, "x", 0)).toDF("vec_id", "label", "sub")
+    val e = intercept[IllegalArgumentException] {
+      Salting.saltedSelfSides(bad, "label", "vec_id", 10L, 4)
+    }
+    assert(e.getMessage.contains("sub") && e.getMessage.contains("reserved"),
+      s"guard message should name the colliding column: ${e.getMessage}")
+    val bad2 = Seq((1L, "x", 3L)).toDF("vec_id", "label", "group_n")
+    intercept[IllegalArgumentException] {
+      Salting.saltedSelfSides(bad2, "label", "vec_id", 10L, 4)
+    }
+  }
 }
