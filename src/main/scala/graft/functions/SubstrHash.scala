@@ -79,6 +79,56 @@ case class SubstrHashWindowsExpr(child: Expression, k: Int)
   override def prettyName: String = "substr_hash_windows"
 }
 
+/**
+ * Sorted run-length-encoded window fingerprints: the per-document gram
+ * MULTISET `(hash, count)` computed inside the row, replacing
+ * q_substr_dedup's `explode → groupBy(doc_id, h)` stage. That stage
+ * paid a corpus-position-scale hash aggregation (every window a probe
+ * into a hash map carrying every distinct (doc, gram) of the map
+ * partition) plus an exchange of the distinct pairs; here each doc's
+ * windows sort in-row (primitive long sort, cache-local) and
+ * run-length-encode in one pass — no shuffle, no shared hash table,
+ * and downstream sees exactly the rows the groupBy produced.
+ * Element order within the array is ascending by hash — irrelevant to
+ * the downstream aggregation (SubstrHashSpec pins multiset parity with
+ * the groupBy formulation, not order).
+ */
+case class SubstrHashWindowsRleExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"window length must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h", LongType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"substr_hash_windows_rle expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SubstrHash.hashWindowsRle(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.functions.SubstrHash.hashWindowsRle($s, $k);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SubstrHashWindowsRleExpr = copy(child = newChild)
+
+  override def prettyName: String = "substr_hash_windows_rle"
+}
+
 object SubstrHash {
 
   /** Polynomial base: FNV-64 prime — odd, so multiplication by it is a
@@ -138,20 +188,61 @@ object SubstrHash {
     x
   }
 
-  /** Idempotent per-session registration (functionExists guard keeps
-   * repeat registration silent — see VectorFunctions.register doc). */
-  def register(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(
+  /** Sorted-RLE gram multiset of `s` as array<struct<h,c>> — see
+   * [[SubstrHashWindowsRleExpr]]. Two passes over the sorted hashes
+   * (run count, then fill) avoid a growable buffer. */
+  def hashWindowsRle(s: UTF8String, k: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val hs = hashWindows(s, k)
+    java.util.Arrays.sort(hs)
+    val n = hs.length
+    var runs = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && hs(j) == hs(i)) j += 1
+      runs += 1; i = j
+    }
+    val out = new Array[Any](runs)
+    i = 0
+    var r = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && hs(j) == hs(i)) j += 1
+      out(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hs(i), (j - i).toLong))
+      r += 1; i = j
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Idempotent per-session registration. Each name guards itself
+   * (ADVICE r13 on HashArray: a shared guard silently skips the
+   * second function in a session already carrying the first). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def kLit(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an integer literal, got $other")
+    }
+    if (!reg.functionExists(
       org.apache.spark.sql.catalyst.FunctionIdentifier("substr_hash_windows")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      reg.createOrReplaceTempFunction(
         "substr_hash_windows", exprs => SubstrHashWindowsExpr(exprs(0),
-          exprs(1) match {
-            case Literal(v: Int, IntegerType) => v
-            case other => throw new IllegalArgumentException(
-              s"substr_hash_windows: k must be an integer literal, got $other")
-          }), "scala_udf")
+          kLit(exprs(1), "substr_hash_windows")), "scala_udf")
+    if (!reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("substr_hash_windows_rle")))
+      reg.createOrReplaceTempFunction(
+        "substr_hash_windows_rle", exprs => SubstrHashWindowsRleExpr(exprs(0),
+          kLit(exprs(1), "substr_hash_windows_rle")), "scala_udf")
+  }
 
   /** All k-char window hashes of a string column — requires [[register]]. */
   def windows(text: Column, k: Int): Column =
     call_function("substr_hash_windows", text, lit(k))
+
+  /** Per-row sorted-RLE gram multiset — requires [[register]]. */
+  def windowsRle(text: Column, k: Int): Column =
+    call_function("substr_hash_windows_rle", text, lit(k))
 }

@@ -1002,17 +1002,23 @@ object Advanced {
     // whole-doc/segment hashing (q_dedup_exact, q_seg_dedup) and
     // shingle-Jaccard (q_neardup_pairs) both miss. The suffix-array
     // approach of the paper is replaced by the Spark-expressible
-    // gram-hash plan: windows fingerprint to 8-byte longs INSIDE the
-    // explode via the substr_hash_windows codegen kernel
-    // (functions/SubstrHash.scala) — ONE O(n) rolling-hash pass per
-    // doc, vs the O(n·k) interpreted transform-HOF it replaced (every
-    // window re-substringed + re-xxhashed under CodegenFallback; the
-    // kernel measured ~2x on this entry's sf0.1 wall — 4.4 -> 2.3 s —
-    // with the rest of the cost in the two digest shuffles). The shuffle
-    // carries (doc_id, long) pairs, never text — and never 32-char md5
-    // hex either: 8-byte keys halved the sf0.1 wall time when they
-    // landed. Per-doc gram counts partial-aggregate map-side, and the
-    // corpus-frequency join is equi on the digest — big-big but
+    // gram-hash plan: windows fingerprint to 8-byte longs in ONE O(n)
+    // rolling-hash pass per doc, and (round 14) the per-doc gram
+    // multiset is sort+RLE'd IN-ROW by the substr_hash_windows_rle
+    // kernel (functions/SubstrHash.scala) — the former
+    // `explode → groupBy(doc_id, h)` stage probed a map-partition-wide
+    // hash table once per WINDOW and exchanged the distinct pairs; the
+    // kernel is a cache-local primitive sort per doc and no exchange
+    // at all. Downstream, only two per-doc scalars are needed:
+    // gram_cnt is length(text)-k+1 (no aggregation), and dup_gram_cnt
+    // sums pos_cnt over grams whose corpus frequency ≥ 2 — so the
+    // frequency table is FILTERED to duplicated grams before the join
+    // and the final per-doc aggregation touches only duplicated-gram
+    // rows, a small fraction of the corpus. The shuffles carry
+    // (doc_id, long) pairs, never text — and never 32-char md5 hex
+    // either: 8-byte keys halved the sf0.1 wall time when they landed.
+    // Corpus frequency partial-aggregates map-side, and the
+    // duplicated-gram join is equi on the digest — big-big but
     // co-partitioned, no skew (hash keys are uniform).
     // The oracle needs no matching hash at all: it groups the RAW
     // 30-char windows, pinning the Spark side's fingerprint grouping
@@ -1028,20 +1034,36 @@ object Advanced {
       (s, dir) => {
         val k = 30
         graft.functions.SubstrHash.register(s)
-        val g1 = rd(s, dir, "documents")
-          // docs shorter than k have no windows (the kernel returns an
-          // empty array for them too; the guard keeps intent visible)
+        // docs shorter than k have no windows (the kernel returns an
+        // empty array for them too; the guard keeps intent visible)
+        val docs = rd(s, dir, "documents")
           .filter(length(col("text")) >= k)
+        // the explicit repartition on h is what lets BOTH consumers
+        // below (frequency agg and join probe) reuse ONE exchange —
+        // without it each consumer re-runs the scan + kernel (the
+        // partial-agg-then-exchange and plain-exchange subplans don't
+        // unify), and the corpus text is read twice
+        val g1 = docs
           .select(col("doc_id"),
-            explode(graft.functions.SubstrHash.windows(col("text"), k)).as("h"))
-          .groupBy(col("doc_id"), col("h"))
-          .agg(count(lit(1)).as("pos_cnt"))
-        val freq = g1.groupBy(col("h")).agg(sum(col("pos_cnt")).as("tot"))
-        g1.join(freq, Seq("h"))
+            explode(graft.functions.SubstrHash.windowsRle(col("text"), k))
+              .as("w"))
+          .select(col("doc_id"), col("w.h").as("h"), col("w.c").as("pos_cnt"))
+          .repartition(col("h"))
+        val dupHashes = g1.groupBy(col("h"))
+          .agg(sum(col("pos_cnt")).as("tot"))
+          .filter(col("tot") >= 2)
+          .select("h")
+        val dup = g1.join(dupHashes, Seq("h"))
           .groupBy(col("doc_id"))
-          .agg(sum(col("pos_cnt")).as("gram_cnt"),
-            sum(when(col("tot") >= 2, col("pos_cnt")).otherwise(0L))
-              .as("dup_gram_cnt"))
+          .agg(sum(col("pos_cnt")).as("dup_gram_cnt"))
+        // gram_cnt needs no aggregation: per-doc window counts sum to
+        // exactly length-k+1 (chars, matching the oracle's length());
+        // docs with no duplicated gram are absent from `dup` → 0
+        docs.select(col("doc_id"),
+            (length(col("text")) - lit(k - 1)).cast("long").as("gram_cnt"))
+          .join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("gram_cnt"),
+            coalesce(col("dup_gram_cnt"), lit(0L)).as("dup_gram_cnt"))
           .withColumn("dup_ratio",
             col("dup_gram_cnt").cast("double") / col("gram_cnt").cast("double"))
           .orderBy(col("doc_id"))

@@ -477,6 +477,22 @@ object ManifestStore {
   private[graft] def memoSessionCount: Int =
     frameMemo.synchronized { frameMemo.size() }
 
+  /** (sessions, cells, cells-with-live-value) — the session-tax
+   * instrument's census (ScaleSmoke stage boundaries): shows whether
+   * the memo is what a long session accumulates. Weak values mean
+   * liveCells can be below cells at any time. */
+  private[graft] def memoCensus: (Int, Int, Int) =
+    frameMemo.synchronized {
+      var cells = 0; var live = 0
+      frameMemo.values().asScala.foreach { m =>
+        cells += m.size()
+        m.values().asScala.foreach { c =>
+          if (c.ref != null && c.ref.get() != null) live += 1
+        }
+      }
+      (frameMemo.size(), cells, live)
+    }
+
   def memoFrame[T](session: AnyRef, store: Path, stamp: String)
                   (build: => T): T = {
     val perSession = frameMemo.synchronized {

@@ -32,12 +32,46 @@ object ScaleSmoke {
     // the run writes ONE JSON artifact at exit (committed per round as
     // the scale evidence, config-stamped like the bench JSONs)
     val metrics = scala.collection.mutable.LinkedHashMap[String, Any]()
+    // --- session-tax instrument (VERDICT r13 item 2) -----------------
+    // After every timed stage, census what a long session accumulates:
+    // heap in use, cumulative GC, the block manager's on-disk shuffle
+    // bytes, cached-RDD count, and the serve-frame memo. The smoke's
+    // tail stages were observed running up to ~6x their standalone
+    // walls (sig refresh 29.7 s at tail vs 5.2 s standalone); this
+    // census names the accumulator instead of disclaiming it.
+    // SPARK_GRAFT_STAGE_GC=1 adds a System.gc() at each boundary — the
+    // hygiene A/B lever: a driver GC is what lets the ContextCleaner
+    // reap dead shuffle dependencies' files (default
+    // spark.cleaner.periodicGC.interval=30min never fires inside a
+    // smoke), so "tail tax gone under STAGE_GC" convicts reclaimable
+    // shuffle/heap state; "tax unchanged" acquits it.
+    val stageGc = sys.env.get("SPARK_GRAFT_STAGE_GC").contains("1")
+    def census(label: String): Unit = {
+      if (stageGc) System.gc()
+      val rtc = Runtime.getRuntime
+      val heapMb = (rtc.totalMemory() - rtc.freeMemory()) / (1024 * 1024)
+      var gcN = 0L; var gcMs = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach { b => gcN += b.getCollectionCount; gcMs += b.getCollectionTime }
+      val shuffleMb =
+        org.apache.spark.GraftCoreBridge.blockManagerDiskBytes() / (1024 * 1024)
+      val nRdd = spark.sparkContext.getPersistentRDDs.size
+      val (mSess, mCells, mLive) = graft.sources.ManifestStore.memoCensus
+      println(f"[census] $label%-28s heap=${heapMb}%5d MB gc=$gcN%4d/${gcMs}%6d ms " +
+        f"shuffle=${shuffleMb}%6d MB rdds=$nRdd%3d memo=$mSess/$mCells/$mLive")
+      metrics.put("census: " + label, Map(
+        "heap_mb" -> heapMb, "gc_count" -> gcN, "gc_ms" -> gcMs,
+        "shuffle_mb" -> shuffleMb, "cached_rdds" -> nRdd,
+        "memo_sessions" -> mSess, "memo_cells" -> mCells,
+        "memo_live" -> mLive, "stage_gc" -> stageGc))
+    }
     def time[T](label: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $label%-28s $secs%8.2f s")
       metrics.put("sec: " + label, math.round(secs * 1000) / 1000.0)
+      census(label)
       r
     }
     def record(k: String, v: Any): Unit = metrics.put(k, v)

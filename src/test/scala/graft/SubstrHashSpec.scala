@@ -90,6 +90,54 @@ class SubstrHashSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("RLE kernel: multiset parity with the explode+groupBy formulation on the corpus") {
+    SubstrHash.register(spark)
+    val k = 30
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"))
+      .cache()
+    // the RLE rows must be EXACTLY the rows groupBy(doc_id, h) produced
+    // — both directions (a missing run and a split run both break the
+    // symmetric difference)
+    val viaGroup = docs
+      .select(col("doc_id"),
+        explode(SubstrHash.windows(col("text"), k)).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val viaRle = docs
+      .select(col("doc_id"),
+        explode(SubstrHash.windowsRle(col("text"), k)).as("w"))
+      .select(col("doc_id"), col("w.h").as("h"), col("w.c").as("c"))
+    assert(viaGroup.exceptAll(viaRle).count() == 0)
+    assert(viaRle.exceptAll(viaGroup).count() == 0)
+    // in-row ordering contract: ascending by hash
+    val unsorted = docs
+      .select(SubstrHash.windowsRle(col("text"), k).as("ws"))
+      .filter(expr(
+        "exists(sequence(1, size(ws) - 1), i -> ws[i-1].h >= ws[i].h)"))
+      .count()
+    assert(unsorted == 0, "RLE array must be strictly ascending by hash")
+    docs.unpersist()
+  }
+
+  test("RLE kernel: edges (short/empty/null) and CODEGEN_ONLY compile") {
+    SubstrHash.register(spark)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.sql(
+        """SELECT substr_hash_windows_rle('abab', 2) AS a,
+          |       substr_hash_windows_rle('abc', 4) AS b,
+          |       substr_hash_windows_rle(CAST(NULL AS STRING), 4) AS c
+          |""".stripMargin).head
+      val a = r.getSeq[org.apache.spark.sql.Row](0)
+      // abab k=2 → ab×2, ba×1: two runs, counts {2, 1}
+      assert(a.length == 2)
+      assert(a.map(_.getLong(1)).sorted == Seq(1L, 2L))
+      assert(r.getSeq[org.apache.spark.sql.Row](1).isEmpty)
+      assert(r.isNullAt(2))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("non-string input and non-literal k are rejected") {
     SubstrHash.register(spark)
     val ex = intercept[Exception] {
