@@ -1330,16 +1330,12 @@ object Battery {
     QueryDef("q_bpe_apply",
       (s, dir) => {
         val ms = bpeMerges(s, dir, 3)
-        // boundary-wrap via ONE codegen regexp_replace ('a' followed by
-        // another char → 'a><'), not the per-character transform-HOF —
-        // ArrayTransform is CodegenFallback and this runs per corpus
-        // TOKEN (the train side's identical construction is vocab-sized
-        // and keeps the explicit form the oracle mirrors)
         val wrapped = rd(s, dir, "documents")
           .select(col("source"), explode(split(col("text"), " ")).as("tok"))
           .filter(col("tok").rlike("^[a-z]+$"))
           .withColumn("str", concat(lit("<"),
-            regexp_replace(col("tok"), "(.)(?=.)", "$1><"), lit(">")))
+            expr("array_join(transform(sequence(1, length(tok)), " +
+              "i -> substring(tok, i, 1)), '><')"), lit(">")))
         val applied = ms.foldLeft(wrapped) { case (df, (_, l, r, _)) =>
           df.withColumn("str", expr(s"replace(str, '<$l><$r>', '<$l$r>')"))
         }
