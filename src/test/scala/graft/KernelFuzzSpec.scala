@@ -94,4 +94,25 @@ class KernelFuzzSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("substr_hash_windows_rle ≡ sorted multiset of substr_hash_windows on generated unicode") {
+    graft.functions.SubstrHash.register(spark)
+    val strGen: Gen[String] = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, tokGen)).map(_.mkString)
+    check(Prop.forAll(strGen) { s =>
+      val k = 3
+      val r = spark.sql(
+        s"""SELECT substr_hash_windows_rle(${lit(s)}, $k) AS a,
+           |       substr_hash_windows(${lit(s)}, $k) AS h""".stripMargin)
+        .head()
+      val rle = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(w => (w.getLong(0), w.getLong(1)))
+      val raw = r.getSeq[Long](1)
+      val expected = raw.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      rle.toList == expected.toList &&
+        rle.map(_._1) == rle.map(_._1).sorted &&
+        rle.map(_._2).sum == raw.length.toLong
+    })
+  }
 }
