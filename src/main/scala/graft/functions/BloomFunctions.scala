@@ -29,16 +29,17 @@ object BloomFunctions {
    * session's FunctionRegistry; functionExists guard keeps repeat
    * registration silent — see VectorFunctions.register doc). */
   def register(spark: SparkSession): Unit = {
-    if (spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_agg",
-      exprs => BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_contains",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)),
-      "scala_udf")
+    // per-name guards (the ADVICE r13 HashArray lesson — a shared
+    // guard on bloom_agg would skip bloom_contains in a session
+    // already carrying the aggregate)
+    val reg = spark.sessionState.functionRegistry
+    def ensure(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    ensure("bloom_agg")(
+      exprs => BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0))
+    ensure("bloom_contains")(
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)))
   }
 
   /** Aggregate `key` into Bloom-filter bytes sized for `expectedItems`

@@ -97,15 +97,17 @@ object VectorFunctions {
    * Bench/Verify log with SimpleFunctionRegistry "replaced a previously
    * registered function" warnings that buried real ones. */
   def register(spark: SparkSession): Unit = {
-    if (spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"))) return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_cosine", exprs => FloatVecCosine(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "int8_coarse_cos",
-      exprs => Int8CoarseCos(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    // each name guards itself (the ADVICE r13 HashArray lesson): a
+    // single guard on vec_dot would silently skip the siblings in a
+    // session that already carries the base name
+    val reg = spark.sessionState.functionRegistry
+    def ensure(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    ensure("vec_dot")(exprs => FloatVecDot(exprs(0), exprs(1)))
+    ensure("vec_cosine")(exprs => FloatVecCosine(exprs(0), exprs(1)))
+    ensure("int8_coarse_cos")(
+      exprs => Int8CoarseCos(exprs(0), exprs(1), exprs(2)))
   }
 
   /** dot(a, b) over array<float> columns — requires [[register]]. */
