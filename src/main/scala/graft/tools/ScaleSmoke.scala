@@ -457,6 +457,17 @@ object ScaleSmoke {
     println(s"[scale]   distinct windows kernel=$nKernel hof=$nHof")
     record("substr_windows_kernel", nKernel)
     record("substr_windows_hof", nHof)
+    // the round-14 RLE kernel (q_substr_dedup's scan stage): same
+    // distinct-window estimate through the in-row sort+RLE path — the
+    // 110× evidence that the per-doc primitive sort scales with the
+    // scan. Row count shrinks to distinct-per-doc before the explode.
+    val nRle = time("substr windows: RLE kernel") {
+      longDocs.select(explode(
+          graft.functions.SubstrHash.windowsRle(col("text"), 30)).as("w"))
+        .agg(approx_count_distinct(col("w.h"), 0.01)).head().getLong(0)
+    }
+    println(s"[scale]   distinct windows rle=$nRle (kernel=$nKernel)")
+    record("substr_windows_rle", nRle)
 
     // one JSON artifact per run (committed per round as scale evidence)
     def js(v: Any): String = v match {
