@@ -1058,7 +1058,13 @@ object Advanced {
           .agg(sum(col("pos_cnt")).as("dup_gram_cnt"))
         // gram_cnt needs no aggregation: per-doc window counts sum to
         // exactly length-k+1 (chars, matching the oracle's length());
-        // docs with no duplicated gram are absent from `dup` → 0
+        // docs with no duplicated gram are absent from `dup` → 0.
+        // This projection re-reads the text column (a second corpus
+        // scan); the alternative — carrying gram_cnt through the
+        // explode and aggregating ALL gram rows per doc — trades that
+        // scan for a full-pair final aggregation. Which wins at 100 TB
+        // depends on dup fraction vs scan cost; the one-scan variant is
+        // the swap-in if the corpus scan dominates.
         docs.select(col("doc_id"),
             (length(col("text")) - lit(k - 1)).cast("long").as("gram_cnt"))
           .join(dup, Seq("doc_id"), "left")
