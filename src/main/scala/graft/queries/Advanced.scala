@@ -1011,15 +1011,17 @@ object Advanced {
     // kernel is a cache-local primitive sort per doc and no exchange
     // at all. Downstream, only two per-doc scalars are needed:
     // gram_cnt is length(text)-k+1 (no aggregation), and dup_gram_cnt
-    // sums pos_cnt over grams whose corpus frequency ≥ 2 — so the
-    // frequency table is FILTERED to duplicated grams before the join
-    // and the final per-doc aggregation touches only duplicated-gram
-    // rows, a small fraction of the corpus. The shuffles carry
-    // (doc_id, long) pairs, never text — and never 32-char md5 hex
-    // either: 8-byte keys halved the sf0.1 wall time when they landed.
-    // Corpus frequency partial-aggregates map-side, and the
-    // duplicated-gram join is equi on the digest — big-big but
-    // co-partitioned, no skew (hash keys are uniform).
+    // sums pos_cnt over grams whose corpus frequency ≥ 2 — computed
+    // as a WINDOW over h on the one exchanged gram stream (a separate
+    // frequency aggregation can never share the kernel scan: pruning
+    // drops doc_id from that branch, the canonicalized subplans
+    // differ, and ReuseExchange can't fire — the join-back shape paid
+    // a third corpus scan; PlanAuditSpec pins the two-scan shape).
+    // The final per-doc aggregation touches only duplicated-gram
+    // rows, a small fraction of the corpus. The one gram shuffle
+    // carries (doc_id, long) pairs, never text — and never 32-char
+    // md5 hex either: 8-byte keys halved the sf0.1 wall time when
+    // they landed; hash keys are uniform, no skew.
     // The oracle needs no matching hash at all: it groups the RAW
     // 30-char windows, pinning the Spark side's fingerprint grouping
     // to exact-string semantics (a 64-bit collision would shift a
@@ -1038,22 +1040,23 @@ object Advanced {
         // empty array for them too; the guard keeps intent visible)
         val docs = rd(s, dir, "documents")
           .filter(length(col("text")) >= k)
-        // the explicit repartition on h is what lets BOTH consumers
-        // below (frequency agg and join probe) reuse ONE exchange —
-        // without it each consumer re-runs the scan + kernel (the
-        // partial-agg-then-exchange and plain-exchange subplans don't
-        // unify), and the corpus text is read twice
+        // corpus frequency via a WINDOW over h, not a groupBy +
+        // join-back: a separate frequency branch re-runs the scan +
+        // kernel (the two consumers' exchanges never unify — column
+        // pruning drops doc_id from the frequency side, so the
+        // canonicalized subplans differ and ReuseExchange can't fire),
+        // where the window computes tot on the SAME exchanged gram
+        // stream each row already sits in — ONE kernel pass over the
+        // corpus, one exchange, no join
         val g1 = docs
           .select(col("doc_id"),
             explode(graft.functions.SubstrHash.windowsRle(col("text"), k))
               .as("w"))
           .select(col("doc_id"), col("w.h").as("h"), col("w.c").as("pos_cnt"))
-          .repartition(col("h"))
-        val dupHashes = g1.groupBy(col("h"))
-          .agg(sum(col("pos_cnt")).as("tot"))
+        val dup = g1
+          .withColumn("tot",
+            sum(col("pos_cnt")).over(Window.partitionBy("h")))
           .filter(col("tot") >= 2)
-          .select("h")
-        val dup = g1.join(dupHashes, Seq("h"))
           .groupBy(col("doc_id"))
           .agg(sum(col("pos_cnt")).as("dup_gram_cnt"))
         // gram_cnt needs no aggregation: per-doc window counts sum to

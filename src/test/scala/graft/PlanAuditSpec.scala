@@ -732,6 +732,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_substr_dedup runs the gram kernel over ONE documents scan") {
+    // the r14 shape: corpus frequency comes from a window over h on
+    // the SAME exchanged gram stream (a separate frequency branch can
+    // never share the kernel scan — column pruning drops doc_id from
+    // the frequency side, the canonicalized subplans differ, and
+    // ReuseExchange can't fire; the pre-fix join-back plan re-ran the
+    // scan + kernel, three documents scans in total). Exactly two
+    // scans remain: the kernel pass and the gram_cnt projection
+    // (documented trade at the call site).
+    val p = plan("q_substr_dedup")
+    val docScans = scans(p).filter(_.relation.location.inputFiles
+      .headOption.exists(_.contains("documents.parquet")))
+    assert(docScans.length == 2,
+      s"expected exactly 2 documents scans (kernel + gram_cnt), got " +
+        s"${docScans.length}:\n$p")
+    docScans.foreach { sc =>
+      assert(sc.requiredSchema.fieldNames.toSet.subsetOf(
+        Set("doc_id", "text")),
+        s"documents scan reads extra columns: " +
+          sc.requiredSchema.fieldNames.mkString(","))
+    }
+    // and the frequency really is a window (one exchange), not a
+    // join-back of a second aggregation over the gram stream
+    assert(p.toString.contains("Window"),
+      s"expected the corpus-frequency window in the plan:\n$p")
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
