@@ -1729,8 +1729,13 @@ object LlmOps {
               |ELSE transform(sequence(0, size(ts) - 2),
               |               i -> xxhash64(concat(ts[i], ' ', ts[i + 1]))) END"""
               .stripMargin)).as("h"))
-        val corpus = bi.groupBy("h").agg(count(lit(1)).as("freq"))
-        bi.join(corpus, "h")
+        // corpus frequency as a WINDOW over h on the one exchanged
+        // bigram stream (the r14 q_substr_dedup finding): a separate
+        // groupBy(h) branch re-runs the scan + tokenize + explode —
+        // its pruned subplan never unifies with the probe side's — and
+        // the join-back pays a second exchange of the stream
+        bi.withColumn("freq",
+            count(lit(1)).over(Window.partitionBy("h")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum(col("freq")).as("sum_freq"))
           .withColumn("lm_score",
@@ -1802,12 +1807,18 @@ object LlmOps {
         val toksAll = rd(s, dir, "documents")
           .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         val tf = toksAll.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val df = toksAll.select("doc_id", "tok").distinct()
-          .groupBy("tok").agg(count(lit(1)).as("df"))
+        // df from a WINDOW over tok on tf ITSELF: tf already has
+        // exactly one row per (doc, tok), so count(*) over tok IS the
+        // document frequency — the former separate distinct+groupBy
+        // branch re-ran the scan + tokenize + explode (its pruned
+        // subplan never unifies with tf's, the q_substr_dedup r14
+        // finding; executed-plan audit showed three real corpus scans)
+        val withDf = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("tok")))
         val n = rd(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("tok"))
-        tf.join(df, "tok").crossJoin(broadcast(n))
+        withDf.crossJoin(broadcast(n))
           .withColumn("score",
             col("tf").cast("double") * col("n_docs") / col("df"))
           .withColumn("rn", row_number().over(w))

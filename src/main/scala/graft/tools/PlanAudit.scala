@@ -34,6 +34,31 @@ object PlanAudit {
         p.subqueries.foreach(walk)
       }
       walk(df.queryExecution.executedPlan)
+      // the pre-execution walk above overstates real scans when AQE
+      // reuses shuffle stages at runtime — execute and recount on the
+      // FINAL adaptive plan (ReusedExchange / reused query stages make
+      // a branch's scan disappear from the executed tree)
+      try {
+        df.collect()
+        var nScan = 0; var nReuse = 0
+        def walk2(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          p match {
+            case a: AdaptiveSparkPlanExec => walk2(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk2(q.plan)
+            case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              nReuse += 1
+            case _: FileSourceScanExec => nScan += 1
+            case _ =>
+          }
+          p.children.foreach(walk2)
+          p.subqueries.foreach(walk2)
+        }
+        walk2(df.queryExecution.executedPlan)
+        println(s"  EXECUTED scans=$nScan reused_exchanges=$nReuse")
+      } catch { case e: Throwable =>
+        println(s"  EXECUTED (failed: ${e.getMessage})")
+      }
     }
     spark.stop()
   }
