@@ -759,6 +759,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the corpus-frequency window in the plan:\n$p")
   }
 
+  test("q_tfidf and q_lm_score tokenize in ONE corpus pass (window df/freq)") {
+    // r14: their derived-frequency branches (distinct+groupBy for df,
+    // groupBy(h) for bigram freq) could never share the token stream's
+    // scan — pruning diverges the canonicalized subplans, ReuseExchange
+    // can't fire — so frequency comes from a window on the exchanged
+    // stream. A second (doc_id, text)-reading documents scan appearing
+    // here means the join-back shape crept back.
+    val tfidfDocScans = scans(plan("q_tfidf")).filter(
+      _.relation.location.inputFiles.headOption.exists(
+        _.contains("documents.parquet")))
+    // one tokenizing scan + the count(*) scan (reads no columns)
+    assert(tfidfDocScans.length == 2,
+      s"q_tfidf expected 2 documents scans, got ${tfidfDocScans.length}")
+    assert(tfidfDocScans.count(_.requiredSchema.nonEmpty) == 1,
+      "q_tfidf should tokenize in exactly one column-reading scan " +
+        s"(${tfidfDocScans.map(_.requiredSchema.fieldNames.mkString("+"))
+          .mkString(", ")})")
+    val lmDocScans = scans(plan("q_lm_score")).filter(
+      _.relation.location.inputFiles.headOption.exists(
+        _.contains("documents.parquet")))
+    assert(lmDocScans.length == 1,
+      s"q_lm_score expected 1 documents scan, got ${lmDocScans.length}")
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
