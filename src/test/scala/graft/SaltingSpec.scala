@@ -167,6 +167,43 @@ class SaltingSpec extends AnyFunSuite {
       "gate-scale corpus was split at the declared threshold")
   }
 
+  test("grid exactly-once property: every ordered pair meets once, for random shapes") {
+    // the 2-D grid's arithmetic guarantee (each ordered pair (a, b) of
+    // a group meets in EXACTLY one (key, sub) cell) is hand-verified in
+    // the scaladoc and planted-pinned above; this fuzzes it across
+    // random group sizes, splitRows, and maxSub — including maxSub = 2
+    // with groups far past maxSub·splitRows, the regime where nb > 1
+    // and the grid goes two-dimensional. A pair meeting 0 times loses
+    // rows (wrong results); 2+ times duplicates them.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val shapes = for {
+      nGroups <- Gen.choose(1, 3)
+      sizes <- Gen.listOfN(nGroups, Gen.choose(1, 60))
+      splitRows <- Gen.oneOf(1L, 2L, 5L, 13L)
+      maxSub <- Gen.oneOf(2, 3, 64)
+    } yield (sizes, splitRows, maxSub)
+    val prop = Prop.forAll(shapes) { case (sizes, splitRows, maxSub) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => (s"g$g", (g * 1000 + i).toLong))
+      }
+      val df = rows.toDF("key", "id")
+      val (a, b) = Salting.saltedSelfSides(df, "key", "id",
+        splitRows, maxSub)
+      val meets = a.select(col("key"), col("sub"), col("id").as("a_id"))
+        .join(b.select(col("key"), col("sub"), col("id").as("b_id")),
+          Seq("key", "sub"))
+        .groupBy("a_id", "b_id").count()
+      val bad = meets.filter(col("count") =!= 1).count()
+      val total = meets.count()
+      val expected = sizes.map(n => n.toLong * n).sum // ordered pairs incl self
+      bad == 0 && total == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("reserved-name collision on the input frame fails loudly") {
     import spark.implicits._
     val bad = Seq((1L, "x", 0)).toDF("vec_id", "label", "sub")
