@@ -49,6 +49,15 @@ object SigRefreshBench {
     val s2 = spark.newSession() // fresh serve memo; the refresh is timed
     t("sig REFRESH (2% delta)")(
       graft.sources.MinHashSigIndex.sigs(s2, dir).count())
+    // the refresh's corpus-identity slice in isolation: the full-corpus
+    // (doc_id, xxhash64(text)) projection delta detection pays even for
+    // a 1-doc delta — the share that SURVEY's round-15 backlog item 1
+    // (bucketed corpus mirror) would turn into a pruned scan. Ratio of
+    // this wall to the refresh wall is that item's decision criterion.
+    t("corpus identity scan alone")(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), xxhash64(col("text")).as("text_hash"))
+        .count())
     graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(dir))
     graft.queries.Q.deleteRecursively(
       graft.sources.MinHashSigIndex.store(dir))
