@@ -299,9 +299,16 @@ object TrainPrep {
         val docs = rd(s, dir, "documents")
         val perSrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
           .withColumn("w", sqrt(col("n_docs").cast("double")))
-        val sumw = perSrc.agg(
-          sum(col("w").cast(DecimalType(28, 12))).cast("double").as("sum_w"))
-        val budgets = perSrc.crossJoin(broadcast(sumw))
+        // sum_w DERIVES from the per-source frame via an unpartitioned
+        // window (identical decimal-exact sum): a separate perSrc.agg
+        // branch re-runs the corpus scan — pruning diverges the
+        // subplans, ReuseExchange can't fire (r14 executed-plan audit:
+        // three documents scans here); the window input is the
+        // source-cardinality aggregate, a handful of rows
+        val budgets = perSrc
+          .withColumn("sum_w",
+            sum(col("w").cast(DecimalType(28, 12))).over(Window.partitionBy())
+              .cast("double"))
           .withColumn("budget",
             greatest(lit(1), floor(lit(300.0) * (col("w") / col("sum_w")))
               .cast("int")))
@@ -479,11 +486,20 @@ object TrainPrep {
         val o = rd(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderpriority"),
           (col("o_orderstatus") === "F").cast("long").as("label"))
-        val cat = o.groupBy(col("o_orderpriority").as("cat"))
+        val cat0 = o.groupBy(col("o_orderpriority").as("cat"))
           .agg(count(lit(1)).as("n"), sum("label").as("pos"))
-        val glob = o.agg(sum("label").as("gpos"), count(lit(1)).as("gn"))
+        // the global prior DERIVES from the 5-row category frame
+        // (gn = Σn, gpos = Σpos — exact integer sums), attached via an
+        // unpartitioned window OVER THAT TINY FRAME: a separate
+        // o.agg(...) branch re-runs the fact scan (pruning diverges
+        // the canonicalized subplans, ReuseExchange can't fire — the
+        // r14 executed-plan audit read three orders scans here), and
+        // the single-partition window is 5 rows post-aggregate
+        val wAll = Window.partitionBy()
+        val cat = cat0
+          .withColumn("gpos", sum("pos").over(wAll))
+          .withColumn("gn", sum("n").over(wAll))
         o.join(broadcast(cat), col("o_orderpriority") === col("cat"))
-          .crossJoin(broadcast(glob))
           .select(col("o_orderkey"), col("o_orderpriority"), col("label"),
             ((col("pos") - col("label")).cast("double")
               / (col("n") - 1).cast("double")).as("loo_enc"),

@@ -41,6 +41,7 @@ object PlanAudit {
       try {
         df.collect()
         var nScan = 0; var nReuse = 0
+        val scanned = scala.collection.mutable.ArrayBuffer[String]()
         def walk2(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
           p match {
             case a: AdaptiveSparkPlanExec => walk2(a.executedPlan)
@@ -48,14 +49,20 @@ object PlanAudit {
               walk2(q.plan)
             case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
               nReuse += 1
-            case _: FileSourceScanExec => nScan += 1
+            case f: FileSourceScanExec =>
+              nScan += 1
+              // a recognizable short name: last meaningful path segment
+              scanned += f.relation.location.inputFiles.headOption
+                .map(_.split("/").takeRight(2).mkString("/"))
+                .getOrElse("?")
             case _ =>
           }
           p.children.foreach(walk2)
           p.subqueries.foreach(walk2)
         }
         walk2(df.queryExecution.executedPlan)
-        println(s"  EXECUTED scans=$nScan reused_exchanges=$nReuse")
+        println(s"  EXECUTED scans=$nScan reused_exchanges=$nReuse" +
+          (if (scanned.nonEmpty) s" [${scanned.mkString("; ")}]" else ""))
       } catch { case e: Throwable =>
         println(s"  EXECUTED (failed: ${e.getMessage})")
       }

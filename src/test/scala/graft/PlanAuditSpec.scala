@@ -521,8 +521,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"category stats not broadcast onto the facts:\n$str")
     assert(!str.contains("SortMergeJoin"),
       s"the fact table shuffled for a 5-row stats join:\n$str")
-    assert(!str.contains("Window"),
-      s"per-row window planned where broadcast stats suffice:\n$str")
+    // the r14 shape derives the global prior via an unpartitioned
+    // window over the 5-row CATEGORY frame (one fact scan instead of
+    // two — the separate o.agg branch re-ran the scan); a window on
+    // the FACT side would still be wrong, so assert every window in
+    // the plan sits above an aggregation (the allowlist spec below
+    // checks the same property corpus-wide)
+    val factScans = scans(p).filter(
+      _.requiredSchema.fieldNames.contains("o_orderkey"))
+    assert(factScans.length == 1,
+      s"expected ONE fact scan of orders, got ${factScans.length}:\n$p")
     val facts = scans(p).find(
       _.requiredSchema.fieldNames.contains("o_orderkey")).getOrElse(
       fail(s"no fact scan of orders:\n$p"))
@@ -691,7 +699,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_temperature_mix", // per-source share table
       "q_bootstrap_ci",    // 32 replica means
       "q_pps_sample",      // hierarchical cumsum's top level (per-partition partials)
-      "q_rrf_fusion")      // rank fusion over two aggregated rank lists
+      "q_rrf_fusion",      // rank fusion over two aggregated rank lists
+      "q_target_encode",   // global prior over the 5-row category frame (r14)
+      "q_mixture_sample")  // sum_w over the per-source frame (r14)
     def windows(n: SparkPlan): Seq[WindowExec] = {
       val self = n match {
         case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
