@@ -331,10 +331,13 @@ object ManifestStore {
    * concurrent renames. A PERSISTENT error of any other class (bad
    * permissions, corrupt entry) must not renew the lease forever —
    * that would leak the staging unboundedly — so those fall back to
-   * the root dir's own mtime (statable even when children error) and
-   * the tree ages out on its real last-touch time; if even the root
-   * stat fails, 0L hands it to the age check immediately (its owner
-   * being dead or recycled is already required for reclaim). */
+   * max(root dir mtime, newest mtime seen before the walk failed):
+   * the partial deep reading protects a live owner whose concurrent
+   * renames surface as a non-vanish class on non-POSIX filesystems,
+   * while the tree still ages out on its real last-touch time; if
+   * even the root stat fails, the partial max (possibly 0L) hands it
+   * to the age check (its owner being dead or recycled is already
+   * required for reclaim). */
   private def newestMtime(p: Path): Long = {
     def isVanish(e: Throwable): Boolean = e match {
       case _: java.nio.file.NoSuchFileException => true
@@ -342,18 +345,29 @@ object ManifestStore {
         u.getCause.isInstanceOf[java.nio.file.NoSuchFileException]
       case _ => false
     }
+    // accumulate as we iterate: a mid-walk failure of the NON-vanish
+    // class (e.g. AccessDeniedException surfaced by a live owner's
+    // concurrent renames on a non-POSIX fs) must not discard the deep
+    // mtimes already observed — the root dir's own mtime never moves on
+    // deep writes, so falling back to it alone could hand a live
+    // owner's >6h staging to the reclaimer
+    var newestSeen = 0L
     try {
       val w = Files.walk(p)
-      try w.iterator().asScala
-        .map(f => Files.getLastModifiedTime(f).toMillis)
-        .foldLeft(0L)(math.max)
-      finally w.close()
+      try {
+        val it = w.iterator().asScala
+        while (it.hasNext)
+          newestSeen = math.max(newestSeen,
+            Files.getLastModifiedTime(it.next()).toMillis)
+        newestSeen
+      } finally w.close()
     } catch {
       case e @ (_: java.io.IOException | _: java.io.UncheckedIOException) =>
         if (isVanish(e)) System.currentTimeMillis()
         else
-          try Files.getLastModifiedTime(p).toMillis
-          catch { case _: java.io.IOException => 0L }
+          math.max(newestSeen,
+            try Files.getLastModifiedTime(p).toMillis
+            catch { case _: java.io.IOException => 0L })
     }
   }
 
@@ -465,7 +479,11 @@ object ManifestStore {
    * corpus refresh can run minutes); a holder per (store, stamp) blocks
    * only same-key callers — exactly the dedup the memo exists for. */
   private final class MemoCell {
-    var ref: java.lang.ref.WeakReference[Any] = null
+    // @volatile: writes happen under cell.synchronized, but memoCensus
+    // reads ref while holding only the outer frameMemo lock — volatile
+    // keeps that cross-lock read current (the census is still a
+    // point-in-time approximation; weak values can clear at any time)
+    @volatile var ref: java.lang.ref.WeakReference[Any] = null
   }
 
   private val frameMemo = new java.util.WeakHashMap[

@@ -39,7 +39,11 @@ object PlanAudit {
       // FINAL adaptive plan (ReusedExchange / reused query stages make
       // a branch's scan disappear from the executed tree)
       try {
-        df.collect()
+        // execute with a row-discarding action: the final adaptive plan
+        // is finalized on the shared QueryExecution either way, and the
+        // audit stays runnable at any sf (collect() would materialize a
+        // large entry's full result on the driver)
+        df.foreach(_ => ())
         var nScan = 0; var nReuse = 0
         val scanned = scala.collection.mutable.ArrayBuffer[String]()
         def walk2(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
