@@ -1040,22 +1040,24 @@ object Advanced {
         // empty array for them too; the guard keeps intent visible)
         val docs = rd(s, dir, "documents")
           .filter(length(col("text")) >= k)
-        // corpus frequency via a WINDOW over h, not a groupBy +
-        // join-back: a separate frequency branch re-runs the scan +
-        // kernel (the two consumers' exchanges never unify — column
-        // pruning drops doc_id from the frequency side, so the
-        // canonicalized subplans differ and ReuseExchange can't fire),
-        // where the window computes tot on the SAME exchanged gram
-        // stream each row already sits in — ONE kernel pass over the
-        // corpus, one exchange, no join
+        // corpus frequency via the hot/cold ROUTED shape (r15): the
+        // r14 window over h computed tot on the one exchanged gram
+        // stream — plan-minimal, but a boilerplate 30-gram repeated
+        // across millions of docs puts its every (doc, gram) row in
+        // ONE WindowExec task (RLE collapses per-doc repeats, so the
+        // bound is n_docs — which IS the corpus at lake scale).
+        // HotColdFreq pays a second kernel pass in the frequency
+        // branch but partial-aggregates map-side, broadcasts hot
+        // grams around the exchange, and shuffles the cold tail
+        // skew-bounded (ZipfWindowProbe: routed ≥ window at 110× in
+        // both skew regimes, identical checksums).
         val g1 = docs
           .select(col("doc_id"),
             explode(graft.functions.SubstrHash.windowsRle(col("text"), k))
               .as("w"))
           .select(col("doc_id"), col("w.h").as("h"), col("w.c").as("pos_cnt"))
-        val dup = g1
-          .withColumn("tot",
-            sum(col("pos_cnt")).over(Window.partitionBy("h")))
+        val dup = graft.plans.HotColdFreq.withFreq(
+            g1, "h", "tot", col("pos_cnt"), col("doc_id"))
           .filter(col("tot") >= 2)
           .groupBy(col("doc_id"))
           .agg(sum(col("pos_cnt")).as("dup_gram_cnt"))

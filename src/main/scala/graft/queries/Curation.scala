@@ -30,10 +30,17 @@ object Curation {
     // bits and the conjunctive keep decision. Entirely map-side lambda
     // work over the token array — zero shuffle before the harness ORDER
     // BY, so at 100 TB it runs at scan speed and feeds a partition-local
-    // filter. The repetition rule is O(uniq·n) per doc over ~100-word
-    // docs — bounded per row, never cross-row.
+    // filter. The repetition rule uses the token_max_run kernel
+    // (sort-in-row + longest run, O(n log n) per doc, codegen): the
+    // lambda form it replaced — array_max(transform(array_distinct,
+    // … filter …)) — was O(distinct × n) per doc with both lambdas
+    // interpreted, fine on 100-word gate docs but ~10¹⁰ comparisons in
+    // ONE ROW for a 100k-token document (TokenRunBench measures the
+    // knee; TokenMaxRunSpec pins value parity against the lambda form
+    // on the real corpus).
     QueryDef("q_gopher_rules",
       (s, dir) => {
+        graft.functions.TokenMaxRun.register(s)
         rd(s, dir, "documents")
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_words", size(col("toks")).cast("long"))
@@ -45,9 +52,8 @@ object Curation {
             "filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))")).cast("long"))
           .withColumn("n_alpha", size(expr(
             "filter(toks, t -> t RLIKE '^[a-z]+$')")).cast("long"))
-          .withColumn("max_tok_freq", expr(
-            "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
-            .cast("long"))
+          .withColumn("max_tok_freq",
+            graft.functions.TokenMaxRun.maxRunCol(col("toks")))
           .select(col("doc_id"), col("n_words"), col("mean_wlen"),
             (col("n_words") >= 10 && col("n_words") <= 100000).as("r_wordcount"),
             (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).as("r_wordlen"),

@@ -1729,13 +1729,19 @@ object LlmOps {
               |ELSE transform(sequence(0, size(ts) - 2),
               |               i -> xxhash64(concat(ts[i], ' ', ts[i + 1]))) END"""
               .stripMargin)).as("h"))
-        // corpus frequency as a WINDOW over h on the one exchanged
-        // bigram stream (the r14 q_substr_dedup finding): a separate
-        // groupBy(h) branch re-runs the scan + tokenize + explode —
-        // its pruned subplan never unifies with the probe side's — and
-        // the join-back pays a second exchange of the stream
-        bi.withColumn("freq",
-            count(lit(1)).over(Window.partitionBy("h")))
+        // corpus frequency via the hot/cold ROUTED shape, not a window
+        // over h: a window never partial-aggregates, so every
+        // occurrence of a hot bigram ("of the" at ~n_docs-scale mass)
+        // lands in ONE WindowExec task — ZipfWindowProbe planted one
+        // key at 10% corpus mass at 110× and the routed shape won
+        // (4.75–5.05 s vs the window's 5.66–5.81, identical checksums)
+        // while ALSO matching it on the unplanted corpus (hash-agg
+        // frequency beats the window's full-stream sort once the
+        // stream outgrows the scan). HotColdFreq broadcasts keys
+        // above the hot threshold around the exchange; the cold tail
+        // shuffles skew-bounded.
+        graft.plans.HotColdFreq.withFreq(
+            bi, "h", "freq", lit(1L), col("doc_id"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum(col("freq")).as("sum_freq"))
           .withColumn("lm_score",
@@ -1807,14 +1813,17 @@ object LlmOps {
         val toksAll = rd(s, dir, "documents")
           .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         val tf = toksAll.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        // df from a WINDOW over tok on tf ITSELF: tf already has
-        // exactly one row per (doc, tok), so count(*) over tok IS the
-        // document frequency — the former separate distinct+groupBy
-        // branch re-ran the scan + tokenize + explode (its pruned
-        // subplan never unifies with tf's, the q_substr_dedup r14
-        // finding; executed-plan audit showed three real corpus scans)
-        val withDf = tf.withColumn("df",
-          count(lit(1)).over(Window.partitionBy("tok")))
+        // df routed hot/cold over tf (one row per (doc, tok), so
+        // count-per-tok IS the document frequency): the r14 window
+        // over tok put every document containing a stopword in one
+        // WindowExec task — bounded by n_docs, which IS the corpus at
+        // lake scale ("the" appears in ~every doc). HotColdFreq's
+        // groupBy partial-aggregates map-side (skew-immune), hot toks
+        // broadcast around the exchange, cold tail shuffles bounded
+        // (ZipfWindowProbe: routed ≥ window at 110× in both skew
+        // regimes, checksums identical).
+        val withDf = graft.plans.HotColdFreq.withFreq(
+          tf, "tok", "df", lit(1L), col("doc_id"))
         val n = rd(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("tok"))

@@ -5,6 +5,60 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 object PlanAudit {
+
+  /** Execute `df` with a row-discarding action (the final adaptive plan
+   * is finalized on the shared QueryExecution; collect() would
+   * materialize large entries on the driver) and count the scans the
+   * EXECUTED plan actually ran — ReusedExchange / reused query stages
+   * make a branch's scan disappear from the executed tree, so this is
+   * the truthful count the pre-execution walk overstates. Shared with
+   * ServeScanAudit. */
+  def executedScans(df: org.apache.spark.sql.DataFrame)
+      : (Int, Int, Seq[String]) = {
+    df.foreach(_ => ())
+    var nScan = 0; var nReuse = 0
+    val scanned = scala.collection.mutable.ArrayBuffer[String]()
+    // a cached relation referenced by N consumers builds ONCE — count
+    // its scans once (identity: the shared InMemoryRelation instance)
+    val seenCached = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def walk2(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk2(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk2(q.plan)
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          nReuse += 1
+        // a persisted frame's build scan runs ONCE (that is the point
+        // of the persist) but lives inside the cached plan — surface
+        // it with a "cached:" prefix so "scans == distinct(inputs)"
+        // stays auditable for builders that cache a shared frame
+        // (HotColdFreq.freq, q_corpus_pipeline.exactKeep)
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          // wrapper instances differ per consumer; the shared build is
+          // the cacheBuilder (one materialization per builder)
+          if (seenCached.add(i.relation.cacheBuilder)) {
+            val before = scanned.length
+            walk2(i.relation.cachedPlan)
+            for (k <- before until scanned.length
+                 if !scanned(k).startsWith("cached:"))
+              scanned(k) = "cached:" + scanned(k)
+          }
+        case f: FileSourceScanExec =>
+          nScan += 1
+          // a recognizable short name: last meaningful path segment
+          scanned += f.relation.location.inputFiles.headOption
+            .map(_.split("/").takeRight(2).mkString("/"))
+            .getOrElse("?")
+        case _ =>
+      }
+      p.children.foreach(walk2)
+      p.subqueries.foreach(walk2)
+    }
+    walk2(df.queryExecution.executedPlan)
+    (nScan, nReuse, scanned.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -39,32 +93,7 @@ object PlanAudit {
       // FINAL adaptive plan (ReusedExchange / reused query stages make
       // a branch's scan disappear from the executed tree)
       try {
-        // execute with a row-discarding action: the final adaptive plan
-        // is finalized on the shared QueryExecution either way, and the
-        // audit stays runnable at any sf (collect() would materialize a
-        // large entry's full result on the driver)
-        df.foreach(_ => ())
-        var nScan = 0; var nReuse = 0
-        val scanned = scala.collection.mutable.ArrayBuffer[String]()
-        def walk2(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-          p match {
-            case a: AdaptiveSparkPlanExec => walk2(a.executedPlan)
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              walk2(q.plan)
-            case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-              nReuse += 1
-            case f: FileSourceScanExec =>
-              nScan += 1
-              // a recognizable short name: last meaningful path segment
-              scanned += f.relation.location.inputFiles.headOption
-                .map(_.split("/").takeRight(2).mkString("/"))
-                .getOrElse("?")
-            case _ =>
-          }
-          p.children.foreach(walk2)
-          p.subqueries.foreach(walk2)
-        }
-        walk2(df.queryExecution.executedPlan)
+        val (nScan, nReuse, scanned) = executedScans(df)
         println(s"  EXECUTED scans=$nScan reused_exchanges=$nReuse" +
           (if (scanned.nonEmpty) s" [${scanned.mkString("; ")}]" else ""))
       } catch { case e: Throwable =>

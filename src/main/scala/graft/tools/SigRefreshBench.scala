@@ -12,11 +12,21 @@ import org.apache.spark.sql.functions._
  * stores in tmp) rather than load. Same corpus + delta shape as
  * ScaleSmoke's incremental section.
  *
- *   sbt "runMain graft.tools.SigRefreshBench [rows]"
+ * Round 15: optional `blocks` arg synthesizes a LONG-document corpus
+ * (each doc the concatenation of `blocks` distinct DocGen texts, so
+ * shingle statistics stay realistic instead of self-repeating) — the
+ * bucketed-corpus-mirror criterion (SURVEY backlog #1) was measured at
+ * 4.5% on ~360 B docs but the identity scan reads 100% of corpus bytes
+ * while the sig work reads only the delta's, so the share scales with
+ * bytes/doc and must be re-read at the 10–50 KB/doc shape real
+ * pretraining data has.
+ *
+ *   sbt "runMain graft.tools.SigRefreshBench [rows] [blocks]"
  */
 object SigRefreshBench {
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 500000L
+    val blocks = if (args.length > 1) args(1).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,14 +40,22 @@ object SigRefreshBench {
       println(f"[sigbench] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($r)")
       r
     }
-    val base = spark.read.format("graft.sources.DocGen")
-      .option("rows", rows).option("partitions", 64).option("seed", 11L)
-      .load().select("doc_id", "text")
+    val base0 = spark.read.format("graft.sources.DocGen")
+      .option("rows", rows * blocks).option("partitions", 64)
+      .option("seed", 11L).load().select("doc_id", "text")
+    val base =
+      if (blocks == 1) base0
+      else base0
+        .groupBy((col("doc_id") / blocks).cast("long").as("doc_id"))
+        .agg(concat_ws(" ", collect_list(col("text"))).as("text"))
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sigbench").toString
     base.withColumn("lang", lit("l0")).withColumn("source", lit("gen"))
       .withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    println(f"[sigbench] corpus shape: $rows docs, avg bytes/doc " +
+      spark.read.parquet(s"$dir/documents.parquet")
+        .agg(avg(col("n_chars"))).head().getDouble(0).round)
     t("sig BUILD (cold store)")(
       graft.sources.MinHashSigIndex.sigs(spark, dir).count())
     // 2% delta, the ScaleSmoke shape

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Planted-hot-key probe for the window-over-key corpus-frequency shape
+ * (the r14 formulation of q_tfidf / q_lm_score / q_substr_dedup).
+ *
+ * Generates a 110×-scale DocGen corpus twice — plain, and with 8 "hot"
+ * tokens appended to EVERY document so the single bigram ("hot","hot")
+ * carries ~10% of all bigram occurrences (one key at 10% corpus mass,
+ * the verdict's planted-skew criterion) — then times the raw-occurrence
+ * corpus-frequency attachment both ways on each corpus:
+ *
+ *   window : freq = count(*) over (partition by h)   — 1 scan, but the
+ *            hot key's every occurrence lands in ONE WindowExec task
+ *   routed : plans.HotColdFreq.withFreq              — 2 scans, hot keys
+ *            broadcast around the exchange, cold tail bounded
+ *
+ * Both reduce to the identical per-doc aggregate and a single corpus
+ * checksum (sum over docs of sum(freq)) which the probe ASSERTS equal —
+ * routing must never change a value. The bigram-occurrence stream is
+ * the sharpest of the three exposures (unbounded per-doc mass); the
+ * per-doc-collapsed windows (tfidf df, substr grams) are bounded by
+ * n_docs, which at lake scale is the same failure.
+ *
+ * runMain graft.tools.ZipfWindowProbe [rows] [reps]
+ */
+object ZipfWindowProbe {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 550000L
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def corpus(planted: Boolean): DataFrame = {
+      val base = spark.read.format("graft.sources.DocGen")
+        .option("rows", rows).option("partitions", 64).option("seed", 11L)
+        .load().select(col("doc_id"), col("text"))
+      if (!planted) base
+      else base.withColumn("text",
+        concat(col("text"), lit(" hot hot hot hot hot hot hot hot")))
+    }
+
+    // the q_lm_score bigram-occurrence stream, verbatim shape
+    def bigrams(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ts) < 2 THEN array()
+          |ELSE transform(sequence(0, size(ts) - 2),
+          |               i -> xxhash64(concat(ts[i], ' ', ts[i + 1]))) END"""
+          .stripMargin)).as("h"))
+
+    def windowForm(docs: DataFrame): DataFrame = bigrams(docs)
+      .withColumn("freq", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(col("freq")).as("sum_freq"))
+
+    def routedForm(docs: DataFrame): DataFrame =
+      graft.plans.HotColdFreq.withFreq(
+          bigrams(docs), "h", "freq", lit(1L), col("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum(col("freq")).as("sum_freq"))
+
+    // one exact corpus checksum: forces everything, fits the driver
+    def checksum(df: DataFrame): Long =
+      df.agg(sum(col("sum_freq"))).head().getLong(0)
+
+    for (planted <- Seq(false, true)) {
+      val docs = corpus(planted)
+      val tag = if (planted) "planted-10pct" else "plain"
+      // skew facts, once per corpus: mass of the hottest key
+      val top = bigrams(docs).groupBy("h").count()
+        .agg(max("count").as("m"), sum("count").as("t")).head()
+      println(f"[zipf-probe] $tag rows=$rows hottest_key=${top.getLong(0)}" +
+        f" of ${top.getLong(1)} occ (${100.0 * top.getLong(0) / top.getLong(1)}%.1f%%)")
+      var sums = Map[String, Long]()
+      for (rep <- 1 to reps; (name, form) <- Seq(
+          "window" -> windowForm _, "routed" -> routedForm _)) {
+        val t0 = System.nanoTime()
+        val s = checksum(form(docs))
+        // the routed form persists its freq frame — drop it so every
+        // rep measures a cold build, like the gate harness does
+        spark.catalog.clearCache()
+        println(f"[zipf-probe] $tag $name rep$rep " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s checksum=$s")
+        sums.get(name + tag).foreach(p => assert(p == s, s"unstable $name"))
+        sums += (name + tag) -> s
+      }
+      val (w, r) = (sums("window" + tag), sums("routed" + tag))
+      assert(w == r, s"window/routed checksum mismatch: $w vs $r")
+      println(s"[zipf-probe] $tag checksums agree: $w")
+    }
+    spark.stop()
+  }
+}

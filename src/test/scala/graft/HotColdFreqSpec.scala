@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.HotColdFreq
+
+/** HotColdFreq routes hot keys around the frequency exchange — the
+ * routing must NEVER change a value. Ground truth is the window
+ * formulation it replaced (sum over partition by key), compared
+ * row-for-row on the real corpus's bigram stream across every routing
+ * regime: all-cold, all-hot, and mixed — plus the sentinel-collision
+ * pin (a hot row scattered onto a REAL cold key's value must keep its
+ * broadcast frequency). */
+class HotColdFreqSpec extends AnyFunSuite {
+  import SparkTestBase.{spark, sf}
+
+  private def bigrams = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    .select(col("doc_id"), explode(expr(
+      """CASE WHEN size(ts) < 2 THEN array()
+        |ELSE transform(sequence(0, size(ts) - 2),
+        |               i -> xxhash64(concat(ts[i], ' ', ts[i + 1]))) END"""
+        .stripMargin)).as("h"))
+
+  private def viaWindow = bigrams.withColumn("f",
+    count(lit(1)).over(Window.partitionBy("h")))
+
+  private def mismatches(hotMin: Long): Long =
+    HotColdFreq.withFreq(bigrams, "h", "g", lit(1L), col("doc_id"), hotMin)
+      .join(viaWindow.dropDuplicates("h").select("h", "f"), "h")
+      .filter(col("g") =!= col("f")).count()
+
+  test("all-cold regime (hotMin above every mass) matches the window") {
+    assert(mismatches(Long.MaxValue) == 0)
+  }
+
+  test("all-hot regime (hotMin = 1, every key broadcasts) matches") {
+    assert(mismatches(1L) == 0)
+  }
+
+  test("mixed regime (median-ish threshold) matches") {
+    assert(mismatches(3L) == 0)
+  }
+
+  test("weighted frequency (pre-collapsed counts) matches a groupBy sum") {
+    // collapse per (doc, h) first — the q_substr_dedup shape — and
+    // weight by the collapsed count; truth from a plain groupBy
+    val g1 = bigrams.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val truth = g1.groupBy("h").agg(sum("c").as("f"))
+    val bad = HotColdFreq.withFreq(g1, "h", "g", col("c"), col("doc_id"), 2L)
+      .join(truth, "h").filter(col("g") =!= col("f")).count()
+    assert(bad == 0)
+  }
+
+  test("sentinel collision with a real cold key is harmless") {
+    import spark.implicits._
+    // hot key 999 (mass 70 >= hotMin 10); cold keys 0..63 cover the
+    // ENTIRE sentinel space (ways = 64), so every scattered hot row's
+    // join key collides with a real cold key — each must still carry
+    // the hot frequency 70, and the cold keys their own count 1
+    val rows = (1 to 70).map(i => (i.toLong, 999L)) ++
+      (0 to 63).map(i => (1000L + i, i.toLong))
+    val df = rows.toDF("doc_id", "h")
+    val out = HotColdFreq.withFreq(df, "h", "f", lit(1L), col("doc_id"), 10L)
+    assert(out.filter(col("h") === 999L && col("f") =!= 70L).count() == 0)
+    assert(out.filter(col("h") < 999L && col("f") =!= 1L).count() == 0)
+    assert(out.count() == rows.size, "routing must never multiply rows")
+  }
+
+  test("string keys route and scatter (tfidf's tok shape)") {
+    import spark.implicits._
+    val rows = (1 to 30).map(i => (i.toLong, "the")) ++
+      (1 to 5).map(i => (100L + i, s"rare$i"))
+    val df = rows.toDF("doc_id", "tok")
+    val out = HotColdFreq.withFreq(df, "tok", "f", lit(1L), col("doc_id"), 10L)
+    assert(out.filter(col("tok") === "the" && col("f") =!= 30L).count() == 0)
+    assert(out.filter(col("tok") =!= "the" && col("f") =!= 1L).count() == 0)
+    assert(out.count() == rows.size)
+  }
+}

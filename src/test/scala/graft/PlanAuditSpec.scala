@@ -742,55 +742,43 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q_substr_dedup runs the gram kernel over ONE documents scan") {
-    // the r14 shape: corpus frequency comes from a window over h on
-    // the SAME exchanged gram stream (a separate frequency branch can
-    // never share the kernel scan — column pruning drops doc_id from
-    // the frequency side, the canonicalized subplans differ, and
-    // ReuseExchange can't fire; the pre-fix join-back plan re-ran the
-    // scan + kernel, three documents scans in total). Exactly two
-    // scans remain: the kernel pass and the gram_cnt projection
-    // (documented trade at the call site).
-    val p = plan("q_substr_dedup")
-    val docScans = scans(p).filter(_.relation.location.inputFiles
-      .headOption.exists(_.contains("documents.parquet")))
-    assert(docScans.length == 2,
-      s"expected exactly 2 documents scans (kernel + gram_cnt), got " +
-        s"${docScans.length}:\n$p")
-    docScans.foreach { sc =>
-      assert(sc.requiredSchema.fieldNames.toSet.subsetOf(
-        Set("doc_id", "text")),
-        s"documents scan reads extra columns: " +
-          sc.requiredSchema.fieldNames.mkString(","))
+  test("routed corpus frequency: no window over a power-law key, " +
+      "one persisted freq build, executed scans pinned") {
+    // r15 (ZipfWindowProbe): the r14 window-over-key formulations put
+    // every occurrence of a hot key in ONE WindowExec task, so
+    // q_substr_dedup / q_tfidf / q_lm_score route frequency through
+    // HotColdFreq — groupBy partial-agg (skew-immune), persisted so
+    // the hot and cold consumers share ONE build (their exchanges
+    // never unify — the same pruning divergence as ever, PlanAudit
+    // measured 4 corpus scans before the persist), hot keys broadcast
+    // around the exchange. Pinned here via the EXECUTED plan: direct
+    // scans + exactly one cached freq build each, and NO unbounded
+    // window over the stream key.
+    for ((name, direct, cached) <- Seq(
+        // kernel probe + gram_cnt projection, cached kernel-freq build
+        ("q_substr_dedup", 2, 1),
+        // tokenize probe (tf) + n_docs count scan, cached tokenize-freq
+        ("q_tfidf", 2, 1),
+        // bigram probe, cached bigram-freq build
+        ("q_lm_score", 1, 1))) {
+      spark.catalog.clearCache()
+      val df = SparkEntry.queries(name)(spark, sf)
+      // the per-doc/top-term windows partition by doc_id (bounded);
+      // no window may partition by the corpus-frequency key
+      val windowKeys = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec.map(_.references.map(_.name).mkString(","))
+      }.flatten
+      assert(!windowKeys.exists(k => k == "h" || k == "tok"),
+        s"$name still windows over the power-law key: $windowKeys")
+      val (_, _, scanned) = graft.tools.PlanAudit.executedScans(df)
+      val docs = scanned.filter(_.contains("documents.parquet"))
+      assert(docs.count(!_.startsWith("cached:")) == direct,
+        s"$name expected $direct direct documents scans, got $docs")
+      assert(docs.count(_.startsWith("cached:")) == cached,
+        s"$name expected $cached cached freq-build scan, got $docs")
+      spark.catalog.clearCache()
     }
-    // and the frequency really is a window (one exchange), not a
-    // join-back of a second aggregation over the gram stream
-    assert(p.toString.contains("Window"),
-      s"expected the corpus-frequency window in the plan:\n$p")
-  }
-
-  test("q_tfidf and q_lm_score tokenize in ONE corpus pass (window df/freq)") {
-    // r14: their derived-frequency branches (distinct+groupBy for df,
-    // groupBy(h) for bigram freq) could never share the token stream's
-    // scan — pruning diverges the canonicalized subplans, ReuseExchange
-    // can't fire — so frequency comes from a window on the exchanged
-    // stream. A second (doc_id, text)-reading documents scan appearing
-    // here means the join-back shape crept back.
-    val tfidfDocScans = scans(plan("q_tfidf")).filter(
-      _.relation.location.inputFiles.headOption.exists(
-        _.contains("documents.parquet")))
-    // one tokenizing scan + the count(*) scan (reads no columns)
-    assert(tfidfDocScans.length == 2,
-      s"q_tfidf expected 2 documents scans, got ${tfidfDocScans.length}")
-    assert(tfidfDocScans.count(_.requiredSchema.nonEmpty) == 1,
-      "q_tfidf should tokenize in exactly one column-reading scan " +
-        s"(${tfidfDocScans.map(_.requiredSchema.fieldNames.mkString("+"))
-          .mkString(", ")})")
-    val lmDocScans = scans(plan("q_lm_score")).filter(
-      _.relation.location.inputFiles.headOption.exists(
-        _.contains("documents.parquet")))
-    assert(lmDocScans.length == 1,
-      s"q_lm_score expected 1 documents scan, got ${lmDocScans.length}")
   }
 
   test("AQE coalesces post-shuffle partitions on small data") {
