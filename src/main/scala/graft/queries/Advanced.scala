@@ -1056,25 +1056,22 @@ object Advanced {
             explode(graft.functions.SubstrHash.windowsRle(col("text"), k))
               .as("w"))
           .select(col("doc_id"), col("w.h").as("h"), col("w.c").as("pos_cnt"))
-        val dup = graft.plans.HotColdFreq.withFreq(
+        // ONE-SCAN final shape (r15, SURVEY backlog #2 criterion
+        // fired): gram_cnt rides the explode — sum(pos_cnt) per doc is
+        // exactly length-k+1 — so the former second text projection +
+        // join is gone. The stride criterion measured dup_gram
+        // fraction at 9.4% (sf0.1 gate corpus, DuckDB-corroborated)
+        // and 45% (20k-doc × 21 KB long-doc corpus) — both above the
+        // ~5% line where the dup-only aggregation stops paying for its
+        // extra corpus scan; SubstrOneScanAB (interleaved, checksums
+        // asserted) read one-scan ≤ two-scan on every pair at both
+        // corpora, element-min 79 vs 107 s on the long-doc corpus.
+        graft.plans.HotColdFreq.withFreq(
             g1, "h", "tot", col("pos_cnt"), col("doc_id"))
-          .filter(col("tot") >= 2)
           .groupBy(col("doc_id"))
-          .agg(sum(col("pos_cnt")).as("dup_gram_cnt"))
-        // gram_cnt needs no aggregation: per-doc window counts sum to
-        // exactly length-k+1 (chars, matching the oracle's length());
-        // docs with no duplicated gram are absent from `dup` → 0.
-        // This projection re-reads the text column (a second corpus
-        // scan); the alternative — carrying gram_cnt through the
-        // explode and aggregating ALL gram rows per doc — trades that
-        // scan for a full-pair final aggregation. Which wins at 100 TB
-        // depends on dup fraction vs scan cost; the one-scan variant is
-        // the swap-in if the corpus scan dominates.
-        docs.select(col("doc_id"),
-            (length(col("text")) - lit(k - 1)).cast("long").as("gram_cnt"))
-          .join(dup, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("gram_cnt"),
-            coalesce(col("dup_gram_cnt"), lit(0L)).as("dup_gram_cnt"))
+          .agg(sum(col("pos_cnt")).as("gram_cnt"),
+            sum(when(col("tot") >= 2, col("pos_cnt")).otherwise(0L))
+              .as("dup_gram_cnt"))
           .withColumn("dup_ratio",
             col("dup_gram_cnt").cast("double") / col("gram_cnt").cast("double"))
           .orderBy(col("doc_id"))

@@ -76,6 +76,18 @@ object SigRefreshBench {
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), xxhash64(col("text")).as("text_hash"))
         .count())
+    // the other two slices of the refresh wall, isolated: what the 2%
+    // delta's shingle+minhash actually costs, and what a cold-session
+    // serve of the CURRENT store costs (manifest hit, no refresh) —
+    // together with the identity scan these bound where a long-doc
+    // refresh's time goes
+    t("delta sig compute alone")(
+      graft.queries.LlmOps.sigsPlanFor(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") >= 3 * rows)
+          .select(col("doc_id"), col("text"))).count())
+    t("serve count alone (warm store)")(
+      graft.sources.MinHashSigIndex.sigs(spark.newSession(), dir).count())
     graft.queries.Q.deleteRecursively(java.nio.file.Paths.get(dir))
     graft.queries.Q.deleteRecursively(
       graft.sources.MinHashSigIndex.store(dir))

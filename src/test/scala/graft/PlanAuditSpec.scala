@@ -755,8 +755,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // scans + exactly one cached freq build each, and NO unbounded
     // window over the stream key.
     for ((name, direct, cached) <- Seq(
-        // kernel probe + gram_cnt projection, cached kernel-freq build
-        ("q_substr_dedup", 2, 1),
+        // kernel probe only (one-scan shape: gram_cnt rides the
+        // explode), cached kernel-freq build
+        ("q_substr_dedup", 1, 1),
         // tokenize probe (tf) + n_docs count scan, cached tokenize-freq
         ("q_tfidf", 2, 1),
         // bigram probe, cached bigram-freq build
