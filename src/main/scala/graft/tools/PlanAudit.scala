@@ -69,7 +69,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     val names =
-      if (args.nonEmpty) args.toSeq
+      if (args.sameElements(Array("--all")))
+        SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("s_"))
+      else if (args.nonEmpty) args.toSeq
       else Seq("q_scan_filter", "q_agg_pricing", "q_join_5way")
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
