@@ -68,6 +68,30 @@ class HotColdFreqSpec extends AnyFunSuite {
     assert(out.count() == rows.size, "routing must never multiply rows")
   }
 
+  test("hot rows take the broadcast path — the mechanism, not just the values") {
+    import spark.implicits._
+    val df = ((1 to 70).map(i => (i.toLong, 999L)) ++
+      (0 to 9).map(i => (1000L + i, i.toLong))).toDF("doc_id", "h")
+    val out = HotColdFreq.withFreq(df, "h", "f", lit(1L), col("doc_id"), 10L)
+    out.foreach(_ => ()) // finalize the adaptive plan
+    def collectExec(p: org.apache.spark.sql.execution.SparkPlan,
+                    acc: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          collectExec(a.executedPlan, acc)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          collectExec(q.plan, acc)
+        case other => acc += other.nodeName
+      }
+      p.children.foreach(collectExec(_, acc))
+      p.subqueries.foreach(collectExec(_, acc))
+    }
+    val nodes = scala.collection.mutable.ArrayBuffer[String]()
+    collectExec(out.queryExecution.executedPlan, nodes)
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"hot side must join via broadcast, got: ${nodes.distinct.mkString(", ")}")
+  }
+
   test("string keys route and scatter (tfidf's tok shape)") {
     import spark.implicits._
     val rows = (1 to 30).map(i => (i.toLong, "the")) ++

@@ -115,4 +115,30 @@ class KernelFuzzSpec extends AnyFunSuite {
         rle.map(_._2).sum == raw.length.toLong
     })
   }
+
+  test("token_max_run ≡ the Gopher lambda on generated arrays with nulls") {
+    graft.functions.TokenMaxRun.register(spark)
+    // the lambda's null contract is subtle (x = t never true for null;
+    // array_max ignores the null transform slots) — fuzz it alongside
+    // the unicode/collision pool the other kernels use
+    val elemGen: Gen[String] =
+      Gen.frequency(9 -> tokGen.map(lit), 1 -> Gen.const("CAST(NULL AS STRING)"))
+    val arrGen: Gen[List[String]] = Gen.choose(0, 10)
+      .flatMap(n => Gen.listOfN(n, elemGen))
+    check(Prop.forAll(arrGen) { elems =>
+      val arr =
+        if (elems.isEmpty) "CAST(array() AS ARRAY<STRING>)"
+        else elems.mkString("array(", ", ", ")")
+      val r = spark.sql(
+        s"""SELECT token_max_run($arr) AS k,
+           |  CAST(array_max(transform(array_distinct($arr),
+           |    t -> size(filter($arr, x -> x = t)))) AS BIGINT) AS l
+           |""".stripMargin).head()
+      // sole divergence by design: an ALL-null array — the lambda
+      // yields size(filter(...)) = 0 per null slot → 0, same as the
+      // kernel; empty array → both null. So plain null-safe equality.
+      (r.isNullAt(0) && r.isNullAt(1)) ||
+        (!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) == r.getLong(1))
+    })
+  }
 }
