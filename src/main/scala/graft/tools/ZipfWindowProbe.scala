@@ -72,6 +72,8 @@ object ZipfWindowProbe {
     def checksum(df: DataFrame): Long =
       df.agg(sum(col("sum_freq"))).head().getLong(0)
 
+    val metrics = scala.collection.mutable.LinkedHashMap[String, Any](
+      "rows" -> rows, "reps" -> reps)
     for (planted <- Seq(false, true)) {
       val docs = corpus(planted)
       val tag = if (planted) "planted-10pct" else "plain"
@@ -80,6 +82,8 @@ object ZipfWindowProbe {
         .agg(max("count").as("m"), sum("count").as("t")).head()
       println(f"[zipf-probe] $tag rows=$rows hottest_key=${top.getLong(0)}" +
         f" of ${top.getLong(1)} occ (${100.0 * top.getLong(0) / top.getLong(1)}%.1f%%)")
+      metrics(s"$tag:hottest_key_occ") = top.getLong(0)
+      metrics(s"$tag:total_occ") = top.getLong(1)
       var sums = Map[String, Long]()
       for (rep <- 1 to reps; (name, form) <- Seq(
           "window" -> windowForm _, "routed" -> routedForm _)) {
@@ -88,14 +92,25 @@ object ZipfWindowProbe {
         // the routed form persists its freq frame — drop it so every
         // rep measures a cold build, like the gate harness does
         spark.catalog.clearCache()
-        println(f"[zipf-probe] $tag $name rep$rep " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s checksum=$s")
+        val secs = (System.nanoTime() - t0) / 1e9
+        metrics(f"$tag:$name:rep$rep%d_sec") = f"$secs%.3f".toDouble
+        println(f"[zipf-probe] $tag $name rep$rep $secs%.2f s checksum=$s")
         sums.get(name + tag).foreach(p => assert(p == s, s"unstable $name"))
         sums += (name + tag) -> s
       }
       val (w, r) = (sums("window" + tag), sums("routed" + tag))
       assert(w == r, s"window/routed checksum mismatch: $w vs $r")
+      metrics(s"$tag:checksums_agree") = true
       println(s"[zipf-probe] $tag checksums agree: $w")
+    }
+    // one JSON artifact per run (committed as the skew-probe evidence)
+    sys.env.get("SPARK_GRAFT_ZIPF_OUT").foreach { out =>
+      val json = metrics.map { case (k, v) =>
+        val vs = v match { case s: String => "\"" + s + "\""; case x => x.toString }
+        "\"" + k + "\":" + vs
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      println(s"[zipf-probe] metrics written to $out")
     }
     spark.stop()
   }
