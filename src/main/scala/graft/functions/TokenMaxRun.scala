@@ -50,10 +50,14 @@ case class TokenMaxRunExpr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
+      // freshName: two instances of this expression can share one
+      // generated function's scope (non-nullable child ⇒ no brace
+      // wrapper), so a fixed local name would collide
+      val tmp = ctx.freshName("maxRun")
       s"""
-         |long graft_tmr = graft.functions.TokenMaxRun.maxRun($s);
-         |if (graft_tmr < 0L) { ${ev.isNull} = true; }
-         |else { ${ev.value} = graft_tmr; }
+         |long $tmp = graft.functions.TokenMaxRun.maxRun($s);
+         |if ($tmp < 0L) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
        """.stripMargin
     })
 

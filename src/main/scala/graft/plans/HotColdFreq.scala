@@ -55,6 +55,12 @@ object HotColdFreq {
 
   /** Adds `freqName` = total `weight` of `keyCol` across `stream`.
    *
+   * Contract: rows with a NULL key get a NULL frequency (they never
+   * match either join side) — the window formulation would instead
+   * count the null partition. The gate entries' keys are non-null by
+   * construction (xxhash64 outputs, split tokens); callers with
+   * nullable keys must decide their null semantics first.
+   *
    * @param scatter deterministic per-row column (e.g. doc_id) used to
    *                spread hot rows' sentinel join keys; never randomness
    *                (plans must be replay-stable).
@@ -62,6 +68,12 @@ object HotColdFreq {
   def withFreq(stream: DataFrame, keyCol: String, freqName: String,
                weight: Column, scatter: Column,
                hotMin: Long = DefaultHotMin, ways: Int = 64): DataFrame = {
+    // reserved internals + the output column must not collide with the
+    // caller's schema (the r14 Salting reserved-name precedent: fail
+    // loudly, never silently shadow)
+    for (c <- Seq("__hot_f", "__cold_f", "__ck", freqName))
+      require(!stream.columns.contains(c),
+        s"HotColdFreq.withFreq: stream already has a column named '$c'")
     val kt = stream.schema(keyCol).dataType
     val freq = stream.groupBy(col(keyCol))
       .agg(sum(weight).cast("long").as(freqName))

@@ -93,7 +93,7 @@ object ZipfWindowProbe {
         // rep measures a cold build, like the gate harness does
         spark.catalog.clearCache()
         val secs = (System.nanoTime() - t0) / 1e9
-        metrics(f"$tag:$name:rep$rep%d_sec") = f"$secs%.3f".toDouble
+        metrics(f"$tag:$name:rep$rep%d_sec") = math.rint(secs * 1000) / 1000.0
         println(f"[zipf-probe] $tag $name rep$rep $secs%.2f s checksum=$s")
         sums.get(name + tag).foreach(p => assert(p == s, s"unstable $name"))
         sums += (name + tag) -> s

@@ -92,6 +92,23 @@ class HotColdFreqSpec extends AnyFunSuite {
       s"hot side must join via broadcast, got: ${nodes.distinct.mkString(", ")}")
   }
 
+  test("reserved-name and output-name collisions are rejected loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("doc_id", "h")
+    for (bad <- Seq("__hot_f", "__cold_f", "__ck")) {
+      val ex = intercept[IllegalArgumentException] {
+        HotColdFreq.withFreq(df.withColumn(bad, lit(0L)),
+          "h", "f", lit(1L), col("doc_id"), 1L)
+      }
+      assert(ex.getMessage.contains(bad))
+    }
+    // the output column must not silently shadow an existing one
+    val ex = intercept[IllegalArgumentException] {
+      HotColdFreq.withFreq(df, "h", "doc_id", lit(1L), col("doc_id"), 1L)
+    }
+    assert(ex.getMessage.contains("doc_id"))
+  }
+
   test("string keys route and scatter (tfidf's tok shape)") {
     import spark.implicits._
     val rows = (1 to 30).map(i => (i.toLong, "the")) ++

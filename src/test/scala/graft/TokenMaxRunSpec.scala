@@ -47,9 +47,14 @@ class TokenMaxRunSpec extends AnyFunSuite {
     TokenMaxRun.register(spark)
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
+      // two instances in ONE projection: with a non-nullable child the
+      // generated locals share a scope, so this doubles as the
+      // freshName collision pin
       val r = spark.sql(
-        "SELECT token_max_run(array('a', 'b', 'a')) AS m").head().getLong(0)
-      assert(r == 2L)
+        """SELECT token_max_run(array('a', 'b', 'a')) AS m,
+          |       token_max_run(array('x', 'x', 'x', 'y')) AS n""".stripMargin)
+        .head()
+      assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
