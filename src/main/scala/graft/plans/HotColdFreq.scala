@@ -17,14 +17,20 @@ import org.apache.spark.sql.functions._
  *  1. `freq = stream.groupBy(key).agg(sum(weight))` — a hash aggregate
  *     PARTIAL-combines map-side, so a hot key contributes one row per
  *     map task and the freq exchange is skew-immune. The frame is
- *     PERSISTED: its hot and cold consumers would otherwise each
- *     recompute the aggregate INCLUDING the corpus scan and any
- *     derivation beneath it (PlanAudit measured exactly that — the
- *     two branches' exchanges never unify, the same
- *     pruning-divergence that motivated the r14 window shapes), and
- *     freq is distinct-keys-sized (8+8 bytes per key), not
- *     corpus-sized — MEMORY_AND_DISK spills it per-executor at lake
- *     scale. The q_corpus_pipeline precedent: builders cache frames
+ *     PERSISTED by default: without it AQE's runtime stage reuse DOES
+ *     unify the hot/cold branches' shuffle (1 corpus scan + a
+ *     ReusedExchange — the truthful post-finalization PlanAudit
+ *     reading; an earlier 4-scan reading was a counter artifact, see
+ *     PlanAudit.executedScans), but each consumer still re-runs the
+ *     final aggregation over the reused map output, and the
+ *     three-arm interleaved ZipfWindowProbe read persist at
+ *     2.9–3.6 s vs no-persist 4.5–5.5 s on the planted 110× corpus
+ *     (every rep, both corpora) — materializing the
+ *     distinct-keys-sized frame (8+8 bytes per key, MEMORY_AND_DISK,
+ *     never corpus-sized) once beats re-aggregating it per consumer.
+ *     `persistFreq = false` (or SPARK_GRAFT_HOT_PERSIST=0) keeps the
+ *     stage-reuse shape for callers whose key space is too large to
+ *     cache. The q_corpus_pipeline precedent: builders cache frames
  *     that multiple branches reference; the harness clears caches
  *     between entries.
  *  2. Keys with `freq >= hotMin` broadcast (bounded: at most
@@ -53,6 +59,11 @@ object HotColdFreq {
   val DefaultHotMin: Long =
     sys.env.get("SPARK_GRAFT_HOT_MIN").map(_.toLong).getOrElse(2000000L)
 
+  /** Whether withFreq persists its freq frame by default — decided by
+   * ZipfWindowProbe's three-arm interleave (see scaladoc item 1). */
+  val PersistFreqDefault: Boolean =
+    sys.env.get("SPARK_GRAFT_HOT_PERSIST").forall(_ == "1")
+
   /** Adds `freqName` = total `weight` of `keyCol` across `stream`.
    *
    * Contract: rows with a NULL key get a NULL frequency (they never
@@ -67,7 +78,19 @@ object HotColdFreq {
    */
   def withFreq(stream: DataFrame, keyCol: String, freqName: String,
                weight: Column, scatter: Column,
-               hotMin: Long = DefaultHotMin, ways: Int = 64): DataFrame = {
+               hotMin: Long = DefaultHotMin, ways: Int = 0,
+               persistFreq: Boolean = PersistFreqDefault): DataFrame = {
+    // sentinel-space width: each hot key's rows land in `nWays` groups
+    // of ~mass/nWays rows, so a FIXED width would just re-create the
+    // straggler at a bigger corpus (mass/64 of a 10^10-occurrence key
+    // is still ~80x a healthy task). Auto scales with the session's
+    // shuffle width — per-sentinel rows then track per-task averages
+    // as the cluster grows; SPARK_GRAFT_HOT_WAYS overrides for probes.
+    val nWays: Long =
+      if (ways > 0) ways.toLong
+      else sys.env.get("SPARK_GRAFT_HOT_WAYS").map(_.toLong).getOrElse(
+        math.max(64L,
+          4L * stream.sparkSession.sessionState.conf.numShufflePartitions))
     // reserved internals + the output column must not collide with the
     // caller's schema (the r14 Salting reserved-name precedent: fail
     // loudly, never silently shadow)
@@ -75,9 +98,9 @@ object HotColdFreq {
       require(!stream.columns.contains(c),
         s"HotColdFreq.withFreq: stream already has a column named '$c'")
     val kt = stream.schema(keyCol).dataType
-    val freq = stream.groupBy(col(keyCol))
+    val freq0 = stream.groupBy(col(keyCol))
       .agg(sum(weight).cast("long").as(freqName))
-      .persist() // see scaladoc: shared by the hot and cold consumers
+    val freq = if (persistFreq) freq0.persist() else freq0
     val hot = broadcast(freq.filter(col(freqName) >= hotMin)
       .select(col(keyCol), col(freqName).as("__hot_f")))
     val cold = freq.filter(col(freqName) < hotMin)
@@ -85,7 +108,7 @@ object HotColdFreq {
     stream.join(hot, Seq(keyCol), "left")
       .withColumn("__ck",
         when(col("__hot_f").isNotNull,
-          pmod(xxhash64(scatter), lit(ways.toLong)).cast(kt))
+          pmod(xxhash64(scatter), lit(nWays)).cast(kt))
           .otherwise(col(keyCol)))
       .join(cold, Seq("__ck"), "left")
       .withColumn(freqName, coalesce(col("__hot_f"), col("__cold_f")))

@@ -944,13 +944,15 @@ object Advanced {
         // 2.2 s warm vs 1.2 s letting the branches re-read the shared
         // exchange (3-rep A/B, tools-level). The r1 finding that
         // motivated the cache predates the bench's AQE-planned shape.
-        // Re-litigated r15 after the executed sweep read 4 lineitem
-        // scans / 0 reuse: CooccurAB tried persisting only the TINY
-        // items frame + a countDistinct tot — still slower warm (1.6-
-        // 1.9 vs 1.2-1.6 s interleaved): the persist barrier
-        // serializes branches the current plan runs concurrently, and
-        // at 100 TB four pruned concurrent scans of three columns
-        // beat one materialization fence. Shape stands by measurement.
+        // Re-litigated r15: an interim (pre-finalization-fix) executed
+        // sweep read "4 lineitem scans / 0 reuse", prompting CooccurAB
+        // — persisting only the TINY items frame + a countDistinct tot
+        // was still slower warm (1.6-1.9 vs 1.2-1.6 s interleaved; the
+        // persist barrier serializes branches this plan runs
+        // concurrently). The CORRECTED executed counter then confirmed
+        // the r10 claim outright: 2 real scans + 2 ReusedExchange —
+        // AQE already shares the basket shuffle across branches.
+        // Shape stands by both measurements.
         val baskets = rd(s, dir, "lineitem")
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))

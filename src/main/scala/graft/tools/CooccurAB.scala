@@ -71,9 +71,9 @@ object CooccurAB {
         "current" -> current _, "variant" -> variant _)) {
       val t0 = System.nanoTime()
       val s = checksum(form())
-      spark.catalog.clearCache()
-      println(f"[cooccur-ab] $name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"checksum=$s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // outside the timed window
+      println(f"[cooccur-ab] $name rep$rep $secs%.2f s checksum=$s")
       sums.get(name).foreach(p => assert(p == s, s"unstable $name"))
       sums += name -> s
     }

@@ -6,16 +6,22 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 object PlanAudit {
 
-  /** Execute `df` with a row-discarding action (the final adaptive plan
-   * is finalized on the shared QueryExecution; collect() would
-   * materialize large entries on the driver) and count the scans the
+  /** Execute `df` with a row-discarding action and count the scans the
    * EXECUTED plan actually ran — ReusedExchange / reused query stages
    * make a branch's scan disappear from the executed tree, so this is
    * the truthful count the pre-execution walk overstates. Shared with
-   * ServeScanAudit. */
+   * ServeScanAudit.
+   *
+   * The action drives the SHARED QueryExecution's RDD: `df.foreach`
+   * would fork a separate rddQueryExecution and leave
+   * `df.queryExecution.executedPlan` UNFINALIZED (verified on Spark
+   * 4.1.2: isFinalPlan stays false after foreach, true after this),
+   * which silently reverts the walk to initial-plan counts; collect()
+   * finalizes the right instance but materializes large entries on
+   * the driver. toRdd.count() does neither. */
   def executedScans(df: org.apache.spark.sql.DataFrame)
       : (Int, Int, Seq[String]) = {
-    df.foreach(_ => ())
+    df.queryExecution.toRdd.count()
     var nScan = 0; var nReuse = 0
     val scanned = scala.collection.mutable.ArrayBuffer[String]()
     // a cached relation referenced by N consumers builds ONCE — count

@@ -55,9 +55,28 @@ object SubstrOneScanAB {
         explode(graft.functions.SubstrHash.windowsRle(col("text"), k)).as("w"))
       .select(col("doc_id"), col("w.h").as("h"), col("w.c").as("pos_cnt"))
 
-    // arm A: the shipping gate entry (two-scan)
-    def twoScan(): DataFrame =
-      graft.SparkEntry.queries("q_substr_dedup")(spark, dir)
+    // arm A: the two-scan shape spelled out EXPLICITLY (the gate entry
+    // itself switched to one-scan once this A/B decided — calling it
+    // here would compare one-scan against itself and the instrument
+    // could never re-litigate its own decision): dup-only aggregation,
+    // gram_cnt from a second text projection, left join
+    def twoScan(): DataFrame = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(length(col("text")) >= k)
+      val dup = graft.plans.HotColdFreq.withFreq(
+          g1(spark), "h", "tot", col("pos_cnt"), col("doc_id"))
+        .filter(col("tot") >= 2)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("pos_cnt")).as("dup_gram_cnt"))
+      docs.select(col("doc_id"),
+          (length(col("text")) - lit(k - 1)).cast("long").as("gram_cnt"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("gram_cnt"),
+          coalesce(col("dup_gram_cnt"), lit(0L)).as("dup_gram_cnt"))
+        .withColumn("dup_ratio",
+          col("dup_gram_cnt").cast("double") / col("gram_cnt").cast("double"))
+        .orderBy(col("doc_id"))
+    }
 
     // arm B: one-scan — aggregate every RLE row, gram_cnt included
     def oneScan(): DataFrame =
@@ -81,9 +100,9 @@ object SubstrOneScanAB {
         "two-scan" -> twoScan _, "one-scan" -> oneScan _)) {
       val t0 = System.nanoTime()
       val s = checksum(form())
-      spark.catalog.clearCache()
-      println(f"[substr-ab] $name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-        f"checksum=$s")
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // outside the timed window
+      println(f"[substr-ab] $name rep$rep $secs%.2f s checksum=$s")
       sums.get(name).foreach(p => assert(p == s, s"unstable $name"))
       sums += name -> s
     }

@@ -67,6 +67,9 @@ object SubstrScaleProbe {
         f"${fr.getLong(1).toDouble / fr.getLong(0)}%.4f " +
         f"(${fr.getLong(1)}/${fr.getLong(0)}) " +
         f"gram_mass=${fr.getLong(3).toDouble / fr.getLong(2)}%.4f")
+      // the criterion pass above persisted a freq frame whose plan can
+      // canonically match the entry's own — drop it so rep1 is cold
+      spark.catalog.clearCache()
       for (i <- 1 to reps) {
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries("q_substr_dedup")(

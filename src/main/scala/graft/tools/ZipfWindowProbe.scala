@@ -62,9 +62,10 @@ object ZipfWindowProbe {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n"), sum(col("freq")).as("sum_freq"))
 
-    def routedForm(docs: DataFrame): DataFrame =
+    def routedForm(persist: Boolean)(docs: DataFrame): DataFrame =
       graft.plans.HotColdFreq.withFreq(
-          bigrams(docs), "h", "freq", lit(1L), col("doc_id"))
+          bigrams(docs), "h", "freq", lit(1L), col("doc_id"),
+          persistFreq = persist)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n"), sum(col("freq")).as("sum_freq"))
 
@@ -86,20 +87,26 @@ object ZipfWindowProbe {
       metrics(s"$tag:total_occ") = top.getLong(1)
       var sums = Map[String, Long]()
       for (rep <- 1 to reps; (name, form) <- Seq(
-          "window" -> windowForm _, "routed" -> routedForm _)) {
+          "window" -> windowForm _,
+          "routed" -> routedForm(persist = true) _,
+          "routed-noP" -> routedForm(persist = false) _)) {
         val t0 = System.nanoTime()
         val s = checksum(form(docs))
-        // the routed form persists its freq frame — drop it so every
-        // rep measures a cold build, like the gate harness does
-        spark.catalog.clearCache()
         val secs = (System.nanoTime() - t0) / 1e9
+        // drop the routed form's persisted freq OUTSIDE the timed
+        // window so every rep measures a cold build and no arm is
+        // charged another arm's (or its own) unpersist
+        spark.catalog.clearCache()
         metrics(f"$tag:$name:rep$rep%d_sec") = math.rint(secs * 1000) / 1000.0
         println(f"[zipf-probe] $tag $name rep$rep $secs%.2f s checksum=$s")
         sums.get(name + tag).foreach(p => assert(p == s, s"unstable $name"))
         sums += (name + tag) -> s
       }
-      val (w, r) = (sums("window" + tag), sums("routed" + tag))
-      assert(w == r, s"window/routed checksum mismatch: $w vs $r")
+      val w = sums("window" + tag)
+      for (arm <- Seq("routed", "routed-noP")) {
+        val r = sums(arm + tag)
+        assert(w == r, s"window/$arm checksum mismatch: $w vs $r")
+      }
       metrics(s"$tag:checksums_agree") = true
       println(s"[zipf-probe] $tag checksums agree: $w")
     }

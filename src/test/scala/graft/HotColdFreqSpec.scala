@@ -73,7 +73,11 @@ class HotColdFreqSpec extends AnyFunSuite {
     val df = ((1 to 70).map(i => (i.toLong, 999L)) ++
       (0 to 9).map(i => (1000L + i, i.toLong))).toDF("doc_id", "h")
     val out = HotColdFreq.withFreq(df, "h", "f", lit(1L), col("doc_id"), 10L)
-    out.foreach(_ => ()) // finalize the adaptive plan
+    // collect(), not foreach: foreach forks a separate
+    // rddQueryExecution and leaves THIS queryExecution's adaptive plan
+    // unfinalized — the assertion would read the initial plan (80 rows,
+    // so materializing is free)
+    out.collect()
     def collectExec(p: org.apache.spark.sql.execution.SparkPlan,
                     acc: scala.collection.mutable.ArrayBuffer[String]): Unit = {
       p match {

@@ -764,6 +764,20 @@ class PlanAuditSpec extends AnyFunSuite {
         ("q_lm_score", 1, 1))) {
       spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sf)
+      // pruning survives the routing: every documents scan (including
+      // the freq branch's) reads at most (doc_id, text) — a column
+      // like lang/source/n_chars dragged through the explode would
+      // silently grow corpus scan bytes while the count pins stay green
+      val docScans = scans(df.queryExecution.sparkPlan).filter(
+        _.relation.location.inputFiles.headOption.exists(
+          _.contains("documents.parquet")))
+      assert(docScans.nonEmpty, s"$name: no documents scan found")
+      docScans.foreach { sc =>
+        assert(sc.requiredSchema.fieldNames.toSet.subsetOf(
+          Set("doc_id", "text")),
+          s"$name documents scan reads extra columns: " +
+            sc.requiredSchema.fieldNames.mkString(","))
+      }
       // the per-doc/top-term windows partition by doc_id (bounded);
       // no window may partition by the corpus-frequency key
       val windowKeys = df.queryExecution.optimizedPlan.collect {
