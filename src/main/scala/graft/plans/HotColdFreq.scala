@@ -60,9 +60,16 @@ object HotColdFreq {
     sys.env.get("SPARK_GRAFT_HOT_MIN").map(_.toLong).getOrElse(2000000L)
 
   /** Whether withFreq persists its freq frame by default — decided by
-   * ZipfWindowProbe's three-arm interleave (see scaladoc item 1). */
+   * ZipfWindowProbe's three-arm interleave (see scaladoc item 1).
+   * Only "0"/"1" are accepted: a lenient parse would read
+   * SPARK_GRAFT_HOT_PERSIST=true as DISABLE (the inversion footgun). */
   val PersistFreqDefault: Boolean =
-    sys.env.get("SPARK_GRAFT_HOT_PERSIST").forall(_ == "1")
+    sys.env.get("SPARK_GRAFT_HOT_PERSIST") match {
+      case None | Some("1") => true
+      case Some("0")        => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_HOT_PERSIST must be 0 or 1, got '$other'")
+    }
 
   /** Adds `freqName` = total `weight` of `keyCol` across `stream`.
    *
@@ -88,9 +95,11 @@ object HotColdFreq {
     // as the cluster grows; SPARK_GRAFT_HOT_WAYS overrides for probes.
     val nWays: Long =
       if (ways > 0) ways.toLong
-      else sys.env.get("SPARK_GRAFT_HOT_WAYS").map(_.toLong).getOrElse(
-        math.max(64L,
+      else sys.env.get("SPARK_GRAFT_HOT_WAYS").map(_.toLong)
+        .filter(_ > 0) // "0" in the env means auto, same as the arg
+        .getOrElse(math.max(64L,
           4L * stream.sparkSession.sessionState.conf.numShufflePartitions))
+    require(nWays > 0, s"sentinel width must be positive, got $nWays")
     // reserved internals + the output column must not collide with the
     // caller's schema (the r14 Salting reserved-name precedent: fail
     // loudly, never silently shadow)

@@ -80,6 +80,10 @@ object PlanAudit {
       else if (args.nonEmpty) args.toSeq
       else Seq("q_scan_filter", "q_agg_pricing", "q_join_5way")
     for (name <- names) {
+      // an earlier entry's executed persist (HotColdFreq.freq) can
+      // canonically match this entry's subtree and masquerade as its
+      // own cached build — every entry audits from a cold cache
+      spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"##### $name")
       def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -74,9 +74,9 @@ object SubstrScaleProbe {
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries("q_substr_dedup")(
           spark, dir.toString).count()
-        spark.catalog.clearCache()
-        println(f"[substr-probe] rows=$rows rep$i " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s out=$n")
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // outside the timed window
+        println(f"[substr-probe] rows=$rows rep$i $secs%.2f s out=$n")
       }
     } finally {
       // best-effort cleanup of the generated corpus

@@ -15,6 +15,13 @@ import graft.plans.HotColdFreq
 class HotColdFreqSpec extends AnyFunSuite {
   import SparkTestBase.{spark, sf}
 
+  // withFreq persists its freq frame by default; the session is shared
+  // across suites and a leaked InMemoryRelation can canonically match
+  // a later suite's plan subtree (e.g. q_lm_score's freq) and silently
+  // rewrite its plan-shape pins — drop caches after every test
+  override protected def withFixture(test: NoArgTest) =
+    try super.withFixture(test) finally spark.catalog.clearCache()
+
   private def bigrams = spark.read.parquet(s"$sf/documents.parquet")
     .select(col("doc_id"), split(col("text"), " ").as("ts"))
     .select(col("doc_id"), explode(expr(
@@ -62,7 +69,10 @@ class HotColdFreqSpec extends AnyFunSuite {
     val rows = (1 to 70).map(i => (i.toLong, 999L)) ++
       (0 to 63).map(i => (1000L + i, i.toLong))
     val df = rows.toDF("doc_id", "h")
-    val out = HotColdFreq.withFreq(df, "h", "f", lit(1L), col("doc_id"), 10L)
+    // ways passed EXPLICITLY: the full-coverage premise above depends
+    // on it (the auto default scales with shuffle partitions / env)
+    val out = HotColdFreq.withFreq(df, "h", "f", lit(1L), col("doc_id"),
+      10L, ways = 64)
     assert(out.filter(col("h") === 999L && col("f") =!= 70L).count() == 0)
     assert(out.filter(col("h") < 999L && col("f") =!= 1L).count() == 0)
     assert(out.count() == rows.size, "routing must never multiply rows")
