@@ -106,6 +106,18 @@ class HotColdFreqSpec extends AnyFunSuite {
       s"hot side must join via broadcast, got: ${nodes.distinct.mkString(", ")}")
   }
 
+  test("null keys get null frequency (the documented contract)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(7L)), (2L, Some(7L)), (3L, None), (4L, None))
+      .toDF("doc_id", "h")
+    val out = HotColdFreq.withFreq(df, "h", "f", lit(1L), col("doc_id"), 100L)
+    assert(out.filter(col("h").isNull && col("f").isNotNull).count() == 0,
+      "null keys must not acquire a frequency")
+    assert(out.filter(col("h") === 7L && col("f") =!= 2L).count() == 0,
+      "null keys must not perturb real keys' frequencies")
+    assert(out.count() == 4, "null-key rows must survive the routing")
+  }
+
   test("reserved-name and output-name collisions are rejected loudly") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("doc_id", "h")
