@@ -100,6 +100,15 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
     }
 
+  // round-15 additions: the hot/cold-routed corpus-frequency entries
+  // (HotColdFreq's freq/hot/cold frames are all empty on an empty
+  // corpus — the broadcast of an empty hot side and the persist of an
+  // empty freq frame must both degrade to nothing, not crash)
+  for (q <- Seq("q_tfidf", "q_lm_score"))
+    test(s"$q returns empty, not a crash, on an empty corpus") {
+      assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
+    }
+
   // round-9 addition: the incremental-equivalence scorecard keeps its
   // one summary row (n_docs=0, zero disagreements) when the corpus —
   // and therefore the scenario twin it grows — is empty
