@@ -25,12 +25,16 @@ import org.apache.spark.sql.functions._
  * per-doc-collapsed windows (tfidf df, substr grams) are bounded by
  * n_docs, which at lake scale is the same failure.
  *
- * runMain graft.tools.ZipfWindowProbe [rows] [reps]
+ * Optional third arg: hot tokens appended per doc (default 8 → ~10%
+ * hot mass; 32 → ~34%) — the degradation-curve knob.
+ *
+ * runMain graft.tools.ZipfWindowProbe [rows] [reps] [hotToks]
  */
 object ZipfWindowProbe {
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 550000L
     val reps = if (args.length > 1) args(1).toInt else 2
+    val hotToks = if (args.length > 2) args(2).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,7 +49,7 @@ object ZipfWindowProbe {
         .load().select(col("doc_id"), col("text"))
       if (!planted) base
       else base.withColumn("text",
-        concat(col("text"), lit(" hot hot hot hot hot hot hot hot")))
+        concat(col("text"), lit(" hot" * hotToks)))
     }
 
     // the q_lm_score bigram-occurrence stream, verbatim shape
@@ -77,7 +81,7 @@ object ZipfWindowProbe {
       "rows" -> rows, "reps" -> reps)
     for (planted <- Seq(false, true)) {
       val docs = corpus(planted)
-      val tag = if (planted) "planted-10pct" else "plain"
+      val tag = if (planted) s"planted-${hotToks}tok" else "plain"
       // skew facts, once per corpus: mass of the hottest key
       val top = bigrams(docs).groupBy("h").count()
         .agg(max("count").as("m"), sum("count").as("t")).head()
