@@ -106,6 +106,24 @@ class HotColdFreqSpec extends AnyFunSuite {
       s"hot side must join via broadcast, got: ${nodes.distinct.mkString(", ")}")
   }
 
+  test("random-shape stream: routing ≡ groupBy truth at every regime") {
+    // a hash-derived pseudorandom stream (deterministic — plans must
+    // replay): Zipf-ish keys via a squared draw so some keys are hot
+    // at small hotMin, long-tailed weights
+    val stream = spark.range(0, 5000)
+      .select(col("id").as("doc_id"),
+        (pmod(xxhash64(col("id")), lit(70L)) *
+          pmod(xxhash64(col("id"), lit(1)), lit(70L)) / lit(70L)).as("k"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(5L)) + lit(1L)).as("w"))
+    val truth = stream.groupBy("k").agg(sum("w").as("f"))
+    for (hotMin <- Seq(1L, 50L, 400L, Long.MaxValue)) {
+      val bad = HotColdFreq.withFreq(stream, "k", "g", col("w"),
+          col("doc_id"), hotMin)
+        .join(truth, "k").filter(col("g") =!= col("f")).count()
+      assert(bad == 0, s"hotMin=$hotMin diverged from groupBy truth")
+    }
+  }
+
   test("null keys get null frequency (the documented contract)") {
     import spark.implicits._
     val df = Seq((1L, Some(7L)), (2L, Some(7L)), (3L, None), (4L, None))
