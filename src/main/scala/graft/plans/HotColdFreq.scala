@@ -55,15 +55,20 @@ import org.apache.spark.sql.functions._
 object HotColdFreq {
   /** Default hot threshold: a key whose corpus mass exceeds ~2M rows
    * would dominate a reduce task on its own; below it, shuffling the
-   * occurrences is safe. Env-overridable for probes. */
-  val DefaultHotMin: Long =
+   * occurrences is safe. Env-overridable for probes. Parsed per call
+   * (a `def`, not an eager `val`): an eager parse would turn a
+   * malformed env var into an opaque ExceptionInInitializerError on
+   * FIRST touch of the object — even for callers passing hotMin
+   * explicitly, who should never pay for a bad default. */
+  def DefaultHotMin: Long =
     sys.env.get("SPARK_GRAFT_HOT_MIN").map(_.toLong).getOrElse(2000000L)
 
   /** Whether withFreq persists its freq frame by default — decided by
    * ZipfWindowProbe's three-arm interleave (see scaladoc item 1).
    * Only "0"/"1" are accepted: a lenient parse would read
-   * SPARK_GRAFT_HOT_PERSIST=true as DISABLE (the inversion footgun). */
-  val PersistFreqDefault: Boolean =
+   * SPARK_GRAFT_HOT_PERSIST=true as DISABLE (the inversion footgun).
+   * A `def` for the same initializer-error reason as [[DefaultHotMin]]. */
+  def PersistFreqDefault: Boolean =
     sys.env.get("SPARK_GRAFT_HOT_PERSIST") match {
       case None | Some("1") => true
       case Some("0")        => false
@@ -79,14 +84,67 @@ object HotColdFreq {
    * construction (xxhash64 outputs, split tokens); callers with
    * nullable keys must decide their null semantics first.
    *
+   * LIFECYCLE: when `persistFreq` is true the freq frame stays cached
+   * until somebody unpersists it. The gate harness clears caches
+   * between entries, so `withFreq` is the right call there; any other
+   * caller (a loop over corpora, a long-lived session) must either use
+   * [[withFreqLoan]] (unpersists when the callback returns) or
+   * [[withFreqHandle]] (returns the persisted frame to drain) —
+   * otherwise each call accumulates a MEMORY_AND_DISK entry that only
+   * a session-wide clearCache() evicts.
+   *
    * @param scatter deterministic per-row column (e.g. doc_id) used to
    *                spread hot rows' sentinel join keys; never randomness
-   *                (plans must be replay-stable).
+   *                (plans must be replay-stable). Must be NON-NULL on
+   *                rows whose key is hot: a null hashes to the seed
+   *                constant, re-concentrating those rows. Defensively,
+   *                a null scatter falls back to hashing the key itself —
+   *                correct, but it collapses that key's null-scatter
+   *                rows onto one sentinel (per-key concentration, still
+   *                strictly better than the all-keys-one-sentinel
+   *                collapse the raw hash would give).
    */
   def withFreq(stream: DataFrame, keyCol: String, freqName: String,
                weight: Column, scatter: Column,
                hotMin: Long = DefaultHotMin, ways: Int = 0,
-               persistFreq: Boolean = PersistFreqDefault): DataFrame = {
+               persistFreq: Boolean = PersistFreqDefault): DataFrame =
+    withFreqHandle(stream, keyCol, freqName, weight, scatter,
+      hotMin, ways, persistFreq)._1
+
+  /** [[withFreq]] that hands the caller the persisted freq frame (None
+   * when `persistFreq` is false) so a non-harness caller can
+   * `.unpersist()` it once its consumers have materialized. The loan
+   * shape below is preferred when the materialization happens inside
+   * one scope. */
+  def withFreqHandle(stream: DataFrame, keyCol: String, freqName: String,
+                     weight: Column, scatter: Column,
+                     hotMin: Long = DefaultHotMin, ways: Int = 0,
+                     persistFreq: Boolean = PersistFreqDefault)
+      : (DataFrame, Option[DataFrame]) = {
+    val freq0 = stream.groupBy(col(keyCol))
+      .agg(sum(weight).cast("long").as(freqName))
+    val freq = if (persistFreq) freq0.persist() else freq0
+    // validation lives in attachFreq; if it rejects the call, the
+    // just-registered (never materialized) cache entry must not leak
+    val out =
+      try attachFreq(stream, freq, keyCol, freqName, scatter, hotMin, ways)
+      catch { case e: Throwable =>
+        if (persistFreq) freq.unpersist()
+        throw e
+      }
+    (out, if (persistFreq) Some(freq) else None)
+  }
+
+  /** The consume side of [[withFreq]]: joins a PREBUILT one-row-per-key
+   * `(keyCol, freqName)` frame onto the stream via the hot/cold routed
+   * shape. Split out so a freq frame sourced elsewhere — the persisted
+   * build above, a stage-reuse rebuild, or a bucketed freq TABLE
+   * (FreqCardinalityProbe's third arm, for key spaces too large to
+   * cache) — flows through the IDENTICAL join, and arm comparisons
+   * measure only the sourcing. */
+  def attachFreq(stream: DataFrame, freq: DataFrame, keyCol: String,
+                 freqName: String, scatter: Column,
+                 hotMin: Long = DefaultHotMin, ways: Int = 0): DataFrame = {
     // sentinel-space width: each hot key's rows land in `nWays` groups
     // of ~mass/nWays rows, so a FIXED width would just re-create the
     // straggler at a bigger corpus (mass/64 of a 10^10-occurrence key
@@ -107,9 +165,31 @@ object HotColdFreq {
       require(!stream.columns.contains(c),
         s"HotColdFreq.withFreq: stream already has a column named '$c'")
     val kt = stream.schema(keyCol).dataType
-    val freq0 = stream.groupBy(col(keyCol))
-      .agg(sum(weight).cast("long").as(freqName))
-    val freq = if (persistFreq) freq0.persist() else freq0
+    // The sentinel is a small non-negative long cast to the key type.
+    // Long/String carry it losslessly; Int does too because nWays is
+    // bounded far below 2^31. Anything narrower overflows the cast
+    // (ANSI runtime error / silent wrap), and non-numeric types (date,
+    // boolean, binary) cast to null or a collapsed space — values stay
+    // correct but every hot row lands on few sentinels and the skew
+    // bound this helper exists for silently disappears. Fail loudly
+    // instead (the reserved-name precedent above).
+    kt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => ()
+      case org.apache.spark.sql.types.IntegerType =>
+        require(nWays <= Int.MaxValue,
+          s"sentinel width $nWays overflows the IntegerType key '$keyCol'")
+      case other => throw new IllegalArgumentException(
+        s"HotColdFreq.withFreq: key '$keyCol' has type $other; the hot-row " +
+          "sentinel requires a Long, Int, or String key (cast the key, or " +
+          "hash it with xxhash64, before routing)")
+    }
+    // Null scatter would hash to xxhash64's seed constant — every such
+    // hot row on ONE sentinel, the straggler this helper removes.
+    // Fall back to the key itself (hot rows always have a non-null key:
+    // null keys never match the broadcast side), degrading to per-key
+    // concentration only for the null-scatter rows.
+    val scatterSafe = coalesce(scatter.cast("string"), col(keyCol).cast("string"))
     val hot = broadcast(freq.filter(col(freqName) >= hotMin)
       .select(col(keyCol), col(freqName).as("__hot_f")))
     val cold = freq.filter(col(freqName) < hotMin)
@@ -117,10 +197,25 @@ object HotColdFreq {
     stream.join(hot, Seq(keyCol), "left")
       .withColumn("__ck",
         when(col("__hot_f").isNotNull,
-          pmod(xxhash64(scatter), lit(nWays)).cast(kt))
+          pmod(xxhash64(scatterSafe), lit(nWays)).cast(kt))
           .otherwise(col(keyCol)))
       .join(cold, Seq("__ck"), "left")
       .withColumn(freqName, coalesce(col("__hot_f"), col("__cold_f")))
       .drop("__hot_f", "__cold_f", "__ck")
+  }
+
+  /** Loan-pattern [[withFreq]]: builds the routed frame, hands it to
+   * `use`, and unpersists the freq frame when `use` returns (the r13
+   * neardupPairsCross idiom). The callback must MATERIALIZE everything
+   * it needs — frames that escape `use` lazily will recompute freq
+   * unpersisted (correct, just uncached). */
+  def withFreqLoan[T](stream: DataFrame, keyCol: String, freqName: String,
+                      weight: Column, scatter: Column,
+                      hotMin: Long = DefaultHotMin, ways: Int = 0,
+                      persistFreq: Boolean = PersistFreqDefault)
+                     (use: DataFrame => T): T = {
+    val (out, handle) = withFreqHandle(stream, keyCol, freqName, weight,
+      scatter, hotMin, ways, persistFreq)
+    try use(out) finally handle.foreach(_.unpersist())
   }
 }

@@ -57,6 +57,12 @@ object ServeScanAudit {
         p.contains("documents.parquet") || p.contains("embeddings.parquet"))
       println(s"  corpus_scans=$corpusScans (must be 0: serve must never " +
         "fall back to the raw corpus)")
+      // Fail loudly like the sibling instruments (CooccurAB,
+      // ZipfWindowProbe): a serve frame regressing to a corpus re-scan
+      // must not exit 0.
+      assert(corpusScans == 0,
+        s"serve:$name re-scanned the raw corpus $corpusScans time(s) — " +
+          "serve frames must read only their persisted artifact")
     }
 
     audit("pairs",

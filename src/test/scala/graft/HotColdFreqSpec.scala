@@ -112,8 +112,11 @@ class HotColdFreqSpec extends AnyFunSuite {
     // at small hotMin, long-tailed weights
     val stream = spark.range(0, 5000)
       .select(col("id").as("doc_id"),
-        (pmod(xxhash64(col("id")), lit(70L)) *
-          pmod(xxhash64(col("id"), lit(1)), lit(70L)) / lit(70L)).as("k"),
+        // integer-floored squared draw: long key (the sentinel-safe
+        // type contract), still Zipf-ish — small k values are common
+        floor(pmod(xxhash64(col("id")), lit(70L)) *
+          pmod(xxhash64(col("id"), lit(1)), lit(70L)) / lit(70L))
+          .cast("long").as("k"),
         (pmod(xxhash64(col("id"), lit(2)), lit(5L)) + lit(1L)).as("w"))
     val truth = stream.groupBy("k").agg(sum("w").as("f"))
     for (hotMin <- Seq(1L, 50L, 400L, Long.MaxValue)) {
@@ -151,6 +154,73 @@ class HotColdFreqSpec extends AnyFunSuite {
       HotColdFreq.withFreq(df, "h", "doc_id", lit(1L), col("doc_id"), 1L)
     }
     assert(ex.getMessage.contains("doc_id"))
+  }
+
+  test("withFreqLoan leaves no cached freq behind (the lifecycle contract)") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, (i % 5).toLong)).toDF("doc_id", "h")
+    // the same canonical plan withFreqHandle builds internally —
+    // Dataset.storageLevel resolves through the cache manager's
+    // canonicalized lookup, so this frame reads NONE iff no equivalent
+    // cached entry exists (alias names are canonicalized away)
+    def freqPlan = df.groupBy(col("h")).agg(sum(lit(1L)).cast("long").as("f"))
+    val res = HotColdFreq.withFreqLoan(df, "h", "f", lit(1L),
+        col("doc_id"), 10L) { out =>
+      val n = out.count()
+      assert(freqPlan.storageLevel.useMemory,
+        "freq must be cached while the loan is live")
+      n
+    }
+    assert(res == 50)
+    assert(freqPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "the loan must unpersist freq when the callback returns — a leak " +
+        "here is the accumulating-cache failure ADVICE r15 flagged")
+    // and the handle shape drains the same way for callers that
+    // materialize outside one scope
+    val (out2, handle) = HotColdFreq.withFreqHandle(df, "h", "f2", lit(1L),
+      col("doc_id"), 10L)
+    out2.count()
+    assert(handle.isDefined && handle.get.storageLevel.useMemory)
+    handle.get.unpersist()
+    assert(freqPlan.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("non-sentinel-safe key types are rejected loudly") {
+    import spark.implicits._
+    // a date key casts the long sentinel to null — every hot row would
+    // silently collapse onto one partition; the helper must refuse
+    val df = Seq((1L, java.sql.Date.valueOf("2026-01-01")))
+      .toDF("doc_id", "h")
+    val ex = intercept[IllegalArgumentException] {
+      HotColdFreq.withFreq(df, "h", "f", lit(1L), col("doc_id"), 1L)
+    }
+    assert(ex.getMessage.contains("sentinel"))
+    // boolean: two-value sentinel space, same silent re-concentration
+    val dfb = Seq((1L, true)).toDF("doc_id", "h")
+    intercept[IllegalArgumentException] {
+      HotColdFreq.withFreq(dfb, "h", "f", lit(1L), col("doc_id"), 1L)
+    }
+    // int keys stay allowed (sentinel fits) — values must still match
+    val dfi = ((1 to 30).map(i => (i.toLong, 7)) ++
+      (1 to 4).map(i => (100L + i, i))).toDF("doc_id", "h")
+    val out = HotColdFreq.withFreq(dfi, "h", "f", lit(1L), col("doc_id"), 10L)
+    assert(out.filter(col("h") === 7 && col("f") =!= 30L).count() == 0)
+    assert(out.count() == 34)
+  }
+
+  test("null scatter degrades to per-key concentration, never wrong values") {
+    import spark.implicits._
+    // 40 hot rows, half with a NULL scatter column: the fallback hashes
+    // the key instead (those rows share one sentinel — documented
+    // degradation), but every frequency must stay exact and no row lost
+    val rows = (1 to 40).map(i =>
+      (if (i % 2 == 0) Some(i.toLong) else None, 7L)) ++
+      (1 to 5).map(i => (Some(100L + i), i.toLong))
+    val df = rows.toDF("sc", "h")
+    val out = HotColdFreq.withFreq(df, "h", "f", lit(1L), col("sc"), 10L)
+    assert(out.filter(col("h") === 7L && col("f") =!= 40L).count() == 0)
+    assert(out.filter(col("h") =!= 7L && col("f") =!= 1L).count() == 0)
+    assert(out.count() == rows.size)
   }
 
   test("string keys route and scatter (tfidf's tok shape)") {
