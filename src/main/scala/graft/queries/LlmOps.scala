@@ -34,6 +34,114 @@ object LlmOps {
       |                 i -> concat_ws(' ', slice(toks, i + 1, 3)))
       |  ELSE array() END)""".stripMargin
 
+  /** The declared composite the word_bigram_hashes kernel replaces —
+   * kept ONLY as the parity truth for BigramHashesSpec (ArrayTransform
+   * is CodegenFallback; the kernel is the shipped path). Expects a
+   * token-array column named `ts`. */
+  private[graft] val bigramHashExpr =
+    """CASE WHEN size(ts) < 2 THEN array()
+      |ELSE transform(sequence(0, size(ts) - 2),
+      |               i -> xxhash64(concat(ts[i], ' ', ts[i + 1]))) END"""
+      .stripMargin
+
+  /** (doc_id, h) hashed-bigram occurrence stream of the corpus — the
+   * shared scan under q_lm_score and q_repetition. Bigrams are hashed
+   * inside the array and the LONGS exploded (string Generate output
+   * measured ~5x slower; see neardupPairs), via the codegen kernel
+   * (r16 — the composite lambda ran interpreted per token pair). */
+  private def bigramStream(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BigramHashes.register(s)
+    rd(s, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("ts"))
+      .select(col("doc_id"),
+        explode(graft.functions.BigramHashes.of(col("ts"))).as("h"))
+  }
+
+  /** q_pagerank's fixed-point-integer rank loop, depth-parameterized so
+   * IterScanAudit / PlanAuditSpec can pin that executed file scans stay
+   * O(1) as iterations grow (VERDICT r15 item 2). The gate entry runs
+   * iters = 3.
+   *
+   * Scan shape per iteration: edges and NODES are both cached —
+   * `nodes` joins into EVERY iteration's rank rebuild, so uncached it
+   * re-scanned embeddings once per round (the r15 audit's
+   * 1 + iterations reading, a real O(iterations) scan growth on the
+   * corpus's widest table); cached it is one vec_id-only scan
+   * (graph-sized, 8 B/row cluster-wide) at any depth. `deg` is cached
+   * for the same reason: it feeds every iteration's contribution join,
+   * and uncached each round would re-aggregate the edge cache
+   * (one extra graph-sized exchange per iteration). */
+  private[graft] def pageRankRanks(s: SparkSession, dir: String,
+                                   iters: Int): DataFrame = {
+    val SCALE = 1000000000000L
+    // served from the shared content-stamped edge index (round 8);
+    // cached because every iteration joins it twice
+    val edges = graft.sources.KnnGraphIndex.edges(s, dir)
+      .select(col("a_id"), col("b_id")).cache()
+    val nodes = rd(s, dir, "embeddings").select(col("vec_id")).cache()
+    // empty corpus: no nodes to rank (and SCALE/n would divide by 0);
+    // the count also materializes the nodes cache before the loop
+    val n = math.max(nodes.count(), 1L)
+    val deg = edges.groupBy("a_id").agg(count(lit(1)).as("d")).cache()
+    val base = (3L * SCALE) / (20L * n)
+    var ranks = nodes.withColumn("r", lit(SCALE / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("vec_id", "a_id"), "a_id")
+        .join(deg, "a_id")
+        .groupBy("b_id").agg(sum(expr("r DIV d")).as("sc"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(base) + expr("(17 * coalesce(sc, 0L)) DIV 20")).as("r"))
+    }
+    ranks.select(col("vec_id"), col("r").as("rank_fp"))
+      .orderBy("vec_id")
+  }
+
+  /** q_graph_bfs's min-hop frontier loop, depth-parameterized for the
+   * same O(1)-scans-per-iteration pin as [[pageRankRanks]]. The gate
+   * entry runs hops = 3. Each round joins only the CURRENT frontier
+   * (hop = k-1) against the cached symmetrized edge set.
+   *
+   * Every round's dist frame is CACHED (node-sized: vec_id + hop) —
+   * not an optimization but the O(1)-scan requirement: dist appears
+   * TWICE per round (the union and the frontier filter), so an
+   * uncached loop doubles the lineage each iteration and the executed
+   * plan re-runs the whole prior chain per reference (the r16 pin
+   * measured 3 → 9 direct scans from depth 2 → 4; there is no
+   * exchange at the seed for AQE to reuse). With the cache, round k
+   * reads round k-1's in-memory frame twice and the lake never —
+   * the GraphX/Pregel per-superstep persist shape. Intermediate
+   * caches stay live until the session's cache clear (unpersisting
+   * mid-loop would force the rebuild chain the cache exists to
+   * prevent); at h ≫ 3 the RDD fixpoint of
+   * ConnectedComponents.runStar remains the documented swap-in. */
+  private[graft] def graphBfsDist(s: SparkSession, dir: String,
+                                  hops: Int): DataFrame = {
+    // served from the shared content-stamped edge index (round 8)
+    val und = graft.sources.KnnGraphIndex.edges(s, dir)
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .cache()
+    var dist = rd(s, dir, "embeddings").select(col("vec_id"))
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), lit(0).cast("int").as("hop"))
+      .cache()
+    for (k <- 1 to hops) {
+      val next = dist.filter(col("hop") === k - 1)
+        .join(sym, col("vec_id") === col("src"))
+        .select(col("dst").as("vec_id"), lit(k).cast("int").as("hop"))
+      dist = dist.union(next).groupBy("vec_id")
+        .agg(min("hop").cast("int").as("hop"))
+        .cache()
+    }
+    dist.orderBy("vec_id")
+  }
+
   private[graft] def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     shingled(rd(s, dir, "documents"))
 
@@ -1205,31 +1313,7 @@ object LlmOps {
     // round — the RDD fixpoint shape of ConnectedComponents.runStar is
     // the swap-in — but at 3 unrolled rounds Catalyst plans once.
     QueryDef("q_pagerank",
-      (s, dir) => {
-        val SCALE = 1000000000000L
-        // served from the shared content-stamped edge index (round 8);
-        // cached because the 3 unrolled iterations each join it twice
-        val edges = graft.sources.KnnGraphIndex.edges(s, dir)
-          .select(col("a_id"), col("b_id")).cache()
-        val nodes = rd(s, dir, "embeddings").select(col("vec_id"))
-        // empty corpus: no nodes to rank (and SCALE/n would divide by 0)
-        val n = math.max(nodes.count(), 1L)
-        val deg = edges.groupBy("a_id").agg(count(lit(1)).as("d"))
-        val base = (3L * SCALE) / (20L * n)
-        var ranks = nodes.withColumn("r", lit(SCALE / n))
-        for (_ <- 1 to 3) {
-          val contrib = edges
-            .join(ranks.withColumnRenamed("vec_id", "a_id"), "a_id")
-            .join(deg, "a_id")
-            .groupBy("b_id").agg(sum(expr("r DIV d")).as("sc"))
-          ranks = nodes
-            .join(contrib.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
-            .select(col("vec_id"),
-              (lit(base) + expr("(17 * coalesce(sc, 0L)) DIV 20")).as("r"))
-        }
-        ranks.select(col("vec_id"), col("r").as("rank_fp"))
-          .orderBy("vec_id")
-      },
+      (s, dir) => pageRankRanks(s, dir, 3),
       Some(s"""WITH bk AS (SELECT vec_id, embedding, $signBucketSql AS bucket
               |            FROM embeddings),
               |sc AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1369,27 +1453,7 @@ object LlmOps {
     // round — ConnectedComponents.runStar's RDD fixpoint is the
     // documented swap-in, same as q_pagerank.
     QueryDef("q_graph_bfs",
-      (s, dir) => {
-        // served from the shared content-stamped edge index (round 8)
-        val und = graft.sources.KnnGraphIndex.edges(s, dir)
-          .select(least(col("a_id"), col("b_id")).as("u"),
-            greatest(col("a_id"), col("b_id")).as("v"))
-          .distinct()
-        val sym = und.select(col("u").as("src"), col("v").as("dst"))
-          .union(und.select(col("v").as("src"), col("u").as("dst")))
-          .cache()
-        var dist = rd(s, dir, "embeddings").select(col("vec_id"))
-          .filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id"), lit(0).cast("int").as("hop"))
-        for (k <- 1 to 3) {
-          val next = dist.filter(col("hop") === k - 1)
-            .join(sym, col("vec_id") === col("src"))
-            .select(col("dst").as("vec_id"), lit(k).cast("int").as("hop"))
-          dist = dist.union(next).groupBy("vec_id")
-            .agg(min("hop").cast("int").as("hop"))
-        }
-        dist.orderBy("vec_id")
-      },
+      (s, dir) => graphBfsDist(s, dir, 3),
       Some(s"""WITH bk AS (SELECT vec_id, embedding, $signBucketSql AS bucket
               |            FROM embeddings),
               |sc AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1720,15 +1784,10 @@ object LlmOps {
     // Cost is O(corpus tokens) — two keyed shuffles, no doc×doc work.
     QueryDef("q_lm_score",
       (s, dir) => {
-        // bigrams are hashed INSIDE the transform and the longs exploded
-        // (string Generate output measured ~5x slower; see neardupPairs)
-        val bi = rd(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ts"))
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(ts) < 2 THEN array()
-              |ELSE transform(sequence(0, size(ts) - 2),
-              |               i -> xxhash64(concat(ts[i], ' ', ts[i + 1]))) END"""
-              .stripMargin)).as("h"))
+        // the kernel-hashed bigram occurrence stream (shared shape with
+        // q_repetition; parity with the composite pinned in
+        // BigramHashesSpec)
+        val bi = bigramStream(s, dir)
         // corpus frequency via the hot/cold ROUTED shape, not a window
         // over h: a window never partial-aggregates, so every
         // occurrence of a hot bigram ("of the" at ~n_docs-scale mass)
@@ -1772,13 +1831,7 @@ object LlmOps {
     // tiny (doc_id, counts) rows shuffle.
     QueryDef("q_repetition",
       (s, dir) => {
-        rd(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("ts"))
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(ts) < 2 THEN array()
-              |ELSE transform(sequence(0, size(ts) - 2),
-              |               i -> xxhash64(concat(ts[i], ' ', ts[i + 1]))) END"""
-              .stripMargin)).as("h"))
+        bigramStream(s, dir)
           .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
           .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_rep"))

@@ -52,14 +52,14 @@ object ZipfWindowProbe {
         concat(col("text"), lit(" hot" * hotToks)))
     }
 
-    // the q_lm_score bigram-occurrence stream, verbatim shape
+    // the q_lm_score bigram-occurrence stream, verbatim shape (r16:
+    // kernel-hashed like the entry; BigramHashesSpec pins kernel ≡
+    // composite, so the probe's history stays comparable)
+    graft.functions.BigramHashes.register(spark)
     def bigrams(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(ts) < 2 THEN array()
-          |ELSE transform(sequence(0, size(ts) - 2),
-          |               i -> xxhash64(concat(ts[i], ' ', ts[i + 1]))) END"""
-          .stripMargin)).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.BigramHashes.of(col("ts"))).as("h"))
 
     def windowForm(docs: DataFrame): DataFrame = bigrams(docs)
       .withColumn("freq", count(lit(1)).over(Window.partitionBy("h")))
