@@ -111,18 +111,40 @@ object TrainPrep {
     // ---- context-window sequence packing -------------------------------
     // Pack documents into 2048-token context windows, per source shard:
     // bin = exclusive-prefix-sum of token counts DIV 2048. Packing is
-    // inherently order-sensitive, so the window partitions by source
-    // (pack within shard, shards in parallel) rather than a global
-    // single-partition sort — the declared semantics a distributed
-    // packer would use at scale. Output is per-bin occupancy.
+    // inherently order-sensitive, so the cumsum runs within source
+    // (pack within shard, shards in parallel) rather than as a global
+    // single-partition sort. r16: the per-source prefix sum is computed
+    // HIERARCHICALLY (the q_pps_sample shape) — a flat
+    // Window.partitionBy(source) over raw docs buffers an ENTIRE
+    // source's rows in one task (sources are few; at 100 TB that is
+    // the window-straggler class the r16 inventory pin exists to
+    // catch). Instead: per-(source, block) partial sums, block prefix
+    // offsets (a per-source window over the 100×-smaller block
+    // aggregate; apply the same step again if even that is large),
+    // then a within-block running sum over ≤ 100 rows. doc_id DIV 100
+    // is monotone in doc_id, so block order extends doc order and the
+    // hierarchical sum is VALUE-IDENTICAL to the flat window — the
+    // flat cumsum the oracle runs is the same function, which is the
+    // point of the check. Output is per-bin occupancy.
     QueryDef("q_pack_sequences",
       (s, dir) => {
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        rd(s, dir, "documents")
+        val d = rd(s, dir, "documents")
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("blk", expr("doc_id DIV 100"))
+        // block partials partial-aggregate map-side: this exchange
+        // carries block rows, never the corpus
+        val bs = d.groupBy("source", "blk").agg(sum(col("n_tokens")).as("bw"))
+        val wOff = Window.partitionBy("source").orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = bs.withColumn("boff",
+          coalesce(sum(col("bw")).over(wOff), lit(0L)))
+        // the join and the within-block window share the (source, blk)
+        // hash partitioning — one corpus exchange, block-bounded sorts
+        val wIn = Window.partitionBy("source", "blk").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        d.join(boff.select("source", "blk", "boff"), Seq("source", "blk"))
           .withColumn("cum_before",
-            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+            col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
           .withColumn("bin", (col("cum_before") / 2048).cast("long"))
           .groupBy("source", "bin")
           .agg(count(lit(1)).as("n_docs"),

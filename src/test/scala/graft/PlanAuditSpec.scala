@@ -796,6 +796,118 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("every partitioned window's key set is allowlisted with a boundedness argument") {
+    // r16 (VERDICT r15 item 4): the generalized hot-key gate. A window
+    // buffers ONE partition in ONE task — legal only when the partition
+    // key's per-key row count is bounded by construction (per-doc
+    // tokens, per-vector k neighbors, a pre-aggregated frame). The
+    // three unbounded corpus-frequency windows were routed through
+    // HotColdFreq in r15 (ZipfWindowProbe measured the straggler);
+    // this pin freezes the full inventory of partitionBy key sets so
+    // ANY new window fails here and must either show its bound in the
+    // allowlist comment or take the ZipfWindowProbe treatment first.
+    // Key sets are the union of each window's referenced column names
+    // ('+'-joined per window) from the OPTIMIZED plan; unpartitioned
+    // windows are governed by the aggregation-guard test above.
+    val allow: Map[String, Set[String]] = Map(
+      // per-customer order sequences: TPC-H bounds orders/customer by
+      // schema construction (1..41)
+      "q_window_rank" -> Set("o_custkey"),
+      "q_window_running" -> Set("o_custkey"),
+      "q_window_lag" -> Set("o_custkey"),
+      "q_window_range" -> Set("o_custkey"),
+      "q_ntile_frames" -> Set("o_custkey"),
+      "q_lateral_topn" -> Set("o_custkey"),
+      // per-user event sequences: sessionization/SCD/as-of semantics
+      // REQUIRE per-entity order (salting cannot preserve them); a
+      // user's event history is entity-bounded, not corpus-bounded
+      "q_sessionize" -> Set("user_id"),
+      "q_scd2" -> Set("user_id"),
+      "q_pit_join" -> Set("user_id"),
+      "q_gap_fill" -> Set("user_id"),
+      "q_cohort_retention" -> Set("user_id"),
+      "q_asof_last_signup" -> Set("user_id"),
+      // lag by user (entity-bounded) + share over the AGGREGATED
+      // |types|² transition matrix
+      "q_markov_transitions" -> Set("user_id", "prev_type"),
+      // per-document windows: bounded by one doc's token/term count
+      "q_tfidf" -> Set("doc_id"),
+      "q_containment" -> Set("doc_id"),
+      // per-probe candidate sets: bounded by the entry's k
+      "q_knn_batch" -> Set("probe_id"),
+      "q_hard_negatives" -> Set("probe_id"),
+      // TopKPerKey map-side prune caps rows/key BEFORE these windows
+      // (≤ k × map partitions — the in-repo remedy for hot groups)
+      "q_text_tokens" -> Set("lang"),
+      "q_ngram_counts" -> Set("lang"),
+      "q_reservoir_sample" -> Set("lang"),
+      "q_stratified_sample" -> Set("lang+source"),
+      "q_mixture_sample" -> Set("source"),
+      // window over the exploded 64-entry SpaceSaving sketch per lang
+      "q_heavy_hitters" -> Set("lang"),
+      // hierarchical cumsum (the q_pps_sample shape): within-block
+      // window ≤ 100 rows; the per-source level runs over the
+      // 100×-smaller BLOCK aggregate (re-apply the step if even that
+      // is large — documented at both entries)
+      "q_pack_sequences" -> Set("blk+source", "source"),
+      "q_pps_sample" -> Set("blk"),
+      // per-shard rank: rows/shard = corpus/nShards, nShards is the
+      // operator's own output-layout knob (scales with the corpus)
+      "q_global_shuffle" -> Set("shard"),
+      // window over the per-type DAILY aggregate (|days| rows per type)
+      "q_ewma_smooth" -> Set("event_type"))
+    val found = scala.collection.mutable.Map.empty[String, Set[String]]
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("s_"))
+      .foreach { name =>
+        spark.catalog.clearCache()
+        val keysets = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.nonEmpty =>
+              w.partitionSpec.flatMap(_.references.map(_.name))
+                .distinct.sorted.mkString("+")
+          }.toSet
+        if (keysets.nonEmpty) found(name) = keysets
+      }
+    spark.catalog.clearCache()
+    assert(found.toMap == allow,
+      s"partitioned-window inventory drifted.\n  new/changed: " +
+        s"${(found.toMap.toSet -- allow.toSet).toSeq.sortBy(_._1)}\n  gone: " +
+        s"${(allow.toSet -- found.toMap.toSet).toSeq.sortBy(_._1)}\n" +
+        "A new window over a key that does not bound per-partition rows " +
+        "by construction is the ZipfWindowProbe straggler — route it " +
+        "through HotColdFreq or probe it before allowlisting.")
+  }
+
+  test("iterative entries: executed scans are O(1) in iteration depth") {
+    // r16 (VERDICT r15 item 2): the unrolled DataFrame loops in
+    // q_pagerank / q_graph_bfs must not re-read the lake per round —
+    // edges, nodes, and degrees are cached ONCE and every iteration
+    // joins the caches. Before the fix, q_pagerank's per-iteration
+    // nodes join re-scanned embeddings every round (1 + iters direct
+    // scans). Pinned here at two depths; IterScanAudit sweeps the
+    // full 1..4 curve as the committed artifact (ITERSCAN_r16.json).
+    for ((name, build) <- Seq[(String, Int => DataFrame)](
+        "q_pagerank" -> (d => graft.queries.LlmOps.pageRankRanks(spark, sf, d)),
+        "q_graph_bfs" -> (d => graft.queries.LlmOps.graphBfsDist(spark, sf, d)))) {
+      val counts = Seq(2, 4).map { d =>
+        // cold cache per depth: a previous depth's persisted frames
+        // would canonically match this plan's subtrees and hide a
+        // depth-dependent scan
+        spark.catalog.clearCache()
+        val (_, _, scanned) = graft.tools.PlanAudit.executedScans(build(d))
+        (scanned.count(!_.startsWith("cached:")),
+          scanned.count(_.startsWith("cached:")))
+      }
+      assert(counts(0) == counts(1),
+        s"$name: executed scans grew with iteration depth — depth 2 read " +
+          s"(direct, cached)=${counts(0)}, depth 4 read ${counts(1)}; " +
+          "an iteration is re-reading the lake instead of the caches")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
