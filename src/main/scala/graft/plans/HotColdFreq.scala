@@ -51,6 +51,33 @@ import org.apache.spark.sql.functions._
  * its corpus mass alone exceeds a healthy reduce task's row budget".
  * Results are exact — routing changes where each frequency is computed,
  * never its value.
+ *
+ * FREQ SOURCING BY KEY-SPACE REGIME (FreqCardinalityProbe, r16 —
+ * 6 GiB heap standing in for a cluster's per-executor storage budget):
+ *
+ *  - key space FITS the storage budget → PERSIST (the default here).
+ *    Measured cache cost is ~9 B/key as compressed columnar (120M
+ *    distinct keys cached at 1.08 GB, zero disk), far under the raw
+ *    16 B/key estimate; the r15 three-arm probe holds in this regime
+ *    (persist ≥ stage-reuse at every K in `FREQPROBE_r16.json`).
+ *  - key space EXCEEDS the budget → neither in-memory shape merely
+ *    "spills pathologically"; BOTH die. At 400M stream rows / 360M
+ *    distinct keys under the 6 GiB heap the persist arm OOMs the JVM
+ *    inside the cache build, and stage-reuse OOMs too — each consumer
+ *    re-runs the final 360M-key hash aggregation over the reused map
+ *    output, so the rebuild is itself storage-scale. The surviving
+ *    shape is [[freqTable]]: write freq ONCE to a parquet table
+ *    bucketed+sorted on the key, and serve every consumer from the
+ *    scan — the join streams the pre-bucketed, pre-sorted freq side
+ *    with no exchange, no sort, and no corpus-sized hash map held
+ *    anywhere. Same point, same heap: 105 s end-to-end INCLUDING the
+ *    one-time write, checksum-identical (`FREQPROBE_r16_360m_table
+ *    .json`).
+ *
+ * Rule of thumb: distinct keys × ~9 B vs the executor storage pool —
+ * within it, `withFreq`; anywhere near or past it, `freqTable` +
+ * [[attachFreq]]. A ~10^10-key distinct-bigram space at lake scale
+ * (~90 GB cached) is firmly in the table regime.
  */
 object HotColdFreq {
   /** Default hot threshold: a key whose corpus mass exceeds ~2M rows
@@ -202,6 +229,37 @@ object HotColdFreq {
       .join(cold, Seq("__ck"), "left")
       .withColumn(freqName, coalesce(col("__hot_f"), col("__cold_f")))
       .drop("__hot_f", "__cold_f", "__ck")
+  }
+
+  /** The uncacheable-key-space sourcing (scaladoc regime table): builds
+   * the freq frame and writes it ONCE as a parquet table bucketed and
+   * sorted on the key, returning the table's DataFrame for
+   * [[attachFreq]]. Bucketing must match the consumer's join
+   * parallelism (default: the session's shuffle width) so the cold
+   * join reads the freq side pre-bucketed and pre-sorted — no
+   * exchange, no sort, no corpus-sized hash map in any task. The
+   * write replaces the persist as the "materialize once" step; its
+   * cost is the price of surviving a key space where both in-memory
+   * sourcings OOM (FreqCardinalityProbe, 360M keys / 6 GiB heap:
+   * persist and stage-reuse both die, this shape finishes in 105 s
+   * including the write).
+   *
+   * The table is OVERWRITTEN if present — freq is corpus-derived
+   * state, not an incremental artifact; refresh semantics belong to
+   * the caller (drop or re-derive per corpus snapshot, the
+   * ManifestStore precedent). */
+  def freqTable(stream: DataFrame, keyCol: String, freqName: String,
+                weight: Column, tableName: String,
+                buckets: Int = 0): DataFrame = {
+    val spark = stream.sparkSession
+    val nBuckets =
+      if (buckets > 0) buckets
+      else spark.sessionState.conf.numShufflePartitions
+    stream.groupBy(col(keyCol)).agg(sum(weight).cast("long").as(freqName))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(tableName)
+    spark.table(tableName)
   }
 
   /** Loan-pattern [[withFreq]]: builds the routed frame, hands it to

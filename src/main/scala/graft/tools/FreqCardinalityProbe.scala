@@ -35,7 +35,13 @@ import graft.plans.HotColdFreq
  * Conclusions here are about the freq frame's size regime, not about
  * stream re-scan cost.
  *
- * runMain graft.tools.FreqCardinalityProbe [rows] [reps] [K1,K2,...]
+ * runMain graft.tools.FreqCardinalityProbe [rows] [reps] [K1,K2,...] [arms]
+ * `arms` (csv subset of persist,stage-reuse,table; default all) exists
+ * because the hostile high-K point can kill the whole JVM in ONE arm —
+ * the first 400M-row/360M-key run died of executor OOM inside the
+ * persist arm's cache build before the other arms got to run. Arms in
+ * separate JVMs still compare: the stream is deterministic, so the
+ * printed checksums must agree across invocations.
  * SPARK_GRAFT_FREQPROBE_OUT=<path> writes the JSON artifact.
  */
 object FreqCardinalityProbe {
@@ -44,6 +50,10 @@ object FreqCardinalityProbe {
     val reps = if (args.length > 1) args(1).toInt else 2
     val ks = (if (args.length > 2) args(2) else "1000000,40000000,120000000")
       .split(",").map(_.trim.toLong).toSeq
+    val arms = (if (args.length > 3) args(3) else "persist,stage-reuse,table")
+      .split(",").map(_.trim).toSet
+    require(arms.subsetOf(Set("persist", "stage-reuse", "table")),
+      s"unknown arm in $arms")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -66,9 +76,6 @@ object FreqCardinalityProbe {
         when(col("id") % 1000 === 0, lit(HotKey))
           .otherwise(xxhash64(pmod(col("id"), lit(k)))).as("k"))
 
-    def freqExpr(st: DataFrame): DataFrame =
-      st.groupBy(col("k")).agg(sum(lit(1L)).cast("long").as("freq"))
-
     // one exact corpus checksum: forces everything, fits the driver
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(sum(col("freq")), count(lit(1))).head()
@@ -83,55 +90,63 @@ object FreqCardinalityProbe {
       val tag = s"k${k / 1000000}m"
       var sums = Map[String, (Long, Long)]()
       for (rep <- 1 to reps) {
-        // ---- arm 1: persist (the shipped default), via the loan ----
-        var t0 = System.nanoTime()
-        val (csP, memB, diskB) = HotColdFreq.withFreqLoan(
-            st, "k", "freq", lit(1L), col("doc_id"), hotMin,
-            persistFreq = true) { out =>
-          val cs = checksum(out)
-          val secs = (System.nanoTime() - t0) / 1e9
-          // the cached freq's memory/disk split — the spill fact; read
-          // INSIDE the loan, while the frame is still persisted
-          val infos = spark.sparkContext.getRDDStorageInfo
-          val mem = infos.map(_.memSize).sum
-          val dsk = infos.map(_.diskSize).sum
-          metrics(f"$tag:persist:rep$rep%d_sec") = math.rint(secs * 1000) / 1000.0
-          println(f"[freq-probe] $tag persist rep$rep $secs%.2f s " +
-            f"cached_mem=${mem / 1e6}%.0fMB disk=${dsk / 1e6}%.0fMB cs=$cs")
-          (cs, mem, dsk)
+        var repSums = Seq.empty[(String, (Long, Long))]
+
+        if (arms("persist")) {
+          // ---- arm 1: persist (the shipped default), via the loan --
+          val t0 = System.nanoTime()
+          val (csP, memB, diskB) = HotColdFreq.withFreqLoan(
+              st, "k", "freq", lit(1L), col("doc_id"), hotMin,
+              persistFreq = true) { out =>
+            val cs = checksum(out)
+            val secs = (System.nanoTime() - t0) / 1e9
+            // the cached freq's memory/disk split — the spill fact; read
+            // INSIDE the loan, while the frame is still persisted
+            val infos = spark.sparkContext.getRDDStorageInfo
+            val mem = infos.map(_.memSize).sum
+            val dsk = infos.map(_.diskSize).sum
+            metrics(f"$tag:persist:rep$rep%d_sec") = math.rint(secs * 1000) / 1000.0
+            println(f"[freq-probe] $tag persist rep$rep $secs%.2f s " +
+              f"cached_mem=${mem / 1e6}%.0fMB disk=${dsk / 1e6}%.0fMB cs=$cs")
+            (cs, mem, dsk)
+          }
+          metrics(s"$tag:persist:cached_mem_mb") = memB / 1000000
+          metrics(s"$tag:persist:spilled_disk_mb") = diskB / 1000000
+          spark.catalog.clearCache()
+          repSums :+= "persist" -> csP
         }
-        metrics(s"$tag:persist:cached_mem_mb") = memB / 1000000
-        metrics(s"$tag:persist:spilled_disk_mb") = diskB / 1000000
-        spark.catalog.clearCache()
 
-        // ---- arm 2: stage-reuse (persistFreq = false) --------------
-        t0 = System.nanoTime()
-        val csN = checksum(HotColdFreq.withFreq(
-          st, "k", "freq", lit(1L), col("doc_id"), hotMin,
-          persistFreq = false))
-        val secsN = (System.nanoTime() - t0) / 1e9
-        metrics(f"$tag:stage-reuse:rep$rep%d_sec") = math.rint(secsN * 1000) / 1000.0
-        println(f"[freq-probe] $tag stage-reuse rep$rep $secsN%.2f s cs=$csN")
-        spark.catalog.clearCache()
+        if (arms("stage-reuse")) {
+          // ---- arm 2: stage-reuse (persistFreq = false) ------------
+          val t0 = System.nanoTime()
+          val csN = checksum(HotColdFreq.withFreq(
+            st, "k", "freq", lit(1L), col("doc_id"), hotMin,
+            persistFreq = false))
+          val secsN = (System.nanoTime() - t0) / 1e9
+          metrics(f"$tag:stage-reuse:rep$rep%d_sec") = math.rint(secsN * 1000) / 1000.0
+          println(f"[freq-probe] $tag stage-reuse rep$rep $secsN%.2f s cs=$csN")
+          spark.catalog.clearCache()
+          repSums :+= "stage-reuse" -> csN
+        }
 
-        // ---- arm 3: freq as a bucketed TABLE keyed like the stream -
-        // end-to-end including the one-time write: that IS the arm's
-        // cost model (build once, serve both consumers from the scan)
-        spark.sql("DROP TABLE IF EXISTS graft_freq_probe")
-        t0 = System.nanoTime()
-        freqExpr(st).write.mode("overwrite").format("parquet")
-          .bucketBy(cpus.toInt, "k").sortBy("k")
-          .saveAsTable("graft_freq_probe")
-        val csT = checksum(HotColdFreq.attachFreq(
-          st, spark.table("graft_freq_probe"), "k", "freq",
-          col("doc_id"), hotMin))
-        val secsT = (System.nanoTime() - t0) / 1e9
-        metrics(f"$tag:table:rep$rep%d_sec") = math.rint(secsT * 1000) / 1000.0
-        println(f"[freq-probe] $tag table rep$rep $secsT%.2f s cs=$csT")
-        spark.sql("DROP TABLE IF EXISTS graft_freq_probe")
+        if (arms("table")) {
+          // ---- arm 3: freq as a bucketed TABLE keyed like the stream
+          // end-to-end including the one-time write: that IS the arm's
+          // cost model (build once, serve both consumers from the scan)
+          spark.sql("DROP TABLE IF EXISTS graft_freq_probe")
+          val t0 = System.nanoTime()
+          val freqT = HotColdFreq.freqTable(st, "k", "freq", lit(1L),
+            "graft_freq_probe", cpus.toInt)
+          val csT = checksum(HotColdFreq.attachFreq(
+            st, freqT, "k", "freq", col("doc_id"), hotMin))
+          val secsT = (System.nanoTime() - t0) / 1e9
+          metrics(f"$tag:table:rep$rep%d_sec") = math.rint(secsT * 1000) / 1000.0
+          println(f"[freq-probe] $tag table rep$rep $secsT%.2f s cs=$csT")
+          spark.sql("DROP TABLE IF EXISTS graft_freq_probe")
+          repSums :+= "table" -> csT
+        }
 
-        for ((name, cs) <- Seq("persist" -> csP, "stage-reuse" -> csN,
-            "table" -> csT)) {
+        for ((name, cs) <- repSums) {
           sums.get(name).foreach(p => assert(p == cs,
             s"$tag $name checksum unstable across reps: $p vs $cs"))
           sums += name -> cs
@@ -140,7 +155,7 @@ object FreqCardinalityProbe {
           s"$tag arms disagree: $sums — sourcing must never change a value")
       }
       metrics(s"$tag:checksums_agree") = true
-      println(s"[freq-probe] $tag checksums agree: ${sums("persist")}")
+      println(s"[freq-probe] $tag checksums agree: ${sums.head._2}")
     }
     sys.env.get("SPARK_GRAFT_FREQPROBE_OUT").foreach { out =>
       val json = metrics.map { case (kk, v) =>

@@ -233,4 +233,68 @@ class HotColdFreqSpec extends AnyFunSuite {
     assert(out.filter(col("tok") =!= "the" && col("f") =!= 1L).count() == 0)
     assert(out.count() == rows.size)
   }
+
+  test("freqTable sourcing ≡ withFreq, and the freq side reads bucketed") {
+    // the uncacheable-key-space shape (FreqCardinalityProbe's surviving
+    // arm at 360M keys / 6 GiB): freq written once to a bucketed+sorted
+    // table, consumers served from the scan. Values must be identical
+    // to the persist shape, and the scan must actually BE bucketed —
+    // an unbucketed table would silently reintroduce the freq-side
+    // exchange+sort the shape exists to remove.
+    val table = "graft_freqtable_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val freqT = HotColdFreq.freqTable(bigrams, "h", "g", lit(1L), table)
+      val out = HotColdFreq.attachFreq(bigrams, freqT, "h", "g",
+        col("doc_id"), 3L)
+      val bad = out
+        .join(viaWindow.dropDuplicates("h").select("h", "f"), "h")
+        .filter(col("g") =!= col("f")).count()
+      assert(bad == 0, "table sourcing changed a frequency value")
+      // mechanism: when the cold join is sort-merge (the lake-scale
+      // case the shape exists for — at THIS corpus AQE broadcasts the
+      // tiny cold side and DisableUnnecessaryBucketedScan rightly
+      // turns bucketed reading off), the table's scan must read
+      // bucketed so the freq side needs no exchange and no sort.
+      // Force SMJ the way 360M keys would; the hot side keeps its
+      // explicit broadcast() hint regardless.
+      def scans(p: org.apache.spark.sql.execution.SparkPlan,
+                acc: scala.collection.mutable.ArrayBuffer[Boolean]): Unit = {
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan, acc)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan, acc)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains(table)) =>
+            acc += f.bucketedScan
+          case _ => ()
+        }
+        p.children.foreach(scans(_, acc))
+      }
+      val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val saved = confs.map(k => k -> spark.conf.getOption(k))
+      val bucketed = scala.collection.mutable.ArrayBuffer[Boolean]()
+      try {
+        confs.foreach(spark.conf.set(_, "-1"))
+        val o = HotColdFreq.attachFreq(bigrams, spark.table(table), "h",
+          "g", col("doc_id"), 3L)
+        // finalize and inspect the SHARED QueryExecution while the
+        // forced confs are live: count() forks its own QE, and the
+        // executedPlan lazy val would otherwise first materialize
+        // AFTER the finally restored the thresholds (both the r15
+        // PlanAudit trap and its lazier cousin)
+        o.queryExecution.toRdd.count()
+        scans(o.queryExecution.executedPlan, bucketed)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      assert(bucketed.exists(identity),
+        s"under a sort-merge cold join the freq table's scan must read " +
+          s"bucketed, got: $bucketed")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
