@@ -1917,13 +1917,23 @@ object LlmOps {
         val docs = rd(s, dir, "documents")
           .withColumn("toks", toks(col("text")))
           .filter(size(col("toks")) >= 20)
-        // cached: referenced by both semi-joins below AND the final
-        // anti-join — uncached, the scan + dedup window ran twice
-        val exactKeep = docs
+        val hashed = docs
           .withColumn("text_md5", md5(lower(trim(col("text")))))
-          .withColumn("keep_id", min(col("doc_id"))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy("text_md5")))
-          .filter(col("doc_id") === col("keep_id"))
+        // keep-first via groupBy-min + join back, NOT min() over a
+        // window by text_md5: a boilerplate text exact-duplicated
+        // across millions of docs puts every copy in ONE WindowExec
+        // task (the q_seg_dedup argument — this was the last window
+        // over an unbounded dup-class key, hidden from the r16
+        // inventory freeze behind this cache until the walk descended
+        // into cached plans). The groupBy partial-aggregates the hot
+        // digest map-side, and the join keys INCLUDE doc_id (unique),
+        // so the join-back shuffle is uniform — a hot digest's copies
+        // spread across tasks and simply find no match.
+        // cached: referenced by both semi-joins below AND the final
+        // anti-join — uncached, the scan + dedup ran twice
+        val keepIds = hashed.groupBy("text_md5")
+          .agg(min(col("doc_id")).as("doc_id"))
+        val exactKeep = hashed.join(keepIds, Seq("text_md5", "doc_id"))
           .cache()
         // round 12, extending the round-10 argument one level: a PAIR's
         // jaccard (and its band-candidate membership) depends only on

@@ -139,10 +139,19 @@ object TrainPrep {
         val boff = bs.withColumn("boff",
           coalesce(sum(col("bw")).over(wOff), lit(0L)))
         // the join and the within-block window share the (source, blk)
-        // hash partitioning — one corpus exchange, block-bounded sorts
+        // hash partitioning — one corpus exchange, block-bounded sorts.
+        // NULL-SAFE keys: groupBy and the windows all treat NULL as a
+        // real group, so a null-unsafe equi-join here would silently
+        // DROP null-source / null-doc_id rows that the flat window and
+        // the oracle both keep (r16 review finding; the gate corpus
+        // has no nulls, but "value-identical to the flat window" must
+        // hold for nullable inputs too)
         val wIn = Window.partitionBy("source", "blk").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
-        d.join(boff.select("source", "blk", "boff"), Seq("source", "blk"))
+        d.join(boff.select(col("source").as("__s"), col("blk").as("__b"),
+            col("boff")),
+            col("source") <=> col("__s") && col("blk") <=> col("__b"))
+          .drop("__s", "__b")
           .withColumn("cum_before",
             col("boff") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
           .withColumn("bin", (col("cum_before") / 2048).cast("long"))

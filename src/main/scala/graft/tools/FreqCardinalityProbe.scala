@@ -54,6 +54,11 @@ object FreqCardinalityProbe {
       .split(",").map(_.trim).toSet
     require(arms.subsetOf(Set("persist", "stage-reuse", "table")),
       s"unknown arm in $arms")
+    // reps=0 (or an empty arm set) would skip every measurement and
+    // still stamp checksums_agree below — an artifact claiming
+    // agreement with no evidence
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    require(arms.nonEmpty, "at least one arm required")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -154,6 +159,7 @@ object FreqCardinalityProbe {
         assert(sums.values.toSet.size == 1,
           s"$tag arms disagree: $sums — sourcing must never change a value")
       }
+      assert(sums.nonEmpty, s"$tag: no arm produced a checksum")
       metrics(s"$tag:checksums_agree") = true
       println(s"[freq-probe] $tag checksums agree: ${sums.head._2}")
     }

@@ -124,4 +124,46 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(rows.length == 6, rows.mkString(";"))
     assert(rows.forall(r => r.getLong(r.fieldIndex("ndv")) == 0L))
   }
+
+  test("q_pack_sequences keeps null-source rows (hierarchical ≡ flat cumsum)") {
+    // r16 review finding: the hierarchical cumsum's (source, blk) join
+    // must be NULL-SAFE — groupBy and the windows all treat NULL as a
+    // real group, so a null-unsafe equi-join would silently drop
+    // null-source rows the flat window (and the oracle) keep. The gate
+    // corpus has no nulls; this corpus plants them.
+    import org.apache.spark.sql.Row
+    val dir = s"/tmp/graft-test-nullsrc-${ProcessHandle.current().pid()}"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = (0L until 300L).map { i =>
+      val src = if (i % 3 == 0) null else s"src${i % 2}"
+      Row(i, ("w " * (1 + (i % 7)).toInt).trim, "en", src, 10L)
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_pack_sequences")(spark, dir)
+    // flat-window truth on the same frame (the oracle's formulation)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", (col("cum_before") / 2048).cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+    assert(out.filter(col("source").isNull).count() > 0,
+      "null-source bins must survive the hierarchical rewrite")
+    val diff = out.join(truth,
+        out("source") <=> truth("source") && out("bin") <=> truth("bin"),
+        "full")
+      .filter(out("n_docs") =!= truth("n_docs") ||
+        out("bin_tokens") =!= truth("bin_tokens") ||
+        out("n_docs").isNull || truth("n_docs").isNull)
+    assert(diff.count() == 0, "hierarchical cumsum diverged from the flat window")
+  }
 }

@@ -22,6 +22,39 @@ class PlanAuditSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
   }
 
+  /** Every partitioned window's key set in `df`'s optimized plan —
+   * including windows hidden under CACHED subtrees (builders cache
+   * mid-pipeline frames, and useCachedData swaps the subtree for an
+   * InMemoryRelation whose plan is a FIELD, not a child — a plain
+   * `optimizedPlan.collect` would silently skip exactly the
+   * corpus-frequency window class the freeze exists to catch) and
+   * windows inside subquery plans. Logical windows come from
+   * collectWithSubqueries; cached subtrees contribute their PHYSICAL
+   * WindowExec nodes (same attribute names). */
+  private def windowKeySets(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = scala.collection.mutable.Set.empty[String]
+    def key(spec: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+      spec.flatMap(_.references.map(_.name)).distinct.sorted.mkString("+")
+    def physWalk(n: SparkPlan): Unit = {
+      n match {
+        case w: WindowExec if w.partitionSpec.nonEmpty => out += key(w.partitionSpec)
+        case i: InMemoryTableScanExec => physWalk(i.relation.cachedPlan)
+        case a: AdaptiveSparkPlanExec => physWalk(a.executedPlan)
+        case _ =>
+      }
+      n.children.foreach(physWalk); n.subqueries.foreach(physWalk)
+    }
+    df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: LWindow if w.partitionSpec.nonEmpty => out += key(w.partitionSpec)
+      case r: InMemoryRelation => physWalk(r.cachedPlan)
+    }
+    out.toSet
+  }
+
   private def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[FileSourceScanExec]
     def walk(n: SparkPlan): Unit = {
@@ -779,12 +812,10 @@ class PlanAuditSpec extends AnyFunSuite {
             sc.requiredSchema.fieldNames.mkString(","))
       }
       // the per-doc/top-term windows partition by doc_id (bounded);
-      // no window may partition by the corpus-frequency key
-      val windowKeys = df.queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
-          w.partitionSpec.map(_.references.map(_.name).mkString(","))
-      }.flatten
-      assert(!windowKeys.exists(k => k == "h" || k == "tok"),
+      // no window may partition by the corpus-frequency key — checked
+      // through cached subtrees and subqueries (windowKeySets)
+      val windowKeys = windowKeySets(df)
+      assert(!windowKeys.exists(_.split('+').exists(k => k == "h" || k == "tok")),
         s"$name still windows over the power-law key: $windowKeys")
       val (_, _, scanned) = graft.tools.PlanAudit.executedScans(df)
       val docs = scanned.filter(_.contains("documents.parquet"))
@@ -861,13 +892,11 @@ class PlanAuditSpec extends AnyFunSuite {
       .filterNot(_.startsWith("s_"))
       .foreach { name =>
         spark.catalog.clearCache()
-        val keysets = SparkEntry.queries(name)(spark, sf)
-          .queryExecution.optimizedPlan.collect {
-            case w: org.apache.spark.sql.catalyst.plans.logical.Window
-                if w.partitionSpec.nonEmpty =>
-              w.partitionSpec.flatMap(_.references.map(_.name))
-                .distinct.sorted.mkString("+")
-          }.toSet
+        // windowKeySets walks cached subtrees and subqueries too: a
+        // builder that caches a frame containing a window would
+        // otherwise hide it behind the InMemoryRelation and slip the
+        // freeze (caught in the r16 review pass)
+        val keysets = windowKeySets(SparkEntry.queries(name)(spark, sf))
         if (keysets.nonEmpty) found(name) = keysets
       }
     spark.catalog.clearCache()
