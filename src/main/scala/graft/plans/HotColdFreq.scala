@@ -185,32 +185,8 @@ object HotColdFreq {
         .getOrElse(math.max(64L,
           4L * stream.sparkSession.sessionState.conf.numShufflePartitions))
     require(nWays > 0, s"sentinel width must be positive, got $nWays")
-    // reserved internals + the output column must not collide with the
-    // caller's schema (the r14 Salting reserved-name precedent: fail
-    // loudly, never silently shadow)
-    for (c <- Seq("__hot_f", "__cold_f", "__ck", freqName))
-      require(!stream.columns.contains(c),
-        s"HotColdFreq.withFreq: stream already has a column named '$c'")
+    validate(stream, keyCol, freqName, nWays)
     val kt = stream.schema(keyCol).dataType
-    // The sentinel is a small non-negative long cast to the key type.
-    // Long/String carry it losslessly; Int does too because nWays is
-    // bounded far below 2^31. Anything narrower overflows the cast
-    // (ANSI runtime error / silent wrap), and non-numeric types (date,
-    // boolean, binary) cast to null or a collapsed space — values stay
-    // correct but every hot row lands on few sentinels and the skew
-    // bound this helper exists for silently disappears. Fail loudly
-    // instead (the reserved-name precedent above).
-    kt match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.StringType => ()
-      case org.apache.spark.sql.types.IntegerType =>
-        require(nWays <= Int.MaxValue,
-          s"sentinel width $nWays overflows the IntegerType key '$keyCol'")
-      case other => throw new IllegalArgumentException(
-        s"HotColdFreq.withFreq: key '$keyCol' has type $other; the hot-row " +
-          "sentinel requires a Long, Int, or String key (cast the key, or " +
-          "hash it with xxhash64, before routing)")
-    }
     // Null scatter would hash to xxhash64's seed constant — every such
     // hot row on ONE sentinel, the straggler this helper removes.
     // Fall back to the key itself (hot rows always have a non-null key:
@@ -251,6 +227,11 @@ object HotColdFreq {
   def freqTable(stream: DataFrame, keyCol: String, freqName: String,
                 weight: Column, tableName: String,
                 buckets: Int = 0): DataFrame = {
+    // validate BEFORE the corpus-scale aggregation + write — this
+    // shape exists for multi-hour key spaces, and a key type or name
+    // collision that attachFreq would reject must not cost the caller
+    // the whole build plus an orphaned table (r16 review finding)
+    validate(stream, keyCol, freqName, nWays = 0L)
     val spark = stream.sparkSession
     val nBuckets =
       if (buckets > 0) buckets
@@ -260,6 +241,40 @@ object HotColdFreq {
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)
       .saveAsTable(tableName)
     spark.table(tableName)
+  }
+
+  /** Shared pre-flight checks for every entry point. `nWays = 0` skips
+   * the IntegerType width bound (the sentinel width is not decided
+   * yet — attachFreq re-validates with the real width). Messages name
+   * no single entry point: the same failure is reachable from
+   * withFreq, attachFreq, and freqTable. */
+  private def validate(stream: DataFrame, keyCol: String,
+                       freqName: String, nWays: Long): Unit = {
+    // reserved internals + the output column must not collide with the
+    // caller's schema (the r14 Salting reserved-name precedent: fail
+    // loudly, never silently shadow)
+    for (c <- Seq("__hot_f", "__cold_f", "__ck", freqName))
+      require(!stream.columns.contains(c),
+        s"HotColdFreq: stream already has a column named '$c'")
+    // The sentinel is a small non-negative long cast to the key type.
+    // Long/String carry it losslessly; Int does too because nWays is
+    // bounded far below 2^31. Anything narrower overflows the cast
+    // (ANSI runtime error / silent wrap), and non-numeric types (date,
+    // boolean, binary) cast to null or a collapsed space — values stay
+    // correct but every hot row lands on few sentinels and the skew
+    // bound this helper exists for silently disappears. Fail loudly
+    // instead (the reserved-name precedent above).
+    stream.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => ()
+      case org.apache.spark.sql.types.IntegerType =>
+        require(nWays <= Int.MaxValue,
+          s"sentinel width $nWays overflows the IntegerType key '$keyCol'")
+      case other => throw new IllegalArgumentException(
+        s"HotColdFreq: key '$keyCol' has type $other; the hot-row " +
+          "sentinel requires a Long, Int, or String key (cast the key, or " +
+          "hash it with xxhash64, before routing)")
+    }
   }
 
   /** Loan-pattern [[withFreq]]: builds the routed frame, hands it to

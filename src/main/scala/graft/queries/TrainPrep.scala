@@ -131,8 +131,17 @@ object TrainPrep {
         val d = rd(s, dir, "documents")
           .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
           .withColumn("blk", expr("doc_id DIV 100"))
-        // block partials partial-aggregate map-side: this exchange
-        // carries block rows, never the corpus
+        // PRICED COST (r16 review): the hierarchical shape reads the
+        // corpus TWICE — once for the block partials below (whose
+        // exchange map-side-combines to block rows, never corpus) and
+        // once as the join input. That is the same trade HotColdFreq's
+        // cost model documents for the routed entries: two corpus
+        // scans + skew-BOUNDED exchanges vs the flat window's one scan
+        // + one skew-UNBOUNDED exchange (one task buffering an entire
+        // source). An explicit shared repartition was tried and
+        // rejected: column pruning narrows the two branches
+        // differently, so the exchanges never canonicalize equal (no
+        // reuse), and the repartition forfeits the map-side combine.
         val bs = d.groupBy("source", "blk").agg(sum(col("n_tokens")).as("bw"))
         val wOff = Window.partitionBy("source").orderBy("blk")
           .rowsBetween(Window.unboundedPreceding, -1)

@@ -164,11 +164,7 @@ object FreqCardinalityProbe {
       println(s"[freq-probe] $tag checksums agree: ${sums.head._2}")
     }
     sys.env.get("SPARK_GRAFT_FREQPROBE_OUT").foreach { out =>
-      val json = metrics.map { case (kk, v) =>
-        val vs = v match { case s: String => "\"" + s + "\""; case x => x.toString }
-        "\"" + kk + "\":" + vs
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      ToolMetrics.write(metrics, out)
       println(s"[freq-probe] metrics written to $out")
     }
     spark.stop()

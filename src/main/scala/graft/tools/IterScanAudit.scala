@@ -68,11 +68,7 @@ object IterScanAudit {
         s"direct=$d1direct cached_build=$d1cached")
     }
     sys.env.get("SPARK_GRAFT_ITERSCAN_OUT").foreach { out =>
-      val json = metrics.map { case (k, v) =>
-        val vs = v match { case s: String => "\"" + s + "\""; case x => x.toString }
-        "\"" + k + "\":" + vs
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      ToolMetrics.write(metrics, out)
       println(s"[iter-scan] metrics written to $out")
     }
     spark.stop()

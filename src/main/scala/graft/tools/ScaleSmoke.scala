@@ -470,17 +470,8 @@ object ScaleSmoke {
     record("substr_windows_rle", nRle)
 
     // one JSON artifact per run (committed per round as scale evidence)
-    def js(v: Any): String = v match {
-      case m: Map[_, _] => m.map { case (k, x) =>
-        "\"" + k + "\":" + js(x) }.mkString("{", ",", "}")
-      case s: String => "\"" + s + "\""
-      case b: Boolean => b.toString
-      case n => n.toString
-    }
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scalesmoke_out.json")
-    val json = metrics.map { case (k, v) => "\"" + k + "\":" + js(v) }
-      .mkString("{", ",", "}")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    try ToolMetrics.write(metrics, out)
     catch { case e: Throwable =>
       System.err.println(s"[scale] could not write $out: ${e.getMessage}") }
     println(s"[scale] metrics written to $out")

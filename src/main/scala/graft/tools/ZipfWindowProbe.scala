@@ -116,11 +116,7 @@ object ZipfWindowProbe {
     }
     // one JSON artifact per run (committed as the skew-probe evidence)
     sys.env.get("SPARK_GRAFT_ZIPF_OUT").foreach { out =>
-      val json = metrics.map { case (k, v) =>
-        val vs = v match { case s: String => "\"" + s + "\""; case x => x.toString }
-        "\"" + k + "\":" + vs
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      ToolMetrics.write(metrics, out)
       println(s"[zipf-probe] metrics written to $out")
     }
     spark.stop()

@@ -44,6 +44,11 @@ class PlanAuditSpec extends AnyFunSuite {
         case w: WindowExec if w.partitionSpec.nonEmpty => out += key(w.partitionSpec)
         case i: InMemoryTableScanExec => physWalk(i.relation.cachedPlan)
         case a: AdaptiveSparkPlanExec => physWalk(a.executedPlan)
+        // unreached for these never-executed plans, but kept so the
+        // three transparent-node walkers in the repo (this, scansDeep,
+        // PlanAudit.executedScans) agree on the unwrap set
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          physWalk(q.plan)
         case _ =>
       }
       n.children.foreach(physWalk); n.subqueries.foreach(physWalk)
