@@ -743,6 +743,14 @@ class PlanAuditSpec extends AnyFunSuite {
     def windows(n: SparkPlan): Seq[WindowExec] = {
       val self = n match {
         case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        // a builder's .cache() hides its subtree behind an
+        // InMemoryTableScan whose plan is a field, not a child — the
+        // blind spot that concealed q_corpus_pipeline's digest window
+        // from the partitioned inventory; walk through it here too
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          return windows(i.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          return windows(a.executedPlan)
         case _ => Seq.empty
       }
       // subqueries are not traversed: on a pre-prepared sparkPlan a
@@ -753,10 +761,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // a subtree is "aggregated" when no file scan is reachable without
     // crossing an aggregate; non-scan leaves (ranges, local relations,
     // artifact-sized parquet served through an explicit schema read are
-    // still FileSourceScanExec — those must be agg-guarded too)
+    // still FileSourceScanExec — those must be agg-guarded too).
+    // Cached subtrees are transparent: the scan inside an
+    // InMemoryRelation is still a corpus read on first materialization
     def guarded(n: SparkPlan): Boolean = n match {
       case _: BaseAggregateExec => true
       case _: FileSourceScanExec => false
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        guarded(i.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        guarded(a.executedPlan)
       case l if l.children.isEmpty => true
       case other => other.children.forall(guarded)
     }
