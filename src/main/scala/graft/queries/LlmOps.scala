@@ -131,6 +131,25 @@ object LlmOps {
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), lit(0).cast("int").as("hop"))
       .cache()
+    // BFS references dist TWICE per round (frontier extraction + the
+    // min-merge union), so the LOGICAL tree doubles per iteration even
+    // though executed scans stay O(1) — the r16 IterScanAudit wall
+    // sweep measured the knee: 0.78 s at depth 2 growing ~1.6× per
+    // added depth to 20.5 s of mostly plan analysis at depth 12
+    // (pagerank references ranks once per round and stays linear).
+    // Fix: every TruncateEvery rounds, localCheckpoint(eager) replaces
+    // the accumulated tree with a materialized leaf — the GraphX
+    // Pregel checkpoint-interval pattern. Depths ≤ TruncateEvery (the
+    // gate's hops=3 and the audit's 1..4 pins) plan EXACTLY as before.
+    // Caveat a reliable-cluster caller should know: localCheckpoint is
+    // executor-local — an executor loss fails the job (GraphX's
+    // reliable checkpoint() is the durable variant; local mode and the
+    // gate never see the difference). Intermediate per-round caches
+    // are dropped at each truncation (everything before the checkpoint
+    // is materialized into it); the checkpoint RDDs themselves are
+    // ContextCleaner-managed once unreferenced.
+    val TruncateEvery = 5
+    val sinceTruncate = scala.collection.mutable.ArrayBuffer(dist)
     for (k <- 1 to hops) {
       val next = dist.filter(col("hop") === k - 1)
         .join(sym, col("vec_id") === col("src"))
@@ -138,6 +157,13 @@ object LlmOps {
       dist = dist.union(next).groupBy("vec_id")
         .agg(min("hop").cast("int").as("hop"))
         .cache()
+      if (k % TruncateEvery == 0) {
+        val trunc = dist.localCheckpoint(true)
+        sinceTruncate.foreach(_.unpersist())
+        sinceTruncate.clear()
+        dist.unpersist()
+        dist = trunc
+      } else sinceTruncate += dist
     }
     dist.orderBy("vec_id")
   }

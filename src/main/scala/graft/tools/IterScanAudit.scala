@@ -44,24 +44,39 @@ object IterScanAudit {
         // persisted edge/node frames would canonically match this
         // plan's subtrees and hide a depth-dependent scan
         spark.catalog.clearCache()
+        val t0 = System.nanoTime()
         val (nScan, nReuse, scanned) = PlanAudit.executedScans(build(d))
+        // wall covers build + plan + execute — the r17-backlog signal:
+        // scans can stay O(1) while the LOGICAL tree (dist referenced
+        // twice per round) grows the analysis/optimization wall
+        // superlinearly with depth
+        val secs = math.rint((System.nanoTime() - t0) / 1e6) / 1000.0
         val direct = scanned.count(!_.startsWith("cached:"))
         val cachedB = scanned.count(_.startsWith("cached:"))
         println(s"  depth=$d direct=$direct cached_build=$cachedB " +
-          s"reused=$nReuse [${scanned.mkString("; ")}]")
+          s"reused=$nReuse wall=${secs}s [${scanned.mkString("; ")}]")
         metrics(s"$name:d$d:direct") = direct
         metrics(s"$name:d$d:cached_build") = cachedB
         metrics(s"$name:d$d:reused") = nReuse
+        metrics(s"$name:d$d:wall_sec") = secs
         (direct, cachedB)
       }
       // the O(1) contract, asserted loudly (the sibling-instrument
-      // discipline): scan counts at every depth equal depth 1's
+      // discipline): scan counts never EXCEED depth 1's at any depth,
+      // and equal them exactly through depth 4 — beyond that the BFS
+      // loop's periodic lineage truncation (r16: localCheckpoint every
+      // 5 rounds, killing the exponential plan-tree wall) legitimately
+      // REDUCES the scans visible in the final frame's plan (the work
+      // ran eagerly at the checkpoint), so only growth is a failure
       val (d1direct, d1cached) = perDepth.head
       perDepth.zipWithIndex.foreach { case ((dir_, cch), i) =>
-        assert(dir_ == d1direct && cch == d1cached,
+        assert(dir_ <= d1direct && cch <= d1cached,
           s"$name: scans grew with depth — depth ${i + 1} read " +
             s"($dir_ direct, $cch cached) vs depth 1's " +
             s"($d1direct, $d1cached); an iteration is re-reading the lake")
+        assert(i >= 4 || (dir_ == d1direct && cch == d1cached),
+          s"$name: pre-truncation depth ${i + 1} changed scan shape: " +
+            s"($dir_, $cch) vs ($d1direct, $d1cached)")
       }
       metrics(s"$name:o1_scans") = true
       println(s"  O(1) scans over depth 1..$maxDepth: " +
