@@ -100,6 +100,14 @@ class DegenerateInputSpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
     }
 
+  // round-16 additions: the two entries whose shapes changed this
+  // round (hierarchical cumsum + null-safe join; groupBy-min exact
+  // dedup + pair-index semi-joins) must keep degrading to empty
+  for (q <- Seq("q_pack_sequences", "q_corpus_pipeline"))
+    test(s"$q returns empty, not a crash, on an empty corpus") {
+      assert(SparkEntry.queries(q)(spark, emptyDir).count() == 0L)
+    }
+
   // round-15 additions: the hot/cold-routed corpus-frequency entries
   // (HotColdFreq's freq/hot/cold frames are all empty on an empty
   // corpus — the broadcast of an empty hot side and the persist of an
