@@ -141,4 +141,31 @@ class KernelFuzzSpec extends AnyFunSuite {
         (!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(0) == r.getLong(1))
     })
   }
+
+  test("word_bigram_hashes ≡ the composite lambda on generated arrays with nulls") {
+    graft.functions.BigramHashes.register(spark)
+    // the r16 kernel's null contract: a null-adjacent pair hashes to
+    // xxhash64's seed (concat → null, xxhash64(null) passes the seed
+    // through), a null ARRAY yields null, < 2 tokens an empty array —
+    // all inherited from the composite. BigramHashesSpec pins parity
+    // on the real corpus; this drives the same equality over the
+    // unicode/collision/null pool
+    val elemGen: Gen[String] =
+      Gen.frequency(9 -> tokGen.map(lit), 1 -> Gen.const("CAST(NULL AS STRING)"))
+    val arrGen: Gen[List[String]] = Gen.choose(0, 10)
+      .flatMap(n => Gen.listOfN(n, elemGen))
+    check(Prop.forAll(arrGen) { elems =>
+      val arr =
+        if (elems.isEmpty) "CAST(array() AS ARRAY<STRING>)"
+        else elems.mkString("array(", ", ", ")")
+      val r = spark.sql(
+        s"""SELECT word_bigram_hashes($arr) AS k,
+           |  CASE WHEN size($arr) < 2 THEN CAST(array() AS ARRAY<BIGINT>)
+           |  ELSE transform(sequence(0, size($arr) - 2),
+           |    i -> xxhash64(concat(element_at($arr, i + 1), ' ',
+           |                         element_at($arr, i + 2)))) END AS l
+           |""".stripMargin).head()
+      r.getSeq[Long](0) == r.getSeq[Long](1)
+    })
+  }
 }
