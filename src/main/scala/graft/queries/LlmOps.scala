@@ -22,6 +22,13 @@ import Q._
  */
 object LlmOps {
 
+  /** BFS lineage-truncation interval (r16: localCheckpoint every N
+   * rounds kills the exponential plan-tree wall). Shared with
+   * [[graft.tools.IterScanAudit]], whose pre-truncation exact-scan
+   * bound is derived from it — change it HERE and the audit's bound
+   * follows (ADVICE r16: the hardcoded copy silently decoupled). */
+  private[graft] val BfsTruncateEvery = 5
+
   /** tokens of the space-separated document text */
   private def toks(c: Column): Column = split(c, " ")
 
@@ -146,10 +153,13 @@ object LlmOps {
     // reliable checkpoint() is the durable variant; local mode and the
     // gate never see the difference). Intermediate per-round caches
     // are dropped at each truncation (everything before the checkpoint
-    // is materialized into it); the checkpoint RDDs themselves are
-    // ContextCleaner-managed once unreferenced.
-    val TruncateEvery = 5
+    // is materialized into it), and the PREVIOUS checkpoint's blocks
+    // are explicitly unpersisted once the next eager checkpoint has
+    // materialized (ADVICE r16: relying on GC + ContextCleaner held
+    // every checkpoint's MEMORY_AND_DISK blocks live for the whole
+    // session in a deep multi-truncation sweep).
     val sinceTruncate = scala.collection.mutable.ArrayBuffer(dist)
+    var prevCkpt: Option[DataFrame] = None
     for (k <- 1 to hops) {
       val next = dist.filter(col("hop") === k - 1)
         .join(sym, col("vec_id") === col("src"))
@@ -157,16 +167,31 @@ object LlmOps {
       dist = dist.union(next).groupBy("vec_id")
         .agg(min("hop").cast("int").as("hop"))
         .cache()
-      if (k % TruncateEvery == 0) {
-        val trunc = dist.localCheckpoint(true)
+      if (k % BfsTruncateEvery == 0) {
+        val trunc = dist.localCheckpoint(true) // eager: materialized NOW
         sinceTruncate.foreach(_.unpersist())
         sinceTruncate.clear()
         dist.unpersist()
+        // the prior checkpoint fed the rounds just materialized into
+        // `trunc`; nothing references its blocks any more — release
+        // them instead of waiting on GC
+        prevCkpt.foreach(releaseLocalCheckpoint)
+        prevCkpt = Some(trunc)
         dist = trunc
       } else sinceTruncate += dist
     }
     dist.orderBy("vec_id")
   }
+
+  /** Unpersists the storage blocks backing a `localCheckpoint`ed frame
+   * (Dataset.localCheckpoint persists its internal RDD at
+   * MEMORY_AND_DISK and wraps it in a LogicalRDD leaf — the RDD is
+   * reachable only through that leaf). Non-blocking: the caller has
+   * already materialized the successor checkpoint. */
+  private def releaseLocalCheckpoint(ckpt: DataFrame): Unit =
+    ckpt.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   private[graft] def docsWithShingles(s: SparkSession, dir: String): DataFrame =
     shingled(rd(s, dir, "documents"))

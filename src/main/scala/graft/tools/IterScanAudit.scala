@@ -63,18 +63,22 @@ object IterScanAudit {
       }
       // the O(1) contract, asserted loudly (the sibling-instrument
       // discipline): scan counts never EXCEED depth 1's at any depth,
-      // and equal them exactly through depth 4 — beyond that the BFS
-      // loop's periodic lineage truncation (r16: localCheckpoint every
-      // 5 rounds, killing the exponential plan-tree wall) legitimately
-      // REDUCES the scans visible in the final frame's plan (the work
-      // ran eagerly at the checkpoint), so only growth is a failure
+      // and equal them exactly through the pre-truncation depths —
+      // beyond BfsTruncateEvery the BFS loop's periodic lineage
+      // truncation (r16: localCheckpoint, killing the exponential
+      // plan-tree wall) legitimately REDUCES the scans visible in the
+      // final frame's plan (the work ran eagerly at the checkpoint),
+      // so only growth is a failure. The bound is DERIVED from the
+      // shared constant so a truncation-interval change cannot
+      // silently loosen the audit (ADVICE r16).
+      val exactThrough = graft.queries.LlmOps.BfsTruncateEvery - 1
       val (d1direct, d1cached) = perDepth.head
       perDepth.zipWithIndex.foreach { case ((dir_, cch), i) =>
         assert(dir_ <= d1direct && cch <= d1cached,
           s"$name: scans grew with depth — depth ${i + 1} read " +
             s"($dir_ direct, $cch cached) vs depth 1's " +
             s"($d1direct, $d1cached); an iteration is re-reading the lake")
-        assert(i >= 4 || (dir_ == d1direct && cch == d1cached),
+        assert(i >= exactThrough || (dir_ == d1direct && cch == d1cached),
           s"$name: pre-truncation depth ${i + 1} changed scan shape: " +
             s"($dir_, $cch) vs ($d1direct, $d1cached)")
       }

@@ -17,7 +17,19 @@ object ToolMetrics {
       quote(k.toString) + ":" + toJson(x) }.mkString("{", ",", "}")
     case s: String => quote(s)
     case b: Boolean => b.toString
-    case n => n.toString
+    // NaN/Infinity toString is not valid JSON — a degenerate timing
+    // division must fail here, not emit a silently corrupt artifact
+    // (the same fail-loud contract quote() applies to strings)
+    case d: Double =>
+      require(java.lang.Double.isFinite(d), s"non-finite metric value: $d")
+      d.toString
+    case f: Float =>
+      require(java.lang.Float.isFinite(f), s"non-finite metric value: $f")
+      f.toString
+    case n: Number => n.toString
+    case other => throw new IllegalArgumentException(
+      s"metric value type ${other.getClass.getName} has no JSON form " +
+        "this probe writer guarantees")
   }
 
   private def quote(s: String): String = {
