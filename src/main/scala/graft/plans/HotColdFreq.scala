@@ -220,10 +220,15 @@ object HotColdFreq {
    * persist and stage-reuse both die, this shape finishes in 105 s
    * including the write).
    *
-   * The table is OVERWRITTEN if present — freq is corpus-derived
-   * state, not an incremental artifact; refresh semantics belong to
-   * the caller (drop or re-derive per corpus snapshot, the
-   * ManifestStore precedent). */
+   * The table is OVERWRITTEN if present — the full-rebuild semantics.
+   * For a corpus that changes by small deltas, [[freqTableRefresh]]
+   * is the measured-in shape: FreqRefreshProbe (r17, 110× corpus, 2%
+   * append) read the full rebuild at 63–66% of an end-to-end
+   * incremental refresh cycle (sig + pair + freq) on the 140M-key
+   * gram stream — past the declared ~30% build criterion, and the
+   * merge cut it to 31% — while the small-key bigram shape read
+   * 7–12% (there the persist regime applies anyway and overwrite is
+   * fine). */
   def freqTable(stream: DataFrame, keyCol: String, freqName: String,
                 weight: Column, tableName: String,
                 buckets: Int = 0): DataFrame = {
@@ -240,6 +245,83 @@ object HotColdFreq {
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)
       .saveAsTable(tableName)
+    spark.table(tableName)
+  }
+
+  /** Incremental [[freqTable]] refresh: folds a DELTA occurrence
+   * stream into the existing bucketed freq table without re-scanning
+   * the corpus — frequency is additive, so
+   * `freq(corpus ++ delta) = freq(corpus) + freq(delta)` key-wise.
+   *
+   * Shape: aggregate the delta (delta-sized shuffle), full-outer
+   * sort-merge it against the table on the key — the table side reads
+   * BUCKETED + SORTED, so it pays no exchange and no sort; only the
+   * delta side is repartitioned — sum the two frequencies, and write
+   * the merge back bucketed+sorted under the table's OWN bucket count
+   * (inherited from the catalog, never a parameter: a mismatched
+   * width would silently break the exchange-free serve property every
+   * consumer relies on). Cost is one freq-table scan + delta-sized
+   * work + one table write; the rebuild's corpus scan + explode +
+   * corpus-wide aggregation never happens. Measured (FreqRefreshProbe
+   * r17, 110× corpus, 140M-key gram stream, 2% delta,
+   * `FREQREFRESH_r17.json`): rebuild 35.0 s vs merge 8.2 s (4.3×),
+   * refresh-cycle share 66% → 31%, table checksums identical; the
+   * remaining 8.2 s is the table scan + rewrite — the floor any
+   * materialized-freq maintenance pays.
+   *
+   * Key-hash-range pruning (rebuild only buckets whose keys changed)
+   * is deliberately NOT layered on: a uniformly-hashed delta touches
+   * every bucket (2% of a corpus spreads its keys across all of
+   * them), so pruning buys nothing exactly where this path matters;
+   * the win is corpus-scan avoidance, and the whole-table merge keeps
+   * one segment per bucket (no chain, no serve-time reconcile).
+   *
+   * Semantics: ADDITIVE deltas. Appends pass positive weights; a
+   * retraction passes the removed occurrences with NEGATED weights —
+   * keys whose merged frequency reaches zero are dropped, matching a
+   * from-scratch rebuild exactly. The swap is
+   * write-staging → drop → rename; a crash between the last two steps
+   * loses the catalog entry (re-run the refresh — the staging table
+   * still holds the merge). A transactional catalog would close that
+   * window; the Spark catalog has no atomic replace. */
+  def freqTableRefresh(delta: DataFrame, keyCol: String, freqName: String,
+                       weight: Column, tableName: String): DataFrame = {
+    val spark = delta.sparkSession
+    validate(delta, keyCol, freqName, nWays = 0L)
+    require(spark.catalog.tableExists(tableName),
+      s"freqTableRefresh: table '$tableName' does not exist — build it " +
+        "once with freqTable before refreshing")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val nBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(
+        s"freqTableRefresh: table '$tableName' is not bucketed — not a " +
+          "freqTable artifact"))
+    val old = spark.table(tableName)
+    require(old.columns.toSet == Set(keyCol, freqName),
+      s"freqTableRefresh: table '$tableName' has columns " +
+        s"${old.columns.mkString(",")}, expected ($keyCol, $freqName)")
+    require(old.schema(keyCol).dataType == delta.schema(keyCol).dataType,
+      s"freqTableRefresh: key type mismatch — table has " +
+        s"${old.schema(keyCol).dataType}, delta has " +
+        s"${delta.schema(keyCol).dataType}")
+    val dAgg = delta.groupBy(col(keyCol))
+      .agg(sum(weight).cast("long").as(freqName))
+    val merged = old.withColumnRenamed(freqName, "__base_f")
+      .join(dAgg.withColumnRenamed(freqName, "__delta_f"),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("__base_f"), lit(0L)) +
+          coalesce(col("__delta_f"), lit(0L))).as(freqName))
+      // zero-sum keys vanish, matching a rebuild under retraction
+      .filter(col(freqName) =!= 0L)
+    val staging = tableName + "__refresh_staging"
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    merged.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(staging)
+    spark.sql(s"DROP TABLE `$tableName`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$tableName`")
     spark.table(tableName)
   }
 

@@ -16,32 +16,41 @@ import graft.plans.HotColdFreq
  * cycle. This probe measures that share directly:
  *
  *  1. Build the corpus-snapshot artifacts a text pipeline maintains —
- *     the signature index, the near-dup pair table, and a bigram-hash
- *     freqTable (q_lm_score's freq shape: `word_bigram_hashes`
- *     exploded, weight 1) — over a 110×-gate DocGen corpus.
+ *     the signature index, the near-dup pair table, and a freqTable —
+ *     over a 110×-gate DocGen corpus. TWO freq key shapes, because the
+ *     share is regime-dependent: `bigram` (q_lm_score's
+ *     `word_bigram_hashes` stream — DocGen's closed vocabulary keeps
+ *     this in the few-hundred-key persist regime, the LOWER bound) and
+ *     `gram` (q_substr_dedup's 30-char rolling-window stream, ~10^8
+ *     distinct keys at this corpus — the key space freqTable exists
+ *     for, the honest lake-regime point).
  *  2. Append the 2% delta (SigRefreshBench's shape).
  *  3. Re-run the refresh cycle end-to-end in a fresh session: sig
  *     refresh (delta-scoped by the manifest), pair refresh
- *     (delta-banded), freq FULL REBUILD (today's overwrite semantics).
- *  4. Report freq-rebuild's share of the cycle wall. Decision rule
- *     (declared in the r17 backlog): share > ~30% → build the
- *     incremental merge; under it → document and keep overwrite.
+ *     (delta-banded), freq FULL REBUILD (today's overwrite semantics)
+ *     per shape.
+ *  4. Report each shape's freq-rebuild share of the cycle wall,
+ *     share = rebuild / (sig + pair + rebuild) — "if this were the
+ *     freq artifact in the loop". Decision rule (declared in the r17
+ *     backlog): share > ~30% → build the incremental merge; under it
+ *     → document and keep overwrite.
  *
- * If the criterion fires and the incremental merge gets built, the
- * `incremental` arm times the delta-aggregate + bucket-merge refresh
- * on the SAME delta, checksum-asserted against the full rebuild — the
- * measured answer to "what does the incremental shape actually buy".
+ * The criterion FIRED on the first (rebuild-only) run — gram share
+ * 63.4%, bigram 11.7% — so [[HotColdFreq.freqTableRefresh]] exists and
+ * the `incremental` arm times the delta-aggregate + bucket-merge
+ * refresh on the SAME delta, checksum-asserted against the full
+ * rebuild — the measured answer to "what does the incremental shape
+ * actually buy".
  *
  *   sbt "runMain graft.tools.FreqRefreshProbe [rows] [arms]"
  *   // rows default 550000 (110× the sf0.1 gate corpus)
- *   // arms csv subset of rebuild,incremental (default rebuild — the
- *   // criterion measurement; incremental exists only post-decision)
+ *   // arms csv subset of rebuild,incremental (default both)
  *   SPARK_GRAFT_FREQREFRESH_OUT=<path> writes the JSON artifact.
  */
 object FreqRefreshProbe {
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 550000L
-    val arms = (if (args.length > 1) args(1) else "rebuild")
+    val arms = (if (args.length > 1) args(1) else "rebuild,incremental")
       .split(",").map(_.trim).toSet
     require(arms.nonEmpty && arms.subsetOf(Set("rebuild", "incremental")),
       s"unknown arm in $arms")
@@ -78,26 +87,42 @@ object FreqRefreshProbe {
       .withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    graft.functions.BigramHashes.register(spark)
-    def bigrams(docs: DataFrame): DataFrame = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"),
-        explode(graft.functions.BigramHashes.of(col("ts"))).as("h"))
+    // the two freq key shapes: (name, occurrence-stream builder,
+    // freq column, weight column) — per-session kernel registration
+    // because the refresh cycle runs in a fresh session
+    def bigrams(docs: DataFrame): DataFrame = {
+      graft.functions.BigramHashes.register(docs.sparkSession)
+      docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"),
+          explode(graft.functions.BigramHashes.of(col("ts"))).as("h"))
+    }
+    def grams(docs: DataFrame): DataFrame = {
+      graft.functions.SubstrHash.register(docs.sparkSession)
+      docs.filter(length(col("text")) >= 30)
+        .select(col("doc_id"),
+          explode(graft.functions.SubstrHash.windowsRle(col("text"), 30))
+            .as("w"))
+        .select(col("doc_id"), col("w.h").as("h"), col("w.c").as("pos_cnt"))
+    }
+    val shapes: Seq[(String, DataFrame => DataFrame, org.apache.spark.sql.Column)] =
+      Seq(("bigram", bigrams, lit(1L)), ("gram", grams, col("pos_cnt")))
     def corpusDocs(s: SparkSession): DataFrame =
       s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    def tblOf(shape: String) = s"graft_freq_refresh_probe_$shape"
 
-    val tbl = "graft_freq_refresh_probe"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
     t("sig BUILD (cold store)")(
       graft.sources.MinHashSigIndex.sigs(spark, dir).count())
     t("pair BUILD (cold store)")(
       graft.sources.NeardupPairsIndex.pairs(spark, dir).count())
-    val nKeys = t("freq BUILD (freqTable)") {
-      HotColdFreq.freqTable(bigrams(corpusDocs(spark)), "h", "freq",
-        lit(1L), tbl, cpus.toInt).count()
+    for ((shape, stream, w) <- shapes) {
+      spark.sql(s"DROP TABLE IF EXISTS ${tblOf(shape)}")
+      val nKeys = t(s"freq BUILD ($shape)") {
+        HotColdFreq.freqTable(stream(corpusDocs(spark)), "h", "freq",
+          w, tblOf(shape), cpus.toInt).count()
+      }
+      println(s"[freq-refresh]   distinct $shape keys=$nKeys")
+      metrics(s"freq_distinct_keys_$shape") = nKeys
     }
-    println(s"[freq-refresh]   distinct bigram keys=$nKeys")
-    metrics("freq_distinct_keys") = nKeys
 
     // ---- the 2% delta (SigRefreshBench's shape) -------------------------
     val delta = base.filter(col("doc_id") % 50 === 0)
@@ -115,41 +140,68 @@ object FreqRefreshProbe {
       graft.sources.NeardupPairsIndex.pairs(s2, dir).count())
       metrics("sec: pair REFRESH (2% delta)").asInstanceOf[Double] }
 
-    def tableChecksum(s: SparkSession): (Long, Long) = {
+    def tableChecksum(s: SparkSession, tbl: String): (Long, Long) = {
       val r = s.table(tbl)
         .agg(sum(col("freq")), bit_xor(xxhash64(col("h"), col("freq"))))
         .head()
       (r.getLong(0), r.getLong(1))
     }
 
-    var rebuildCs: Option[(Long, Long)] = None
-    if (arms("rebuild")) {
-      val sec = { t("freq REBUILD (overwrite)")(
-        HotColdFreq.freqTable(bigrams(corpusDocs(s2)), "h", "freq",
-          lit(1L), tbl, cpus.toInt).count())
-        metrics("sec: freq REBUILD (overwrite)").asInstanceOf[Double] }
-      rebuildCs = Some(tableChecksum(s2))
-      println(s"[freq-refresh]   rebuilt table checksum=${rebuildCs.get}")
-      val cycle = sigSec + pairSec + sec
-      val share = math.rint(1000.0 * sec / cycle) / 10.0
-      println(f"[freq-refresh] freq-rebuild share of cycle: $share%.1f%% " +
-        f"(freq $sec%.2f / sig $sigSec%.2f + pair $pairSec%.2f + freq)")
-      metrics("cycle_sec") = math.rint(cycle * 1000) / 1000.0
-      metrics("freq_rebuild_share_pct") = share
-      // the sig+freq-only view (a pipeline that maintains no pair
-      // table): the share the decision is most conservative under
-      metrics("freq_rebuild_share_no_pair_pct") =
-        math.rint(1000.0 * sec / (sigSec + sec)) / 10.0
+    for ((shape, stream, w) <- shapes) {
+      var rebuildCs: Option[(Long, Long)] = None
+      if (arms("rebuild")) {
+        val sec = { t(s"freq REBUILD ($shape, overwrite)")(
+          HotColdFreq.freqTable(stream(corpusDocs(s2)), "h", "freq",
+            w, tblOf(shape), cpus.toInt).count())
+          metrics(s"sec: freq REBUILD ($shape, overwrite)")
+            .asInstanceOf[Double] }
+        rebuildCs = Some(tableChecksum(s2, tblOf(shape)))
+        println(s"[freq-refresh]   rebuilt $shape checksum=${rebuildCs.get}")
+        val cycle = sigSec + pairSec + sec
+        val share = math.rint(1000.0 * sec / cycle) / 10.0
+        println(f"[freq-refresh] $shape rebuild share of cycle: $share%.1f%% " +
+          f"(freq $sec%.2f / sig $sigSec%.2f + pair $pairSec%.2f + freq)")
+        metrics(s"cycle_sec_$shape") = math.rint(cycle * 1000) / 1000.0
+        metrics(s"freq_rebuild_share_pct_$shape") = share
+        // the sig+freq-only view (a pipeline that maintains no pair
+        // table): the share the decision is most conservative under
+        metrics(s"freq_rebuild_share_no_pair_pct_$shape") =
+          math.rint(1000.0 * sec / (sigSec + sec)) / 10.0
+      }
+
+      if (arms("incremental")) {
+        // reset the table to its PRE-DELTA state (untimed) so this arm
+        // refreshes from the same starting point the rebuild arm did;
+        // delta docs live at doc_id >= 3*rows by construction
+        HotColdFreq.freqTable(stream(corpusDocs(s2)
+            .filter(col("doc_id") < 3 * rows)), "h", "freq",
+          w, tblOf(shape), cpus.toInt)
+        val sec = { t(s"freq INCREMENTAL ($shape, merge)")(
+          HotColdFreq.freqTableRefresh(stream(corpusDocs(s2)
+              .filter(col("doc_id") >= 3 * rows)), "h", "freq",
+            w, tblOf(shape)).count())
+          metrics(s"sec: freq INCREMENTAL ($shape, merge)")
+            .asInstanceOf[Double] }
+        val incrCs = tableChecksum(s2, tblOf(shape))
+        println(s"[freq-refresh]   incremental $shape checksum=$incrCs")
+        rebuildCs.foreach { cs =>
+          assert(cs == incrCs,
+            s"$shape incremental refresh diverged from rebuild: $cs vs $incrCs")
+          metrics(s"checksums_agree_$shape") = true
+        }
+        val cycle = sigSec + pairSec + sec
+        metrics(s"cycle_incremental_sec_$shape") =
+          math.rint(cycle * 1000) / 1000.0
+        val share = math.rint(1000.0 * sec / cycle) / 10.0
+        metrics(s"freq_incremental_share_pct_$shape") = share
+        println(f"[freq-refresh] $shape incremental share of cycle: " +
+          f"$share%.1f%% (freq $sec%.2f / sig $sigSec%.2f + pair " +
+          f"$pairSec%.2f + freq)")
+      }
     }
 
-    if (arms("incremental")) {
-      // criterion-gated: exists only if the rebuild arm reads > ~30%
-      sys.error("incremental arm: HotColdFreq has no freqTableRefresh " +
-        "yet — the shape is built only if the rebuild arm's share " +
-        "exceeds the ~30% criterion (SURVEY r17 backlog #1)")
-    }
-
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    shapes.foreach { case (shape, _, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tblOf(shape)}") }
     // artifact paths are content-stamped — resolve them BEFORE the
     // corpus parquet they stamp from is deleted (the ScaleSmoke order)
     val sigStore = graft.sources.MinHashSigIndex.store(dir)

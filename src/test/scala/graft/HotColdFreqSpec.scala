@@ -297,4 +297,84 @@ class HotColdFreqSpec extends AnyFunSuite {
           s"bucketed, got: $bucketed")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("freqTableRefresh: delta merge ≡ full rebuild, chained, still bucketed") {
+    // the criterion-fired incremental shape (FreqRefreshProbe r17:
+    // full rebuild = 63% of a 110× refresh cycle on the gram stream):
+    // additive merge of a delta aggregation into the bucketed table
+    // must equal a from-scratch rebuild key-for-key, survive being
+    // chained, and come out of the staging swap still bucketed
+    val tbl = "graft_freqrefresh_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      HotColdFreq.freqTable(
+        bigrams.filter(col("doc_id") % 4 > 1), "h", "g", lit(1L), tbl)
+      HotColdFreq.freqTableRefresh(
+        bigrams.filter(col("doc_id") % 4 === 1), "h", "g", lit(1L), tbl)
+      val refreshed = HotColdFreq.freqTableRefresh(
+        bigrams.filter(col("doc_id") % 4 === 0), "h", "g", lit(1L), tbl)
+      val truth = bigrams.groupBy("h").agg(count(lit(1)).as("f"))
+      assert(refreshed.join(truth, "h")
+        .filter(col("g") =!= col("f")).count() == 0,
+        "two chained refreshes diverged from the full rebuild")
+      assert(refreshed.count() == truth.count(),
+        "refresh must not add or drop keys vs the rebuild")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      assert(meta.bucketSpec.isDefined,
+        "the staging swap must preserve the bucketed layout")
+      assert(!spark.catalog.tableExists(tbl + "__refresh_staging"),
+        "the staging table must not outlive the swap")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("freqTableRefresh: negated weights retract keys exactly") {
+    import spark.implicits._
+    val tbl = "graft_freqretract_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      // key 7 has mass 3, key 8 mass 2
+      val base = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 8L), (5L, 8L))
+        .toDF("doc_id", "h")
+      HotColdFreq.freqTable(base, "h", "g", lit(1L), tbl)
+      // retract ALL of key 8 (weight -1 per removed occurrence) and
+      // add one more 7 — matching a rebuild over the edited corpus
+      val delta = Seq((4L, 8L, -1L), (5L, 8L, -1L), (6L, 7L, 1L))
+        .toDF("doc_id", "h", "w")
+      val out = HotColdFreq.freqTableRefresh(delta, "h", "g", col("w"), tbl)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(7L -> 4L),
+        s"zero-sum keys must vanish like a rebuild's, got $out")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("freqTableRefresh rejects missing, unbucketed, and type-mismatched tables") {
+    import spark.implicits._
+    val delta = Seq((1L, 7L)).toDF("doc_id", "h")
+    val ex1 = intercept[IllegalArgumentException] {
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L),
+        "graft_no_such_table_spec")
+    }
+    assert(ex1.getMessage.contains("does not exist"))
+    val flat = "graft_unbucketed_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $flat")
+    try {
+      Seq((7L, 1L)).toDF("h", "g").write.format("parquet").saveAsTable(flat)
+      val ex2 = intercept[IllegalArgumentException] {
+        HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), flat)
+      }
+      assert(ex2.getMessage.contains("not bucketed"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $flat")
+    val typed = "graft_freqtype_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $typed")
+    try {
+      HotColdFreq.freqTable(Seq((1L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), typed)
+      val strDelta = Seq((1L, "seven")).toDF("doc_id", "h")
+      val ex3 = intercept[IllegalArgumentException] {
+        HotColdFreq.freqTableRefresh(strDelta, "h", "g", lit(1L), typed)
+      }
+      assert(ex3.getMessage.contains("key type mismatch"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $typed")
+  }
 }
