@@ -223,10 +223,10 @@ object HotColdFreq {
    * The table is OVERWRITTEN if present — the full-rebuild semantics.
    * For a corpus that changes by small deltas, [[freqTableRefresh]]
    * is the measured-in shape: FreqRefreshProbe (r17, 110× corpus, 2%
-   * append) read the full rebuild at 63–66% of an end-to-end
+   * append) read the full rebuild at 63–74% of an end-to-end
    * incremental refresh cycle (sig + pair + freq) on the 140M-key
    * gram stream — past the declared ~30% build criterion, and the
-   * merge cut it to 31% — while the small-key bigram shape read
+   * merge cut it 4.3–4.7× — while the small-key bigram shape read
    * 7–12% (there the persist regime applies anyway and overwrite is
    * fine). */
   def freqTable(stream: DataFrame, keyCol: String, freqName: String,
@@ -242,6 +242,12 @@ object HotColdFreq {
       if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
     stream.groupBy(col(keyCol)).agg(sum(weight).cast("long").as(freqName))
+      // freq tables never store zero-sum keys: a weight stream that
+      // nets to 0 for a key means "no mass" — attachFreq serves null
+      // for it, and freqTableRefresh's zero-drop then matches a
+      // rebuild exactly (r17 review: an unfiltered build would keep
+      // freq-0 rows the first refresh silently dropped)
+      .filter(col(freqName) =!= 0L)
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)
       .saveAsTable(tableName)
@@ -264,10 +270,11 @@ object HotColdFreq {
    * work + one table write; the rebuild's corpus scan + explode +
    * corpus-wide aggregation never happens. Measured (FreqRefreshProbe
    * r17, 110× corpus, 140M-key gram stream, 2% delta,
-   * `FREQREFRESH_r17.json`): rebuild 35.0 s vs merge 8.2 s (4.3×),
-   * refresh-cycle share 66% → 31%, table checksums identical; the
-   * remaining 8.2 s is the table scan + rewrite — the floor any
-   * materialized-freq maintenance pays.
+   * `FREQREFRESH_r17.json`): rebuild 35–37 s vs merge 8.0–8.2 s
+   * (4.3–4.7× across two windows), refresh-cycle share 66–74% →
+   * 31–38%, table checksums identical every run; the remaining ~8 s
+   * is the table scan + rewrite — the floor any materialized-freq
+   * maintenance pays.
    *
    * Key-hash-range pruning (rebuild only buckets whose keys changed)
    * is deliberately NOT layered on: a uniformly-hashed delta touches
@@ -279,25 +286,69 @@ object HotColdFreq {
    * Semantics: ADDITIVE deltas. Appends pass positive weights; a
    * retraction passes the removed occurrences with NEGATED weights —
    * keys whose merged frequency reaches zero are dropped, matching a
-   * from-scratch rebuild exactly. The swap is
-   * write-staging → drop → rename; a crash between the last two steps
-   * loses the catalog entry (re-run the refresh — the staging table
-   * still holds the merge). A transactional catalog would close that
-   * window; the Spark catalog has no atomic replace. */
+   * from-scratch rebuild exactly (and the build filters zero-sum keys
+   * for the same reason). A retraction EXCEEDING the stored mass is a
+   * caller error: the merge stores the negative frequency rather than
+   * silently clamping it, so the corruption is visible downstream;
+   * exactly-once submission discipline belongs to the caller — which
+   * is what `refreshToken` provides under crash re-runs.
+   *
+   * DURABILITY (the swap is write-staging → drop → rename; the Spark
+   * catalog has no atomic replace). Every crash window has a defined
+   * re-run story:
+   *  - before the staging write completes: the staging table is never
+   *    registered (CTAS registers only on success); the target is
+   *    intact and a re-run simply redoes the merge.
+   *  - between DROP and RENAME: the target is gone but the staging
+   *    holds the COMPLETE merge — a re-run detects this and finishes
+   *    the swap without re-applying the delta.
+   *  - after the RENAME: the swap completed; a re-run would re-apply
+   *    the delta (double-count). Pass a `refreshToken` unique to the
+   *    delta (a manifest stamp, a batch id): it is stamped on the
+   *    table at swap time, and a re-run that finds its own token
+   *    already on the table is a no-op. With an empty token this last
+   *    window is the caller's to manage. */
   def freqTableRefresh(delta: DataFrame, keyCol: String, freqName: String,
-                       weight: Column, tableName: String): DataFrame = {
+                       weight: Column, tableName: String,
+                       refreshToken: String = ""): DataFrame = {
     val spark = delta.sparkSession
     validate(delta, keyCol, freqName, nWays = 0L)
-    require(spark.catalog.tableExists(tableName),
+    require(refreshToken.forall(c => c.isLetterOrDigit || "-_.:".contains(c)),
+      s"freqTableRefresh: token must be [A-Za-z0-9._:-]*, got '$refreshToken'")
+    val cat = spark.sessionState.catalog
+    // parse, don't wrap: TableIdentifier(raw) would treat 'db.tbl' as
+    // a single-part name and the SQL below would backtick the dot
+    // into the identifier (r17 review finding)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val stagingIdent = ident.copy(table = ident.table + "__refresh_staging")
+    def q(part: String) = "`" + part.replace("`", "``") + "`"
+    def sqlName(i: org.apache.spark.sql.catalyst.TableIdentifier) =
+      (i.database.toSeq :+ i.table).map(q).mkString(".")
+    val target = sqlName(ident)
+    val staging = sqlName(stagingIdent)
+
+    // crash recovery: a previous refresh died between DROP and RENAME
+    // — the registered staging table holds that call's complete merge;
+    // finish the swap and return WITHOUT re-applying the delta (the
+    // documented recovery is re-running the SAME refresh call)
+    if (!cat.tableExists(ident) && cat.tableExists(stagingIdent)) {
+      spark.sql(s"ALTER TABLE $staging RENAME TO $target")
+      return spark.table(target)
+    }
+    require(cat.tableExists(ident),
       s"freqTableRefresh: table '$tableName' does not exist — build it " +
         "once with freqTable before refreshing")
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val meta = cat.getTableMetadata(ident)
+    // post-swap crash re-run: this delta's token is already on the
+    // served table — the refresh already happened; no-op
+    if (refreshToken.nonEmpty &&
+        meta.properties.get(TokenProp).contains(refreshToken))
+      return spark.table(target)
     val nBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
       throw new IllegalArgumentException(
         s"freqTableRefresh: table '$tableName' is not bucketed — not a " +
           "freqTable artifact"))
-    val old = spark.table(tableName)
+    val old = spark.table(target)
     require(old.columns.toSet == Set(keyCol, freqName),
       s"freqTableRefresh: table '$tableName' has columns " +
         s"${old.columns.mkString(",")}, expected ($keyCol, $freqName)")
@@ -314,16 +365,26 @@ object HotColdFreq {
         (coalesce(col("__base_f"), lit(0L)) +
           coalesce(col("__delta_f"), lit(0L))).as(freqName))
       // zero-sum keys vanish, matching a rebuild under retraction
+      // (the build filters the same way, so the invariant holds
+      // through any build/refresh interleaving)
       .filter(col(freqName) =!= 0L)
-    val staging = tableName + "__refresh_staging"
-    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
     merged.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)
       .saveAsTable(staging)
-    spark.sql(s"DROP TABLE `$tableName`")
-    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$tableName`")
-    spark.table(tableName)
+    // the token rides the staging table THROUGH the rename — stamped
+    // before the swap so no crash window can lose it
+    if (refreshToken.nonEmpty)
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
+        s"('$TokenProp' = '$refreshToken')")
+    spark.sql(s"DROP TABLE $target")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $target")
+    spark.table(target)
   }
+
+  /** Table property carrying [[freqTableRefresh]]'s exactly-once
+   * token. */
+  val TokenProp = "graft.refresh.token"
 
   /** Shared pre-flight checks for every entry point. `nWays = 0` skips
    * the IntegerType width bound (the sentinel width is not decided

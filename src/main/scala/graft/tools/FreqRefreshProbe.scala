@@ -148,15 +148,45 @@ object FreqRefreshProbe {
     }
 
     for ((shape, stream, w) <- shapes) {
-      var rebuildCs: Option[(Long, Long)] = None
+      // incremental FIRST: the table is in exactly its pre-delta state
+      // right after step 1's BUILD, so no reset rebuild is needed (an
+      // earlier ordering paid an untimed full rebuild per shape just
+      // to restore that state — r17 review finding)
+      var incrCs: Option[(Long, Long)] = None
+      if (arms("incremental")) {
+        // delta docs live at doc_id >= 3*rows by construction
+        val sec = { t(s"freq INCREMENTAL ($shape, merge)")(
+          HotColdFreq.freqTableRefresh(stream(corpusDocs(s2)
+              .filter(col("doc_id") >= 3 * rows)), "h", "freq",
+            w, tblOf(shape)).count())
+          metrics(s"sec: freq INCREMENTAL ($shape, merge)")
+            .asInstanceOf[Double] }
+        incrCs = Some(tableChecksum(s2, tblOf(shape)))
+        println(s"[freq-refresh]   incremental $shape checksum=${incrCs.get}")
+        val cycle = sigSec + pairSec + sec
+        metrics(s"cycle_incremental_sec_$shape") =
+          math.rint(cycle * 1000) / 1000.0
+        val share = math.rint(1000.0 * sec / cycle) / 10.0
+        metrics(s"freq_incremental_share_pct_$shape") = share
+        println(f"[freq-refresh] $shape incremental share of cycle: " +
+          f"$share%.1f%% (freq $sec%.2f / sig $sigSec%.2f + pair " +
+          f"$pairSec%.2f + freq)")
+      }
+
       if (arms("rebuild")) {
         val sec = { t(s"freq REBUILD ($shape, overwrite)")(
           HotColdFreq.freqTable(stream(corpusDocs(s2)), "h", "freq",
             w, tblOf(shape), cpus.toInt).count())
           metrics(s"sec: freq REBUILD ($shape, overwrite)")
             .asInstanceOf[Double] }
-        rebuildCs = Some(tableChecksum(s2, tblOf(shape)))
-        println(s"[freq-refresh]   rebuilt $shape checksum=${rebuildCs.get}")
+        val rebuildCs = tableChecksum(s2, tblOf(shape))
+        println(s"[freq-refresh]   rebuilt $shape checksum=$rebuildCs")
+        incrCs.foreach { cs =>
+          assert(cs == rebuildCs,
+            s"$shape incremental refresh diverged from rebuild: " +
+              s"$cs vs $rebuildCs")
+          metrics(s"checksums_agree_$shape") = true
+        }
         val cycle = sigSec + pairSec + sec
         val share = math.rint(1000.0 * sec / cycle) / 10.0
         println(f"[freq-refresh] $shape rebuild share of cycle: $share%.1f%% " +
@@ -167,36 +197,6 @@ object FreqRefreshProbe {
         // table): the share the decision is most conservative under
         metrics(s"freq_rebuild_share_no_pair_pct_$shape") =
           math.rint(1000.0 * sec / (sigSec + sec)) / 10.0
-      }
-
-      if (arms("incremental")) {
-        // reset the table to its PRE-DELTA state (untimed) so this arm
-        // refreshes from the same starting point the rebuild arm did;
-        // delta docs live at doc_id >= 3*rows by construction
-        HotColdFreq.freqTable(stream(corpusDocs(s2)
-            .filter(col("doc_id") < 3 * rows)), "h", "freq",
-          w, tblOf(shape), cpus.toInt)
-        val sec = { t(s"freq INCREMENTAL ($shape, merge)")(
-          HotColdFreq.freqTableRefresh(stream(corpusDocs(s2)
-              .filter(col("doc_id") >= 3 * rows)), "h", "freq",
-            w, tblOf(shape)).count())
-          metrics(s"sec: freq INCREMENTAL ($shape, merge)")
-            .asInstanceOf[Double] }
-        val incrCs = tableChecksum(s2, tblOf(shape))
-        println(s"[freq-refresh]   incremental $shape checksum=$incrCs")
-        rebuildCs.foreach { cs =>
-          assert(cs == incrCs,
-            s"$shape incremental refresh diverged from rebuild: $cs vs $incrCs")
-          metrics(s"checksums_agree_$shape") = true
-        }
-        val cycle = sigSec + pairSec + sec
-        metrics(s"cycle_incremental_sec_$shape") =
-          math.rint(cycle * 1000) / 1000.0
-        val share = math.rint(1000.0 * sec / cycle) / 10.0
-        metrics(s"freq_incremental_share_pct_$shape") = share
-        println(f"[freq-refresh] $shape incremental share of cycle: " +
-          f"$share%.1f%% (freq $sec%.2f / sig $sigSec%.2f + pair " +
-          f"$pairSec%.2f + freq)")
       }
     }
 

@@ -317,8 +317,13 @@ class HotColdFreqSpec extends AnyFunSuite {
       assert(refreshed.join(truth, "h")
         .filter(col("g") =!= col("f")).count() == 0,
         "two chained refreshes diverged from the full rebuild")
-      assert(refreshed.count() == truth.count(),
-        "refresh must not add or drop keys vs the rebuild")
+      // key-SET equality via both anti-joins: an inner join + count
+      // compare cannot see one spurious key traded for one dropped
+      // real key (r17 review finding)
+      assert(refreshed.join(truth, Seq("h"), "left_anti").count() == 0,
+        "refresh emitted keys the rebuild does not have")
+      assert(truth.join(refreshed, Seq("h"), "left_anti").count() == 0,
+        "refresh dropped keys the rebuild has")
       val meta = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(tbl))
       assert(meta.bucketSpec.isDefined,
@@ -346,6 +351,106 @@ class HotColdFreqSpec extends AnyFunSuite {
       assert(out == Map(7L -> 4L),
         s"zero-sum keys must vanish like a rebuild's, got $out")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("freqTableRefresh finishes an interrupted swap instead of re-merging") {
+    import spark.implicits._
+    // simulate a crash between DROP and RENAME: the target is gone,
+    // the staging table holds the completed merge — a re-run must
+    // finish the swap (serve the staging content) and NOT apply its
+    // delta again on top
+    val tbl = "graft_freqswap_spec"
+    val staging = tbl + "__refresh_staging"
+    Seq(tbl, staging).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      // the "completed merge" the crashed call left behind
+      HotColdFreq.freqTable(Seq((1L, 7L), (2L, 7L), (3L, 8L))
+        .toDF("doc_id", "h"), "h", "g", lit(1L), staging)
+      assert(!spark.catalog.tableExists(tbl))
+      val out = HotColdFreq.freqTableRefresh(
+        Seq((9L, 7L)).toDF("doc_id", "h"), "h", "g", lit(1L), tbl)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(7L -> 2L, 8L -> 1L),
+        s"recovery must serve the staging merge verbatim, got $out")
+      assert(spark.catalog.tableExists(tbl) &&
+        !spark.catalog.tableExists(staging),
+        "recovery must complete the rename")
+    } finally
+      Seq(tbl, staging).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("freqTableRefresh token makes a post-swap re-run a no-op") {
+    import spark.implicits._
+    val tbl = "graft_freqtoken_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      HotColdFreq.freqTable(Seq((1L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), tbl)
+      val delta = Seq((2L, 7L)).toDF("doc_id", "h")
+      def freqs = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+        refreshToken = "batch-001")
+      assert(freqs == Map(7L -> 2L))
+      // the crash-re-run: same delta, same token — must not double-apply
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+        refreshToken = "batch-001")
+      assert(freqs == Map(7L -> 2L),
+        "a re-run with the same token must be a no-op")
+      // a NEW batch with a new token applies normally
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+        refreshToken = "batch-002")
+      assert(freqs == Map(7L -> 3L))
+      // tokens that would break the SQL statement are rejected loudly
+      intercept[IllegalArgumentException] {
+        HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+          refreshToken = "bad'token")
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("zero-sum keys are absent from build AND refresh alike") {
+    import spark.implicits._
+    // a weight stream netting to 0 for key 8: the build must not
+    // store it (frequency 0 = no mass), so a later refresh's
+    // zero-drop can never diverge from a rebuild (r17 review: an
+    // unfiltered build kept freq-0 rows the first refresh dropped)
+    val tbl = "graft_freqzero_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      val base = Seq((1L, 7L, 2L), (2L, 8L, 1L), (3L, 8L, -1L))
+        .toDF("doc_id", "h", "w")
+      HotColdFreq.freqTable(base, "h", "g", col("w"), tbl)
+      def freqs = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(freqs == Map(7L -> 2L),
+        "the build must not store zero-sum keys")
+      // an unrelated refresh keeps the invariant
+      HotColdFreq.freqTableRefresh(Seq((4L, 9L, 1L))
+        .toDF("doc_id", "h", "w"), "h", "g", col("w"), tbl)
+      assert(freqs == Map(7L -> 2L, 9L -> 1L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("freqTableRefresh handles database-qualified table names") {
+    import spark.implicits._
+    // freqTable accepts 'db.tbl' (saveAsTable parses multi-part
+    // names); the refresh must too — wrapping the raw string in
+    // TableIdentifier treated the dot as part of a single-part name
+    // and the swap SQL backticked it into the identifier (r17 review)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_freqdb_spec")
+    try {
+      HotColdFreq.freqTable(Seq((1L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), "graft_freqdb_spec.t")
+      HotColdFreq.freqTableRefresh(Seq((2L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), "graft_freqdb_spec.t")
+      val out = spark.table("graft_freqdb_spec.t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(7L -> 2L))
+      assert(!spark.catalog.tableExists(
+        "graft_freqdb_spec.t__refresh_staging"))
+    } finally
+      spark.sql("DROP DATABASE IF EXISTS graft_freqdb_spec CASCADE")
   }
 
   test("freqTableRefresh rejects missing, unbucketed, and type-mismatched tables") {
