@@ -109,7 +109,12 @@ object HotColdFreq {
    * match either join side) — the window formulation would instead
    * count the null partition. The gate entries' keys are non-null by
    * construction (xxhash64 outputs, split tokens); callers with
-   * nullable keys must decide their null semantics first.
+   * nullable keys must decide their null semantics first. Keys whose
+   * weights NET TO ZERO likewise get a NULL frequency — zero mass is
+   * "absent", and every sourcing agrees (this freq frame, freqTable,
+   * freqTableRefresh all drop zero-sum keys), so switching sourcing
+   * per the regime rule can never change a value (r17 second-review
+   * finding: the build-side filter alone broke that equivalence).
    *
    * LIFECYCLE: when `persistFreq` is true the freq frame stays cached
    * until somebody unpersists it. The gate harness clears caches
@@ -150,6 +155,8 @@ object HotColdFreq {
       : (DataFrame, Option[DataFrame]) = {
     val freq0 = stream.groupBy(col(keyCol))
       .agg(sum(weight).cast("long").as(freqName))
+      // zero-net keys are ABSENT in every sourcing (scaladoc contract)
+      .filter(col(freqName) =!= 0L)
     val freq = if (persistFreq) freq0.persist() else freq0
     // validation lives in attachFreq; if it rejects the call, the
     // just-registered (never materialized) cache entry must not leak
@@ -300,8 +307,16 @@ object HotColdFreq {
    *    registered (CTAS registers only on success); the target is
    *    intact and a re-run simply redoes the merge.
    *  - between DROP and RENAME: the target is gone but the staging
-   *    holds the COMPLETE merge — a re-run detects this and finishes
-   *    the swap without re-applying the delta.
+   *    holds the COMPLETE merge — the next call validates the staging
+   *    (schema, bucketing, key type), finishes the swap, and then
+   *    decides by token whether its own delta still needs applying:
+   *    same token as the recovered merge → no-op (the crashed call
+   *    was this batch); different token → a NEW batch, merged
+   *    normally on the recovered table. A token-less call fails
+   *    loudly AFTER completing the swap (the table is healthy, but
+   *    skipping would silently lose a new delta and applying would
+   *    silently double-count a re-run — the ambiguity is the
+   *    caller's to resolve).
    *  - after the RENAME: the swap completed; a re-run would re-apply
    *    the delta (double-count). Pass a `refreshToken` unique to the
    *    delta (a manifest stamp, a batch id): it is stamped on the
@@ -313,7 +328,9 @@ object HotColdFreq {
                        refreshToken: String = ""): DataFrame = {
     val spark = delta.sparkSession
     validate(delta, keyCol, freqName, nWays = 0L)
-    require(refreshToken.forall(c => c.isLetterOrDigit || "-_.:".contains(c)),
+    require(refreshToken.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || "-_.:".contains(c)),
       s"freqTableRefresh: token must be [A-Za-z0-9._:-]*, got '$refreshToken'")
     val cat = spark.sessionState.catalog
     // parse, don't wrap: TableIdentifier(raw) would treat 'db.tbl' as
@@ -328,12 +345,38 @@ object HotColdFreq {
     val staging = sqlName(stagingIdent)
 
     // crash recovery: a previous refresh died between DROP and RENAME
-    // — the registered staging table holds that call's complete merge;
-    // finish the swap and return WITHOUT re-applying the delta (the
-    // documented recovery is re-running the SAME refresh call)
+    // — the registered staging table holds that call's COMPLETE merge
+    // (CTAS registers only on success). Validate the staging BEFORE
+    // installing it (a stale staging from an unrelated experiment must
+    // not become the served table), finish the swap, then let the
+    // token check below decide whether THIS call's delta still needs
+    // applying — an unconditional skip would silently lose a NEW
+    // batch's delta that merely arrived after a crash (r17
+    // second-review finding).
     if (!cat.tableExists(ident) && cat.tableExists(stagingIdent)) {
+      val sMeta = cat.getTableMetadata(stagingIdent)
+      require(sMeta.schema.fieldNames.toSet == Set(keyCol, freqName) &&
+          sMeta.bucketSpec.isDefined &&
+          sMeta.schema(keyCol).dataType == delta.schema(keyCol).dataType,
+        s"freqTableRefresh: found an orphaned staging table for " +
+          s"'$tableName' but it is not a ($keyCol, $freqName) bucketed " +
+          "freq table — drop it and rebuild with freqTable")
       spark.sql(s"ALTER TABLE $staging RENAME TO $target")
-      return spark.table(target)
+      // whose delta does the recovered merge contain? With a token the
+      // check below answers exactly: the recovered table carries the
+      // crashed call's token, so same token → no-op (it was this
+      // batch), different token → the merge below applies this batch
+      // normally. A token-less caller cannot be disambiguated — fail
+      // loudly rather than choose between silently losing this delta
+      // and silently double-applying it. The swap is already complete,
+      // so the table itself is healthy either way.
+      require(refreshToken.nonEmpty,
+        s"freqTableRefresh: completed an interrupted swap for " +
+          s"'$tableName' from its staging table, but without a " +
+          "refreshToken this call cannot tell whether the recovered " +
+          "merge already includes its delta — inspect the table, or " +
+          "re-run refreshes with a per-batch token to make recovery " +
+          "unambiguous")
     }
     require(cat.tableExists(ident),
       s"freqTableRefresh: table '$tableName' does not exist — build it " +

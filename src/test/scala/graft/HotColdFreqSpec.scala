@@ -164,6 +164,7 @@ class HotColdFreqSpec extends AnyFunSuite {
     // canonicalized lookup, so this frame reads NONE iff no equivalent
     // cached entry exists (alias names are canonicalized away)
     def freqPlan = df.groupBy(col("h")).agg(sum(lit(1L)).cast("long").as("f"))
+      .filter(col("f") =!= 0L) // the zero-net drop is part of the cached plan
     val res = HotColdFreq.withFreqLoan(df, "h", "f", lit(1L),
         col("doc_id"), 10L) { out =>
       val n = out.count()
@@ -353,30 +354,93 @@ class HotColdFreqSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
-  test("freqTableRefresh finishes an interrupted swap instead of re-merging") {
+  test("freqTableRefresh recovery: token disambiguates, token-less fails loudly") {
     import spark.implicits._
     // simulate a crash between DROP and RENAME: the target is gone,
-    // the staging table holds the completed merge — a re-run must
-    // finish the swap (serve the staging content) and NOT apply its
-    // delta again on top
+    // the staging table holds the completed merge (carrying the
+    // crashed call's token). The next call must validate + install
+    // the staging, then decide BY TOKEN whether its delta is already
+    // inside — an unconditional skip would silently lose a new
+    // batch's delta (r17 second-review finding).
     val tbl = "graft_freqswap_spec"
     val staging = tbl + "__refresh_staging"
-    Seq(tbl, staging).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    try {
-      // the "completed merge" the crashed call left behind
+    def crashState(token: String): Unit = {
+      Seq(tbl, staging).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       HotColdFreq.freqTable(Seq((1L, 7L), (2L, 7L), (3L, 8L))
         .toDF("doc_id", "h"), "h", "g", lit(1L), staging)
-      assert(!spark.catalog.tableExists(tbl))
-      val out = HotColdFreq.freqTableRefresh(
-        Seq((9L, 7L)).toDF("doc_id", "h"), "h", "g", lit(1L), tbl)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(out == Map(7L -> 2L, 8L -> 1L),
-        s"recovery must serve the staging merge verbatim, got $out")
-      assert(spark.catalog.tableExists(tbl) &&
-        !spark.catalog.tableExists(staging),
+      if (token.nonEmpty) spark.sql(s"ALTER TABLE $staging SET " +
+        s"TBLPROPERTIES ('${HotColdFreq.TokenProp}' = '$token')")
+    }
+    def freqs = spark.table(tbl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val delta = Seq((9L, 7L)).toDF("doc_id", "h")
+    try {
+      // (1) same token: the crashed call WAS this batch — finish the
+      // swap, do not re-apply (the staging already contains it)
+      crashState("b1")
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+        refreshToken = "b1")
+      assert(freqs == Map(7L -> 2L, 8L -> 1L),
+        "a same-token recovery must not re-apply the delta")
+      assert(!spark.catalog.tableExists(staging),
         "recovery must complete the rename")
+      // (2) different token: a NEW batch arriving after the crash —
+      // finish the swap AND apply this delta on the recovered table
+      crashState("b1")
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+        refreshToken = "b2")
+      assert(freqs == Map(7L -> 3L, 8L -> 1L),
+        "a new-token recovery must apply its delta")
+      // (3) token-less: ambiguous — the swap completes (the table is
+      // healthy) but the call fails loudly instead of guessing
+      crashState("")
+      val ex = intercept[IllegalArgumentException] {
+        HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl)
+      }
+      assert(ex.getMessage.contains("interrupted swap"))
+      assert(freqs == Map(7L -> 2L, 8L -> 1L),
+        "the token-less recovery must still install the staging merge")
+      // (4) a garbage staging (wrong schema) is rejected BEFORE install
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      Seq((7L, 1L, "x")).toDF("h", "g", "junk").write.format("parquet")
+        .bucketBy(4, "h").sortBy("h").saveAsTable(staging)
+      val ex2 = intercept[IllegalArgumentException] {
+        HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+          refreshToken = "b3")
+      }
+      assert(ex2.getMessage.contains("orphaned staging"))
+      assert(!spark.catalog.tableExists(tbl),
+        "a rejected staging must not be installed as the target")
     } finally
       Seq(tbl, staging).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("zero-net keys are absent in EVERY sourcing (withFreq ≡ freqTable)") {
+    import spark.implicits._
+    // retraction-style weights netting to 0 for key 8: the in-memory
+    // freq frame and the table must agree (both absent → attachFreq
+    // serves null), or switching sourcing per the regime rule would
+    // change values (r17 second-review finding)
+    val tbl = "graft_freqzero_eq_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      val stream = Seq((1L, 7L, 2L), (2L, 8L, 1L), (3L, 8L, -1L))
+        .toDF("doc_id", "h", "w")
+      val viaMem = HotColdFreq.withFreq(stream, "h", "g", col("w"),
+        col("doc_id"), 100L, persistFreq = false)
+      val tableF = HotColdFreq.freqTable(stream, "h", "g", col("w"), tbl)
+      val viaTbl = HotColdFreq.attachFreq(stream, tableF, "h", "g",
+        col("doc_id"), 100L)
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "h", "g").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      val m = shape(viaMem); val t = shape(viaTbl)
+      assert(m == t, s"sourcings disagree: mem=$m table=$t")
+      assert(m.collect { case (_, 8L, g) => g } == Set(None),
+        "a zero-net key must serve NULL frequency in both sourcings")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("freqTableRefresh token makes a post-swap re-run a no-op") {
