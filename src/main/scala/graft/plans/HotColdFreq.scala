@@ -115,6 +115,10 @@ object HotColdFreq {
    * freqTableRefresh all drop zero-sum keys), so switching sourcing
    * per the regime rule can never change a value (r17 second-review
    * finding: the build-side filter alone broke that equivalence).
+   * Null keys store no mass in ANY sourcing: an equi-join can never
+   * serve a null-key row to a consumer, and the refresh merge's
+   * full-outer equi-join could never unify null-key segments — all
+   * three builders filter null keys before aggregating.
    *
    * LIFECYCLE: when `persistFreq` is true the freq frame stays cached
    * until somebody unpersists it. The gate harness clears caches
@@ -153,7 +157,8 @@ object HotColdFreq {
                      hotMin: Long = DefaultHotMin, ways: Int = 0,
                      persistFreq: Boolean = PersistFreqDefault)
       : (DataFrame, Option[DataFrame]) = {
-    val freq0 = stream.groupBy(col(keyCol))
+    val freq0 = stream.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(sum(weight).cast("long").as(freqName))
       // zero-net keys are ABSENT in every sourcing (scaladoc contract)
       .filter(col(freqName) =!= 0L)
@@ -248,12 +253,18 @@ object HotColdFreq {
     val nBuckets =
       if (buckets > 0) buckets
       else spark.sessionState.conf.numShufflePartitions
-    stream.groupBy(col(keyCol)).agg(sum(weight).cast("long").as(freqName))
+    stream.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(sum(weight).cast("long").as(freqName))
       // freq tables never store zero-sum keys: a weight stream that
       // nets to 0 for a key means "no mass" — attachFreq serves null
       // for it, and freqTableRefresh's zero-drop then matches a
       // rebuild exactly (r17 review: an unfiltered build would keep
-      // freq-0 rows the first refresh silently dropped)
+      // freq-0 rows the first refresh silently dropped). Null keys
+      // store no mass either: no consumer can ever read a null-key
+      // row (attachFreq's equi-joins never match null), and keeping
+      // them would split across segments in the refresh merge (a
+      // full-outer equi-join cannot unify null keys) — absent
+      // everywhere is the one coherent choice.
       .filter(col(freqName) =!= 0L)
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)
@@ -399,7 +410,8 @@ object HotColdFreq {
       s"freqTableRefresh: key type mismatch — table has " +
         s"${old.schema(keyCol).dataType}, delta has " +
         s"${delta.schema(keyCol).dataType}")
-    val dAgg = delta.groupBy(col(keyCol))
+    val dAgg = delta.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(sum(weight).cast("long").as(freqName))
     val merged = old.withColumnRenamed(freqName, "__base_f")
       .join(dAgg.withColumnRenamed(freqName, "__delta_f"),

@@ -163,8 +163,10 @@ class HotColdFreqSpec extends AnyFunSuite {
     // Dataset.storageLevel resolves through the cache manager's
     // canonicalized lookup, so this frame reads NONE iff no equivalent
     // cached entry exists (alias names are canonicalized away)
-    def freqPlan = df.groupBy(col("h")).agg(sum(lit(1L)).cast("long").as("f"))
-      .filter(col("f") =!= 0L) // the zero-net drop is part of the cached plan
+    // the null-key and zero-net drops are part of the cached plan
+    def freqPlan = df.filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(sum(lit(1L)).cast("long").as("f"))
+      .filter(col("f") =!= 0L)
     val res = HotColdFreq.withFreqLoan(df, "h", "f", lit(1L),
         col("doc_id"), 10L) { out =>
       val n = out.count()
@@ -515,6 +517,36 @@ class HotColdFreqSpec extends AnyFunSuite {
         "graft_freqdb_spec.t__refresh_staging"))
     } finally
       spark.sql("DROP DATABASE IF EXISTS graft_freqdb_spec CASCADE")
+  }
+
+  test("degenerate refreshes: empty delta is identity, null keys never stored") {
+    import spark.implicits._
+    val tbl = "graft_freqdegen_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      def freqs = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // null-key occurrences: stored by NO sourcing — a null-key table
+      // row is unreachable through attachFreq's equi-joins, and the
+      // refresh merge's full-outer equi-join could never unify two
+      // null-key segments (it would emit BOTH, diverging from a
+      // rebuild's single row)
+      val base = Seq((1L, Some(7L)), (2L, None), (3L, None))
+        .toDF("doc_id", "h")
+      HotColdFreq.freqTable(base, "h", "g", lit(1L), tbl)
+      assert(spark.table(tbl).count() == 1 && freqs == Map(7L -> 1L),
+        "the build must not store null-key mass")
+      HotColdFreq.freqTableRefresh(Seq((4L, Option.empty[Long]))
+        .toDF("doc_id", "h"), "h", "g", lit(1L), tbl)
+      assert(spark.table(tbl).count() == 1 && freqs == Map(7L -> 1L),
+        "a null-key-only delta must leave the table unchanged")
+      // empty delta: a valid no-change refresh — the merge is an
+      // identity rewrite, never an error
+      HotColdFreq.freqTableRefresh(base.filter(lit(false)),
+        "h", "g", lit(1L), tbl)
+      assert(freqs == Map(7L -> 1L),
+        "an empty delta must be an identity refresh")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   test("freqTableRefresh rejects missing, unbucketed, and type-mismatched tables") {
