@@ -224,8 +224,11 @@ object HotColdFreq {
    * sorted on the key, returning the table's DataFrame for
    * [[attachFreq]]. Bucketing must match the consumer's join
    * parallelism (default: the session's shuffle width) so the cold
-   * join reads the freq side pre-bucketed and pre-sorted — no
-   * exchange, no sort, no corpus-sized hash map in any task. The
+   * join reads the freq side pre-bucketed — no exchange, no
+   * corpus-sized hash map in any task (a merge-side SORT remains:
+   * Spark does not trust a bucketed scan's per-bucket order — same
+   * caveat as the refresh merge; the exchange elision is the scale
+   * win). The
    * write replaces the persist as the "materialize once" step; its
    * cost is the price of surviving a key space where both in-memory
    * sourcings OOM (FreqCardinalityProbe, 360M keys / 6 GiB heap:
@@ -279,8 +282,14 @@ object HotColdFreq {
    *
    * Shape: aggregate the delta (delta-sized shuffle), full-outer
    * sort-merge it against the table on the key — the table side reads
-   * BUCKETED + SORTED, so it pays no exchange and no sort; only the
-   * delta side is repartitioned — sum the two frequencies, and write
+   * BUCKETED, so it pays no exchange (and no corpus-scale
+   * aggregation); only the delta side is repartitioned. A table-side
+   * SORT does remain: Spark trusts a bucketed scan's per-bucket order
+   * only under conditions this write does not guarantee (r17 ADVICE —
+   * the "no sort" half of the original claim was overstated; the
+   * executed-plan pin in HotColdFreqSpec asserts exactly what holds:
+   * one bucketed table scan, one delta-side exchange). Sum the two
+   * frequencies and write
    * the merge back bucketed+sorted under the table's OWN bucket count
    * (inherited from the catalog, never a parameter: a mismatched
    * width would silently break the exchange-free serve property every
@@ -318,8 +327,10 @@ object HotColdFreq {
    *    registered (CTAS registers only on success); the target is
    *    intact and a re-run simply redoes the merge.
    *  - between DROP and RENAME: the target is gone but the staging
-   *    holds the COMPLETE merge — the next call validates the staging
-   *    (schema, bucketing, key type), finishes the swap, and then
+   *    holds the COMPLETE merge — the next call finds it by prefix
+   *    scan (staging names are token-derived, so the crashed batch's
+   *    name differs from this call's), validates it (schema,
+   *    bucketing, key and freq types), finishes the swap, and then
    *    decides by token whether its own delta still needs applying:
    *    same token as the recovered merge → no-op (the crashed call
    *    was this batch); different token → a NEW batch, merged
@@ -330,10 +341,25 @@ object HotColdFreq {
    *    caller's to resolve).
    *  - after the RENAME: the swap completed; a re-run would re-apply
    *    the delta (double-count). Pass a `refreshToken` unique to the
-   *    delta (a manifest stamp, a batch id): it is stamped on the
-   *    table at swap time, and a re-run that finds its own token
-   *    already on the table is a no-op. With an empty token this last
-   *    window is the caller's to manage. */
+   *    delta (a manifest stamp, a batch id): it joins the table's
+   *    applied-token HISTORY at swap time (the newest
+   *    [[TokenHistorySize]] batches), and a re-run that finds its own
+   *    token anywhere in that history is a no-op — so even a re-run of
+   *    batch N that arrives after N+1..N+15 have committed is caught;
+   *    only a re-run delayed past the history horizon is not. With an
+   *    empty token this last window is the caller's to manage.
+   *
+   * CONCURRENCY: refreshes of one table are SINGLE-WRITER — run them
+   * sequentially (one outstanding batch at a time), which any
+   * manifest-driven refresh loop does naturally. The shape defends
+   * against violations rather than supporting them: staging names are
+   * token-derived (two batches can never DROP or clobber each other's
+   * in-flight staging), and the pre-swap applied-history check fails
+   * loudly when another batch committed mid-merge (both merges read
+   * the same base; installing the second would silently lose the
+   * first's delta). Token-less concurrent writers share one staging
+   * name and an empty history — undetectable; the discipline is the
+   * contract there. */
   def freqTableRefresh(delta: DataFrame, keyCol: String, freqName: String,
                        weight: Column, tableName: String,
                        refreshToken: String = ""): DataFrame = {
@@ -348,7 +374,8 @@ object HotColdFreq {
     // a single-part name and the SQL below would backtick the dot
     // into the identifier (r17 review finding)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
-    val stagingIdent = ident.copy(table = ident.table + "__refresh_staging")
+    val stagingIdent =
+      ident.copy(table = stagingName(ident.table, refreshToken))
     def q(part: String) = "`" + part.replace("`", "``") + "`"
     def sqlName(i: org.apache.spark.sql.catalyst.TableIdentifier) =
       (i.database.toSeq :+ i.table).map(q).mkString(".")
@@ -356,47 +383,74 @@ object HotColdFreq {
     val staging = sqlName(stagingIdent)
 
     // crash recovery: a previous refresh died between DROP and RENAME
-    // — the registered staging table holds that call's COMPLETE merge
-    // (CTAS registers only on success). Validate the staging BEFORE
-    // installing it (a stale staging from an unrelated experiment must
-    // not become the served table), finish the swap, then let the
-    // token check below decide whether THIS call's delta still needs
-    // applying — an unconditional skip would silently lose a NEW
-    // batch's delta that merely arrived after a crash (r17
-    // second-review finding).
-    if (!cat.tableExists(ident) && cat.tableExists(stagingIdent)) {
-      val sMeta = cat.getTableMetadata(stagingIdent)
-      require(sMeta.schema.fieldNames.toSet == Set(keyCol, freqName) &&
-          sMeta.bucketSpec.isDefined &&
-          sMeta.schema(keyCol).dataType == delta.schema(keyCol).dataType,
-        s"freqTableRefresh: found an orphaned staging table for " +
-          s"'$tableName' but it is not a ($keyCol, $freqName) bucketed " +
-          "freq table — drop it and rebuild with freqTable")
-      spark.sql(s"ALTER TABLE $staging RENAME TO $target")
-      // whose delta does the recovered merge contain? With a token the
-      // check below answers exactly: the recovered table carries the
-      // crashed call's token, so same token → no-op (it was this
-      // batch), different token → the merge below applies this batch
-      // normally. A token-less caller cannot be disambiguated — fail
-      // loudly rather than choose between silently losing this delta
-      // and silently double-applying it. The swap is already complete,
-      // so the table itself is healthy either way.
-      require(refreshToken.nonEmpty,
-        s"freqTableRefresh: completed an interrupted swap for " +
-          s"'$tableName' from its staging table, but without a " +
-          "refreshToken this call cannot tell whether the recovered " +
-          "merge already includes its delta — inspect the table, or " +
-          "re-run refreshes with a per-batch token to make recovery " +
-          "unambiguous")
+    // — a registered staging table holds that call's COMPLETE merge
+    // (CTAS registers only on success). Staging names are
+    // token-derived, so scan for ANY staging of this table rather
+    // than one fixed name (the crashed batch need not be this one).
+    // Validate the orphan BEFORE installing it (a stale staging from
+    // an unrelated experiment must not become the served table),
+    // finish the swap, then let the token check below decide whether
+    // THIS call's delta still needs applying — an unconditional skip
+    // would silently lose a NEW batch's delta that merely arrived
+    // after a crash (r17 second-review finding).
+    if (!cat.tableExists(ident)) {
+      val db = ident.database.getOrElse(cat.getCurrentDatabase)
+      // catalog tables only: a local temp VIEW matching the prefix has
+      // no catalog metadata to validate (getTableMetadata would throw
+      // on debris that isn't even a table)
+      val orphans = cat.listTables(db, stagingPrefix(ident.table) + "*",
+          includeLocalTempViews = false)
+        .filter(_.table.startsWith(stagingPrefix(ident.table)))
+      require(orphans.size <= 1,
+        s"freqTableRefresh: table '$tableName' is missing and MULTIPLE " +
+          s"staging tables survive (${orphans.map(_.table).mkString(", ")})" +
+          " — concurrent refreshes crashed mid-swap and their merges " +
+          "cannot be ordered; inspect them, keep at most one, and " +
+          "re-run (refreshes are single-writer: see the CONCURRENCY " +
+          "note)")
+      orphans.headOption.foreach { orphanIdent =>
+        val sMeta = cat.getTableMetadata(orphanIdent)
+        require(sMeta.schema.fieldNames.toSet == Set(keyCol, freqName) &&
+            sMeta.bucketSpec.isDefined &&
+            sMeta.schema(keyCol).dataType == delta.schema(keyCol).dataType &&
+            // an INT/DOUBLE freq column would install cleanly and then
+            // silently widen through coalesce+sum on later merges
+            // (r17 ADVICE): require the artifact's LONG exactly
+            sMeta.schema(freqName).dataType ==
+              org.apache.spark.sql.types.LongType,
+          s"freqTableRefresh: found an orphaned staging table for " +
+            s"'$tableName' but it is not a ($keyCol, $freqName LONG) " +
+            "bucketed freq table — drop it and rebuild with freqTable")
+        spark.sql(s"ALTER TABLE ${sqlName(orphanIdent)} RENAME TO $target")
+        // whose delta does the recovered merge contain? With a token
+        // the check below answers exactly: the recovered table carries
+        // the crashed call's token history, so own token present →
+        // no-op (the crashed call was this batch), absent → a NEW
+        // batch, merged normally. A token-less caller cannot be
+        // disambiguated — fail loudly rather than choose between
+        // silently losing this delta and silently double-applying it.
+        // The swap is already complete, so the table itself is healthy
+        // either way.
+        require(refreshToken.nonEmpty,
+          s"freqTableRefresh: completed an interrupted swap for " +
+            s"'$tableName' from its staging table, but without a " +
+            "refreshToken this call cannot tell whether the recovered " +
+            "merge already includes its delta — inspect the table, or " +
+            "re-run refreshes with a per-batch token to make recovery " +
+            "unambiguous")
+      }
     }
     require(cat.tableExists(ident),
       s"freqTableRefresh: table '$tableName' does not exist — build it " +
         "once with freqTable before refreshing")
     val meta = cat.getTableMetadata(ident)
-    // post-swap crash re-run: this delta's token is already on the
-    // served table — the refresh already happened; no-op
+    // post-swap crash re-run OR delayed re-run: this delta's token is
+    // in the served table's applied-batch history — the refresh
+    // already happened; no-op. A HISTORY (not just the newest token)
+    // so a re-run of batch N arriving after N+1 committed is still
+    // caught (r17 ADVICE: a single-token check would double-apply N).
     if (refreshToken.nonEmpty &&
-        meta.properties.get(TokenProp).contains(refreshToken))
+        tokenHistory(meta.properties).contains(refreshToken))
       return spark.table(target)
     val nBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
       throw new IllegalArgumentException(
@@ -427,19 +481,94 @@ object HotColdFreq {
     merged.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)
       .saveAsTable(staging)
-    // the token rides the staging table THROUGH the rename — stamped
-    // before the swap so no crash window can lose it
-    if (refreshToken.nonEmpty)
+    // the token HISTORY rides the staging table THROUGH the rename —
+    // this batch's token prepended to the base table's history
+    // (bounded to TokenHistorySize), stamped before the swap so no
+    // crash window can lose it. A token-LESS refresh must still carry
+    // the existing history forward: the fresh staging table has no
+    // properties, and dropping the history here would let a later
+    // delayed re-run of an already-applied batch double-apply.
+    val hist = (if (refreshToken.isEmpty) tokenHistory(meta.properties)
+                else refreshToken +: tokenHistory(meta.properties))
+      .distinct.take(TokenHistorySize).mkString(",")
+    if (hist.nonEmpty)
       spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
-        s"('$TokenProp' = '$refreshToken')")
+        s"('$TokenProp' = '$hist')")
+    // lost-update guard: if ANOTHER refresh committed between this
+    // call's metadata read and this swap, our merge was computed from
+    // a base that is no longer the served table — swapping it in would
+    // silently discard the concurrent batch's delta. The applied-token
+    // history moves on every tokened commit, so compare it and fail
+    // loudly instead (a token-less concurrent pair is undetectable —
+    // the single-writer discipline in the CONCURRENCY note is the
+    // contract; this check just turns most violations into errors).
+    // The stale staging is dropped FIRST: it has no recovery value (a
+    // crash recovery that installed it would BE the lost update), and
+    // leaving it would poison a later orphan scan.
+    if (cat.getTableMetadata(ident).properties.get(TokenProp) !=
+        meta.properties.get(TokenProp)) {
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      throw new IllegalArgumentException(
+        s"freqTableRefresh: table '$tableName' was refreshed CONCURRENTLY " +
+          "while this merge was computing — this merge is stale and " +
+          "installing it would lose the other batch's delta. Re-run this " +
+          "batch; refreshes are single-writer (see the CONCURRENCY note)")
+    }
     spark.sql(s"DROP TABLE $target")
     spark.sql(s"ALTER TABLE $staging RENAME TO $target")
     spark.table(target)
   }
 
   /** Table property carrying [[freqTableRefresh]]'s exactly-once
-   * token. */
+   * tokens — a comma-separated, newest-first history of the last
+   * [[TokenHistorySize]] applied batch tokens (the token charset
+   * admits no comma, so the join is unambiguous). A HISTORY rather
+   * than a single token because a delayed re-run of batch N can
+   * arrive after batch N+1 has committed: a single-token property
+   * would read a mismatch and silently double-apply N (r17 ADVICE).
+   * A re-run delayed past the horizon — more than TokenHistorySize
+   * batches behind the head — is undetectable; keep re-run windows
+   * within it. A full [[freqTable]] rebuild RESETS the history (the
+   * overwrite recreates the table propertyless — deliberately: the
+   * rebuild redefines the corpus baseline, and whether a pre-rebuild
+   * delta is inside that baseline is unknowable here), so quiesce
+   * in-flight re-runs before rebuilding. */
   val TokenProp = "graft.refresh.token"
+
+  /** How many recent batch tokens [[TokenProp]] retains. Bounds the
+   * delayed-re-run detection window; 16 covers any sane retry policy
+   * while keeping the property tiny. */
+  val TokenHistorySize = 16
+
+  /** Newest-first applied-token history from a table's properties. */
+  private def tokenHistory(props: Map[String, String]): Seq[String] =
+    props.get(TokenProp).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+
+  /** Prefix every refresh-staging table name shares; the recovery
+   * scan keys on it. */
+  private def stagingPrefix(table: String): String =
+    table + "__refresh_staging"
+
+  /** Staging-table name for a refresh of `table` under `token` —
+   * TOKEN-DERIVED so two refreshes of distinct batches can never
+   * share (and thus never DROP or clobber) each other's in-flight
+   * staging table (r17 ADVICE: a shared name let caller B destroy
+   * caller A's staging mid-swap). The suffix is the sanitized token
+   * plus an md5 fragment: sanitization maps the token charset's
+   * [.:-] to '_' for metastore-safe names, and the hash keeps
+   * sanitization collisions ("a.b" vs "a_b") apart. A token-less
+   * refresh keeps the bare prefix — single-writer discipline is the
+   * caller's there (see [[freqTableRefresh]]'s CONCURRENCY note). */
+  private[graft] def stagingName(table: String, token: String): String =
+    if (token.isEmpty) stagingPrefix(table)
+    else {
+      val safe = token.map(c =>
+        if (c.isLetterOrDigit || c == '_') c else '_').take(40)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(token.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString
+      stagingPrefix(table) + "_" + safe + "_" + h
+    }
 
   /** Shared pre-flight checks for every entry point. `nWays = 0` skips
    * the IntegerType width bound (the sentinel width is not decided

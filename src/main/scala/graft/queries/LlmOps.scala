@@ -187,8 +187,13 @@ object LlmOps {
    * (Dataset.localCheckpoint persists its internal RDD at
    * MEMORY_AND_DISK and wraps it in a LogicalRDD leaf — the RDD is
    * reachable only through that leaf). Non-blocking: the caller has
-   * already materialized the successor checkpoint. */
-  private def releaseLocalCheckpoint(ckpt: DataFrame): Unit =
+   * already materialized the successor checkpoint. COUPLED to a
+   * non-public plan shape: if a Spark upgrade stops exposing the
+   * checkpoint as a LogicalRDD leaf this degrades to a no-op (r16's
+   * GC-reliant behavior, never wrong) — PlanAuditSpec pins the
+   * blocks actually dropping so the regression is loud.
+   * private[graft] for that pin. */
+  private[graft] def releaseLocalCheckpoint(ckpt: DataFrame): Unit =
     ckpt.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))

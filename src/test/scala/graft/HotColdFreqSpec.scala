@@ -12,6 +12,13 @@ import graft.plans.HotColdFreq
  * regime: all-cold, all-hot, and mixed — plus the sentinel-collision
  * pin (a hot row scattered onto a REAL cold key's value must keep its
  * broadcast frequency). */
+/** Latches for the lost-update race test: statics so the task closure
+ * reaches them without serializing the suite. */
+object HotColdFreqSpec {
+  val raceFired = new java.util.concurrent.CountDownLatch(1)
+  val raceDone = new java.util.concurrent.CountDownLatch(1)
+}
+
 class HotColdFreqSpec extends AnyFunSuite {
   import SparkTestBase.{spark, sf}
 
@@ -365,16 +372,24 @@ class HotColdFreqSpec extends AnyFunSuite {
     // inside — an unconditional skip would silently lose a new
     // batch's delta (r17 second-review finding).
     val tbl = "graft_freqswap_spec"
-    val staging = tbl + "__refresh_staging"
+    // staging names are token-derived (each batch owns its staging);
+    // crash debris is therefore named by the CRASHED call's token,
+    // and recovery must find it by prefix scan, not by this call's name
+    def stagingOf(token: String) = HotColdFreq.stagingName(tbl, token)
+    val allNames = Seq(tbl, stagingOf(""), stagingOf("b1"), stagingOf("b2"),
+      stagingOf("b3"), stagingOf("b4"))
     def crashState(token: String): Unit = {
-      Seq(tbl, staging).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      allNames.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       HotColdFreq.freqTable(Seq((1L, 7L), (2L, 7L), (3L, 8L))
-        .toDF("doc_id", "h"), "h", "g", lit(1L), staging)
-      if (token.nonEmpty) spark.sql(s"ALTER TABLE $staging SET " +
+        .toDF("doc_id", "h"), "h", "g", lit(1L), stagingOf(token))
+      if (token.nonEmpty) spark.sql(s"ALTER TABLE ${stagingOf(token)} SET " +
         s"TBLPROPERTIES ('${HotColdFreq.TokenProp}' = '$token')")
     }
     def freqs = spark.table(tbl).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def tokenProp = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .properties.get(HotColdFreq.TokenProp)
     val delta = Seq((9L, 7L)).toDF("doc_id", "h")
     try {
       // (1) same token: the crashed call WAS this batch — finish the
@@ -384,15 +399,18 @@ class HotColdFreqSpec extends AnyFunSuite {
         refreshToken = "b1")
       assert(freqs == Map(7L -> 2L, 8L -> 1L),
         "a same-token recovery must not re-apply the delta")
-      assert(!spark.catalog.tableExists(staging),
+      assert(!spark.catalog.tableExists(stagingOf("b1")),
         "recovery must complete the rename")
       // (2) different token: a NEW batch arriving after the crash —
-      // finish the swap AND apply this delta on the recovered table
+      // finish the swap AND apply this delta on the recovered table;
+      // the applied-token history must then carry BOTH batches
       crashState("b1")
       HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
         refreshToken = "b2")
       assert(freqs == Map(7L -> 3L, 8L -> 1L),
         "a new-token recovery must apply its delta")
+      assert(tokenProp.contains("b2,b1"),
+        s"the history must accumulate through recovery, got $tokenProp")
       // (3) token-less: ambiguous — the swap completes (the table is
       // healthy) but the call fails loudly instead of guessing
       crashState("")
@@ -403,10 +421,9 @@ class HotColdFreqSpec extends AnyFunSuite {
       assert(freqs == Map(7L -> 2L, 8L -> 1L),
         "the token-less recovery must still install the staging merge")
       // (4) a garbage staging (wrong schema) is rejected BEFORE install
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      allNames.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       Seq((7L, 1L, "x")).toDF("h", "g", "junk").write.format("parquet")
-        .bucketBy(4, "h").sortBy("h").saveAsTable(staging)
+        .bucketBy(4, "h").sortBy("h").saveAsTable(stagingOf("junk1"))
       val ex2 = intercept[IllegalArgumentException] {
         HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
           refreshToken = "b3")
@@ -414,8 +431,41 @@ class HotColdFreqSpec extends AnyFunSuite {
       assert(ex2.getMessage.contains("orphaned staging"))
       assert(!spark.catalog.tableExists(tbl),
         "a rejected staging must not be installed as the target")
+      // (5) a staging whose freq column is not LONG is rejected too —
+      // installing it would silently widen the artifact's freq type
+      // through later merges' coalesce+sum (r18: r17 ADVICE item)
+      allNames.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql(s"DROP TABLE IF EXISTS ${stagingOf("junk1")}")
+      Seq((7L, 1)).toDF("h", "g").write.format("parquet")
+        .bucketBy(4, "h").sortBy("h").saveAsTable(stagingOf("junk2"))
+      val ex3 = intercept[IllegalArgumentException] {
+        HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+          refreshToken = "b4")
+      }
+      assert(ex3.getMessage.contains("orphaned staging"))
+      assert(!spark.catalog.tableExists(tbl),
+        "an INT-freq staging must not be installed as the target")
+      // (6) MULTIPLE surviving stagings: concurrent crashes cannot be
+      // ordered — fail loudly, install nothing
+      allNames.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql(s"DROP TABLE IF EXISTS ${stagingOf("junk2")}")
+      Seq("x1", "x2").foreach { t =>
+        HotColdFreq.freqTable(Seq((1L, 7L)).toDF("doc_id", "h"),
+          "h", "g", lit(1L), stagingOf(t))
+      }
+      val ex4 = intercept[IllegalArgumentException] {
+        HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+          refreshToken = "b4")
+      }
+      assert(ex4.getMessage.contains("MULTIPLE"))
+      assert(!spark.catalog.tableExists(tbl),
+        "ambiguous recovery must not install either staging")
+      Seq("x1", "x2").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${stagingOf(t)}"))
     } finally
-      Seq(tbl, staging).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      (allNames ++ Seq(stagingOf("junk1"), stagingOf("junk2"),
+        stagingOf("x1"), stagingOf("x2")))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("zero-net keys are absent in EVERY sourcing (withFreq ≡ freqTable)") {
@@ -577,5 +627,221 @@ class HotColdFreqSpec extends AnyFunSuite {
       }
       assert(ex3.getMessage.contains("key type mismatch"))
     } finally spark.sql(s"DROP TABLE IF EXISTS $typed")
+  }
+
+  test("token HISTORY: a delayed re-run of an OLDER batch is a no-op") {
+    import spark.implicits._
+    // the r17 ADVICE scenario: batch N's re-run arrives only after
+    // batch N+1 committed. A single-token property would read a
+    // mismatch and double-apply N; the bounded history catches it.
+    val tbl = "graft_freqhist_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      HotColdFreq.freqTable(Seq((1L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), tbl)
+      val delta = Seq((2L, 7L)).toDF("doc_id", "h")
+      def freqs = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def tokenProp = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .properties(HotColdFreq.TokenProp)
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+        refreshToken = "n1")
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+        refreshToken = "n2")
+      assert(freqs == Map(7L -> 3L))
+      assert(tokenProp == "n2,n1",
+        s"history must be newest-first, got $tokenProp")
+      // the delayed re-run of n1 — AFTER n2 committed — must no-op
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+        refreshToken = "n1")
+      assert(freqs == Map(7L -> 3L),
+        "a delayed re-run of an older applied batch must be a no-op")
+      assert(tokenProp == "n2,n1",
+        "a no-op re-run must not move the history")
+      // a token-LESS refresh interleaved into a tokened stream must
+      // CARRY the history forward (the staging table is fresh and has
+      // no properties) — wiping it would let a later delayed re-run of
+      // n1/n2 double-apply
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl)
+      assert(freqs == Map(7L -> 4L))
+      assert(tokenProp == "n2,n1",
+        "a token-less refresh must not wipe the applied-token history")
+      HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+        refreshToken = "n2")
+      assert(freqs == Map(7L -> 4L),
+        "history must stay effective across a token-less refresh")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("token history is BOUNDED: TokenHistorySize batches, oldest evicted") {
+    import spark.implicits._
+    // the horizon contract: re-runs are detectable only within the
+    // last TokenHistorySize batches — the property must not grow
+    // without bound (it rides every ALTER/DESCRIBE), and eviction is
+    // oldest-first
+    val tbl = "graft_freqhistbound_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      HotColdFreq.freqTable(Seq((1L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), tbl)
+      val delta = Seq((2L, 7L)).toDF("doc_id", "h")
+      val n = HotColdFreq.TokenHistorySize + 1
+      (1 to n).foreach { i =>
+        HotColdFreq.freqTableRefresh(delta, "h", "g", lit(1L), tbl,
+          refreshToken = s"t$i")
+      }
+      val hist = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .properties(HotColdFreq.TokenProp).split(",").toSeq
+      assert(hist.length == HotColdFreq.TokenHistorySize,
+        s"history must hold exactly TokenHistorySize entries, got " +
+          s"${hist.length}")
+      assert(hist.head == s"t$n" && !hist.contains("t1"),
+        s"eviction must be oldest-first, got $hist")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("staging names are token-derived, deterministic, metastore-safe") {
+    // two batches must never share a staging table (the r17 ADVICE
+    // clobber: caller B DROPs caller A's in-flight staging); recovery
+    // relies on determinism (a re-run regenerates the same name)
+    def n(t: String) = HotColdFreq.stagingName("tbl", t)
+    assert(n("") == "tbl__refresh_staging")
+    assert(n("b1") == n("b1"), "same token must regenerate the same name")
+    assert(n("b1") != n("b2"))
+    // sanitization maps [.:-] to '_'; the md5 fragment keeps the
+    // collapsed forms distinct
+    assert(Set(n("a.b"), n("a_b"), n("a:b"), n("a-b")).size == 4,
+      "sanitization collisions must stay distinct via the hash fragment")
+    // long tokens truncate but stay distinct through the hash
+    val long1 = "x" * 60 + "1"; val long2 = "x" * 60 + "2"
+    assert(n(long1) != n(long2))
+    // every generated name is metastore-safe ([A-Za-z0-9_])
+    for (t <- Seq("b1", "a.b:c-d_e", long1))
+      assert(n(t).matches("[A-Za-z0-9_]+"), s"unsafe name ${n(t)}")
+  }
+
+  test("a refresh that loses a race to ANOTHER batch fails loudly") {
+    import spark.implicits._
+    // the lost-update race (r17 ADVICE): two refreshes read the same
+    // base; the second swap would silently discard the first's delta.
+    // Simulate the interleaving deterministically: this delta's FIRST
+    // evaluation (inside the staging write, after the entry metadata
+    // read) advances the served table's applied-token history exactly
+    // as a concurrent commit would — the pre-swap check must fail
+    // loudly and leave the table serving the "other" batch's state.
+    val tbl = "graft_freqrace_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      HotColdFreq.freqTable(Seq((1L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), tbl)
+      HotColdFreq.freqTableRefresh(Seq((2L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), tbl, refreshToken = "r1")
+      // the delta's single task signals a driver-side "intruder"
+      // thread and WAITS until it has committed (advanced the served
+      // table's applied-token history) — a deterministic interleaving
+      // landing between the refresh's entry metadata read and its
+      // pre-swap check (SQL cannot run from a task thread, so the
+      // catalog mutation stays on the driver)
+      import HotColdFreqSpec.{raceFired, raceDone}
+      val trap = spark.range(0, 1, 1, numPartitions = 1)
+        .mapPartitions { it =>
+          raceFired.countDown()
+          raceDone.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          it
+        }.toDF("doc_id").withColumn("h", lit(7L))
+      val intruder = new Thread(() => {
+        raceFired.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+          s"('${HotColdFreq.TokenProp}' = 'intruder,r1')")
+        raceDone.countDown()
+      })
+      intruder.start()
+      val ex = intercept[IllegalArgumentException] {
+        HotColdFreq.freqTableRefresh(trap, "h", "g", lit(1L), tbl,
+          refreshToken = "r2")
+      }
+      intruder.join(60000)
+      assert(ex.getMessage.contains("CONCURRENTLY"))
+      val out = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(7L -> 2L),
+        "the stale merge must NOT be installed over the intruder's table")
+      assert(!spark.catalog.tableExists(HotColdFreq.stagingName(tbl, "r2")),
+        "the stale staging must be dropped — a crash recovery that " +
+          "installed it would BE the lost update")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(
+        s"DROP TABLE IF EXISTS ${HotColdFreq.stagingName(tbl, "r2")}")
+    }
+  }
+
+  test("refresh merge plan: the bucketed table side pays no exchange") {
+    // the scaladoc's scale claim, pinned on the executed plan: in the
+    // refresh-shaped full-outer sort-merge (forced SMJ, as a 140M-key
+    // table would be), the TABLE side must read bucketed and reach the
+    // join without a ShuffleExchange — only the delta side shuffles.
+    // (Sort is NOT claimed: Spark 4 bucketed scans do not report
+    // per-bucket sort order, so both sides sort; the elided corpus
+    // aggregation + exchange is where the measured 4.3–4.7× lives.)
+    val tbl = "graft_freqplan_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      HotColdFreq.freqTable(bigrams, "h", "g", lit(1L), tbl)
+      // mirror freqTableRefresh's merge (HotColdFreq.scala: dAgg +
+      // full_outer + coalesce-sum + zero-drop) — the write-side plan
+      // itself is not inspectable post-hoc, so pin the join shape here
+      val delta = bigrams.limit(500)
+      val dAgg = delta.filter(col("h").isNotNull).groupBy(col("h"))
+        .agg(sum(lit(1L)).cast("long").as("__delta_f"))
+      val merged = spark.table(tbl).withColumnRenamed("g", "__base_f")
+        .join(dAgg, Seq("h"), "full_outer")
+        .select(col("h"), (coalesce(col("__base_f"), lit(0L)) +
+          coalesce(col("__delta_f"), lit(0L))).as("g"))
+        .filter(col("g") =!= 0L)
+      val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val saved = confs.map(k => k -> spark.conf.getOption(k))
+      // (bucketedScan, is some exchange an ANCESTOR of this scan)
+      var tableScans = List.empty[(Boolean, Boolean)]
+      var exchanges = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan,
+               underExchange: Boolean): Unit = {
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan, underExchange)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan, underExchange)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths.exists(
+                _.toString.contains(tbl)) =>
+            tableScans ::= (f.bucketedScan, underExchange)
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            exchanges += 1
+            e.children.foreach(walk(_, underExchange = true))
+          case _ =>
+            p.children.foreach(walk(_, underExchange))
+        }
+      }
+      try {
+        confs.foreach(spark.conf.set(_, "-1"))
+        merged.queryExecution.toRdd.count()
+        walk(merged.queryExecution.executedPlan, underExchange = false)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      assert(tableScans == List((true, false)),
+        "the table side must read bucketed with NO exchange above it, " +
+          s"got (bucketed, underExchange) = $tableScans")
+      // the delta side legitimately shuffles once for its aggregation
+      // and may pay ONE more to re-align with the bucket width when
+      // AQE coalesces the agg output (both delta-sized — the corpus
+      // never shuffles); anything beyond that is a plan regression
+      assert(exchanges >= 1 && exchanges <= 2,
+        s"only the DELTA side may shuffle (1-2 exchanges), got $exchanges")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 }

@@ -956,6 +956,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("releaseLocalCheckpoint actually drops the checkpoint's blocks") {
+    // the helper reaches into a NON-PUBLIC plan shape (localCheckpoint
+    // exposed as a LogicalRDD leaf): a Spark upgrade that re-wraps the
+    // checkpoint would silently degrade deep BFS sweeps back to the
+    // GC-reliant r16 behavior (blocks accumulate until the
+    // ContextCleaner fires). Pin BOTH halves loudly: the leaf is still
+    // findable, and unpersisting it really removes the persisted RDD
+    // (r17 verdict note 3).
+    val sc = spark.sparkContext
+    val ckpt = spark.range(0, 1000).toDF("v").localCheckpoint(true)
+    val rddIds = ckpt.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+    assert(rddIds.nonEmpty,
+      "localCheckpoint no longer analyzes to a LogicalRDD leaf — " +
+        "releaseLocalCheckpoint has become a silent no-op on this " +
+        "Spark version; rework it (graphBfsDist would otherwise hold " +
+        "every truncation's MEMORY_AND_DISK blocks until GC)")
+    assert(rddIds.forall(sc.getPersistentRDDs.contains),
+      "an eager localCheckpoint must persist its backing RDD")
+    graft.queries.LlmOps.releaseLocalCheckpoint(ckpt)
+    // unpersist(blocking = false) still deregisters synchronously —
+    // only the block deletion is async
+    assert(rddIds.forall(id => !sc.getPersistentRDDs.contains(id)),
+      "releaseLocalCheckpoint must deregister the checkpoint's RDD")
+  }
+
   test("AQE coalesces post-shuffle partitions on small data") {
     // the configured 32 shuffle partitions are a scale setting; on tiny
     // inputs AQE must shrink the aggregation exchange's read side rather
