@@ -369,6 +369,14 @@ object HotColdFreq {
         (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || "-_.:".contains(c)),
       s"freqTableRefresh: token must be [A-Za-z0-9._:-]*, got '$refreshToken'")
+    // bounded so the comma-joined 16-deep history stays under external
+    // metastore property limits (Hive's PARAM_VALUE is varchar(4000);
+    // a truncated token would no longer match its own re-run — the
+    // exact double-apply the history exists to prevent). 128*16+15 <
+    // 2.1KB. (r18 review finding)
+    require(refreshToken.length <= 128,
+      s"freqTableRefresh: token must be <= 128 chars, got " +
+        s"${refreshToken.length}")
     val cat = spark.sessionState.catalog
     // parse, don't wrap: TableIdentifier(raw) would treat 'db.tbl' as
     // a single-part name and the SQL below would backtick the dot
@@ -397,10 +405,17 @@ object HotColdFreq {
       val db = ident.database.getOrElse(cat.getCurrentDatabase)
       // catalog tables only: a local temp VIEW matching the prefix has
       // no catalog metadata to validate (getTableMetadata would throw
-      // on debris that isn't even a table)
+      // on debris that isn't even a table). Compare LOWERCASED: the
+      // catalog stores formatted (lowercased) names, so a mixed-case
+      // tableName's prefix would never match the returned identifiers
+      // and recovery would silently report "table does not exist" (r18
+      // review finding).
+      val prefixLc = stagingPrefix(ident.table).toLowerCase(
+        java.util.Locale.ROOT)
       val orphans = cat.listTables(db, stagingPrefix(ident.table) + "*",
           includeLocalTempViews = false)
-        .filter(_.table.startsWith(stagingPrefix(ident.table)))
+        .filter(_.table.toLowerCase(java.util.Locale.ROOT)
+          .startsWith(prefixLc))
       require(orphans.size <= 1,
         s"freqTableRefresh: table '$tableName' is missing and MULTIPLE " +
           s"staging tables survive (${orphans.map(_.table).mkString(", ")})" +
@@ -464,19 +479,7 @@ object HotColdFreq {
       s"freqTableRefresh: key type mismatch — table has " +
         s"${old.schema(keyCol).dataType}, delta has " +
         s"${delta.schema(keyCol).dataType}")
-    val dAgg = delta.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol))
-      .agg(sum(weight).cast("long").as(freqName))
-    val merged = old.withColumnRenamed(freqName, "__base_f")
-      .join(dAgg.withColumnRenamed(freqName, "__delta_f"),
-        Seq(keyCol), "full_outer")
-      .select(col(keyCol),
-        (coalesce(col("__base_f"), lit(0L)) +
-          coalesce(col("__delta_f"), lit(0L))).as(freqName))
-      // zero-sum keys vanish, matching a rebuild under retraction
-      // (the build filters the same way, so the invariant holds
-      // through any build/refresh interleaving)
-      .filter(col(freqName) =!= 0L)
+    val merged = refreshMerge(old, delta, keyCol, freqName, weight)
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     merged.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)
@@ -502,11 +505,21 @@ object HotColdFreq {
     // loudly instead (a token-less concurrent pair is undetectable —
     // the single-writer discipline in the CONCURRENCY note is the
     // contract; this check just turns most violations into errors).
-    // The stale staging is dropped FIRST: it has no recovery value (a
-    // crash recovery that installed it would BE the lost update), and
-    // leaving it would poison a later orphan scan.
-    if (cat.getTableMetadata(ident).properties.get(TokenProp) !=
-        meta.properties.get(TokenProp)) {
+    // The re-read is GUARDED: a concurrent writer inside its own
+    // DROP→RENAME window makes the target momentarily missing, which
+    // is the same staleness verdict, not an internal error (r18
+    // review finding). The stale staging is dropped FIRST: it has no
+    // recovery value (a crash recovery that installed it would BE the
+    // lost update), and leaving it would poison a later orphan scan.
+    val servedNow =
+      if (cat.tableExists(ident))
+        try Some(cat.getTableMetadata(ident).properties.get(TokenProp))
+        catch {
+          case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+            None
+        }
+      else None
+    if (!servedNow.contains(meta.properties.get(TokenProp))) {
       spark.sql(s"DROP TABLE IF EXISTS $staging")
       throw new IllegalArgumentException(
         s"freqTableRefresh: table '$tableName' was refreshed CONCURRENTLY " +
@@ -517,6 +530,30 @@ object HotColdFreq {
     spark.sql(s"DROP TABLE $target")
     spark.sql(s"ALTER TABLE $staging RENAME TO $target")
     spark.table(target)
+  }
+
+  /** [[freqTableRefresh]]'s merge: delta-sized aggregation full-outer
+   * joined against the served table, frequencies summed, zero-sum
+   * keys dropped (matching a rebuild under retraction — the build
+   * filters the same way, so the invariant holds through any
+   * build/refresh interleaving). Split out and private[graft] so the
+   * executed-plan pin (HotColdFreqSpec: table side bucketed, no
+   * exchange above it) inspects the PRODUCTION merge rather than a
+   * hand-copied mirror that could silently drift (r18 review
+   * finding). */
+  private[graft] def refreshMerge(old: DataFrame, delta: DataFrame,
+                                  keyCol: String, freqName: String,
+                                  weight: Column): DataFrame = {
+    val dAgg = delta.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(weight).cast("long").as(freqName))
+    old.withColumnRenamed(freqName, "__base_f")
+      .join(dAgg.withColumnRenamed(freqName, "__delta_f"),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("__base_f"), lit(0L)) +
+          coalesce(col("__delta_f"), lit(0L))).as(freqName))
+      .filter(col(freqName) =!= 0L)
   }
 
   /** Table property carrying [[freqTableRefresh]]'s exactly-once

@@ -13,10 +13,13 @@ import graft.plans.HotColdFreq
  * pin (a hot row scattered onto a REAL cold key's value must keep its
  * broadcast frequency). */
 /** Latches for the lost-update race test: statics so the task closure
- * reaches them without serializing the suite. */
+ * reaches them without serializing the suite; VARS re-assigned fresh
+ * at each test start so a second run in the same JVM does not find
+ * spent latches and lose the deterministic interleaving (r18 review
+ * finding). */
 object HotColdFreqSpec {
-  val raceFired = new java.util.concurrent.CountDownLatch(1)
-  val raceDone = new java.util.concurrent.CountDownLatch(1)
+  @volatile var raceFired = new java.util.concurrent.CountDownLatch(1)
+  @volatile var raceDone = new java.util.concurrent.CountDownLatch(1)
 }
 
 class HotColdFreqSpec extends AnyFunSuite {
@@ -629,6 +632,45 @@ class HotColdFreqSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $typed")
   }
 
+  test("crash recovery finds the orphan under a MIXED-CASE table name") {
+    import spark.implicits._
+    // the catalog stores formatted (lowercased) names; a case-sensitive
+    // prefix match would silently skip the orphan and tell the caller
+    // to rebuild — discarding the crashed batch's completed merge (r18
+    // review finding)
+    val tbl = "graft_FreqSwap_CASE_spec"
+    val staging = HotColdFreq.stagingName(tbl, "c1")
+    try {
+      Seq(tbl, staging).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      HotColdFreq.freqTable(Seq((1L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), staging)
+      spark.sql(s"ALTER TABLE $staging SET TBLPROPERTIES " +
+        s"('${HotColdFreq.TokenProp}' = 'c1')")
+      // same-token re-run: must find + install the orphan and no-op
+      HotColdFreq.freqTableRefresh(Seq((9L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), tbl, refreshToken = "c1")
+      val out = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(7L -> 1L),
+        "mixed-case recovery must install the orphaned merge, not rebuild")
+    } finally
+      Seq(tbl, staging).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("tokens longer than 128 chars are rejected loudly") {
+    import spark.implicits._
+    // 16 such tokens comma-joined must stay under external metastore
+    // property-value limits; a silently truncated token would no
+    // longer match its own re-run — the double-apply the history
+    // exists to prevent (r18 review finding)
+    val ex = intercept[IllegalArgumentException] {
+      HotColdFreq.freqTableRefresh(Seq((1L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), "graft_toolong_spec",
+        refreshToken = "t" * 129)
+    }
+    assert(ex.getMessage.contains("128"))
+  }
+
   test("token HISTORY: a delayed re-run of an OLDER batch is a no-op") {
     import spark.implicits._
     // the r17 ADVICE scenario: batch N's re-run arrives only after
@@ -744,18 +786,22 @@ class HotColdFreqSpec extends AnyFunSuite {
       // landing between the refresh's entry metadata read and its
       // pre-swap check (SQL cannot run from a task thread, so the
       // catalog mutation stays on the driver)
-      import HotColdFreqSpec.{raceFired, raceDone}
+      HotColdFreqSpec.raceFired = new java.util.concurrent.CountDownLatch(1)
+      HotColdFreqSpec.raceDone = new java.util.concurrent.CountDownLatch(1)
       val trap = spark.range(0, 1, 1, numPartitions = 1)
         .mapPartitions { it =>
-          raceFired.countDown()
-          raceDone.await(60, java.util.concurrent.TimeUnit.SECONDS)
+          // read the CURRENT latches at task runtime (same JVM)
+          HotColdFreqSpec.raceFired.countDown()
+          HotColdFreqSpec.raceDone.await(
+            60, java.util.concurrent.TimeUnit.SECONDS)
           it
         }.toDF("doc_id").withColumn("h", lit(7L))
       val intruder = new Thread(() => {
-        raceFired.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        HotColdFreqSpec.raceFired.await(
+          60, java.util.concurrent.TimeUnit.SECONDS)
         spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
           s"('${HotColdFreq.TokenProp}' = 'intruder,r1')")
-        raceDone.countDown()
+        HotColdFreqSpec.raceDone.countDown()
       })
       intruder.start()
       val ex = intercept[IllegalArgumentException] {
@@ -790,17 +836,11 @@ class HotColdFreqSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     try {
       HotColdFreq.freqTable(bigrams, "h", "g", lit(1L), tbl)
-      // mirror freqTableRefresh's merge (HotColdFreq.scala: dAgg +
-      // full_outer + coalesce-sum + zero-drop) — the write-side plan
-      // itself is not inspectable post-hoc, so pin the join shape here
-      val delta = bigrams.limit(500)
-      val dAgg = delta.filter(col("h").isNotNull).groupBy(col("h"))
-        .agg(sum(lit(1L)).cast("long").as("__delta_f"))
-      val merged = spark.table(tbl).withColumnRenamed("g", "__base_f")
-        .join(dAgg, Seq("h"), "full_outer")
-        .select(col("h"), (coalesce(col("__base_f"), lit(0L)) +
-          coalesce(col("__delta_f"), lit(0L))).as("g"))
-        .filter(col("g") =!= 0L)
+      // the PRODUCTION merge (refreshMerge is exactly what
+      // freqTableRefresh writes to staging) — the write-side plan is
+      // not inspectable post-hoc, so pin the production join here
+      val merged = HotColdFreq.refreshMerge(spark.table(tbl),
+        bigrams.limit(500), "h", "g", lit(1L))
       val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold")
       val saved = confs.map(k => k -> spark.conf.getOption(k))
