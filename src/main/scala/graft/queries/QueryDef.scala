@@ -125,11 +125,22 @@ object Q {
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally walk.close()
+    // a CONCURRENT deleter (cross-process gc) can vanish the tree
+    // between the exists probe and any step of the walk — both the
+    // bare NoSuchFileException (from walk open) and Files.walk's
+    // traversal-time UncheckedIOException wrapper mean "someone else
+    // already deleted it", which is this method's success condition
+    try {
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    } catch {
+      case _: java.nio.file.NoSuchFileException => ()
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
     }
   }
 

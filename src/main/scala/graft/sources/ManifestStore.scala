@@ -81,15 +81,24 @@ object ManifestStore {
   private def manifestFile(store: Path, stamp: String): Path =
     store.resolve(s"manifest_$stamp")
 
-  /** All published manifest files in the store. */
-  private def manifestFiles(store: Path): Vector[Path] = {
-    if (!Files.isDirectory(store)) return Vector.empty
-    val l = Files.list(store)
-    try l.iterator().asScala
-      .filter(_.getFileName.toString.startsWith("manifest_"))
-      .toVector
-    finally l.close()
+  /** List a directory's children, tolerating the dir itself vanishing
+   * (or never existing): a CONCURRENT process's gc deleting state
+   * mid-listing is within this protocol's threat model, and the right
+   * reading is always "nothing here", never a crash out of the
+   * caller's build (r18 review findings). */
+  private def listDir(p: Path): Vector[Path] = {
+    if (!Files.isDirectory(p)) return Vector.empty
+    try {
+      val l = Files.list(p)
+      try l.iterator().asScala.toVector finally l.close()
+    } catch {
+      case _: java.nio.file.NoSuchFileException => Vector.empty
+    }
   }
+
+  /** All published manifest files in the store. */
+  private def manifestFiles(store: Path): Vector[Path] =
+    listDir(store).filter(_.getFileName.toString.startsWith("manifest_"))
 
   private def parse(file: Path): Manifest = {
     val stamp = file.getFileName.toString.stripPrefix("manifest_")
@@ -106,6 +115,20 @@ object ManifestStore {
     Manifest(stamp, entries)
   }
 
+  /** [[parse]] tolerating the manifest file vanishing between the
+   * listing and the read — a concurrent gc deleting a superseded
+   * manifest mid-race. A vanished manifest reads exactly like an
+   * invalid one: skipped, never a crash (the same posture
+   * [[valid]] takes for vanished SEGMENTS). */
+  private def parseIfPresent(file: Path): Option[Manifest] =
+    try Some(parse(file))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
+  /** Last-modified millis, with a vanished file sorting oldest. */
+  private def mtimeOrZero(p: Path): Long =
+    try Files.getLastModifiedTime(p).toMillis
+    catch { case _: java.nio.file.NoSuchFileException => 0L }
+
   /** Every referenced segment-partition dir must exist, or the
    * manifest is broken (cross-process GC race) and must be rebuilt. */
   private def valid(store: Path, m: Manifest): Boolean =
@@ -116,34 +139,45 @@ object ManifestStore {
    * publish a fresh one under the same name. */
   def currentManifest(store: Path, stamp: String): Option[Manifest] = {
     val f = manifestFile(store, stamp)
-    if (!Files.exists(f)) None
-    else {
-      val m = parse(f)
+    parseIfPresent(f).flatMap { m =>
       if (valid(store, m)) Some(m)
       else { Files.deleteIfExists(f); None }
     }
   }
 
   /** The newest intact manifest of a DIFFERENT stamp — the incremental
-   * base for a refresh (None → full build). */
+   * base for a refresh (None → full build). Vanished files (a
+   * concurrent gc mid-listing) are skipped like invalid ones. */
   def newestOtherManifest(store: Path, excludeStamp: String): Option[Manifest] =
     manifestFiles(store)
       .filter(_.getFileName.toString != s"manifest_$excludeStamp")
-      .sortBy(p => Files.getLastModifiedTime(p).toMillis)
+      .sortBy(mtimeOrZero)
       .reverseIterator
-      .map(parse)
+      .flatMap(parseIfPresent)
       .find(valid(store, _))
 
   private val segSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-JVM token in staging/segment names: PID + counter alone is
+   * NOT unique across PID recycling — a crashed builder's leftover
+   * `seg_<pid>_<n>` plus a new process recycling that pid (counter
+   * restarting at 1) would collide in [[finalizeSeg]]'s rename (r18
+   * review finding). [[ownerAlive]] still finds the pid: it takes the
+   * FIRST all-digit underscore token, and the pid precedes this. */
+  private val jvmToken: String =
+    java.lang.Long.toUnsignedString(System.nanoTime(), 36)
 
   /** A fresh staging dir under `segs/` — invisible to GC until
    * [[finalizeSeg]] renames it to its published name. */
   def newSegStaging(store: Path): Path =
     store.resolve("segs").resolve(
-      ".stage_" + ProcessHandle.current().pid() + "_" + segSeq.incrementAndGet())
+      ".stage_" + ProcessHandle.current().pid() + "_" + jvmToken +
+        "_" + segSeq.incrementAndGet())
 
   /** Publish a fully-written staged segment (one rename; the name is
-   * unique per invocation, so this cannot collide). */
+   * unique per invocation — pid + per-JVM token + counter — so this
+   * cannot collide, even with a crashed predecessor's leftovers under
+   * a recycled pid). */
   def finalizeSeg(staging: Path): Path = {
     val target = staging.resolveSibling(
       "seg_" + staging.getFileName.toString.stripPrefix(".stage_"))
@@ -162,15 +196,20 @@ object ManifestStore {
    * A segment written from an empty frame has none. */
   def bucketChildren(store: Path, seg: Path,
                      dirCol: String = "bucket"): Seq[(Int, String)] = {
-    if (!Files.isDirectory(seg)) return Seq.empty
-    val kids = {
-      val l = Files.list(seg)
-      try l.iterator().asScala.toVector finally l.close()
-    }
-    kids.flatMap { p =>
+    listDir(seg).flatMap { p =>
       val n = p.getFileName.toString
       if (n.startsWith(dirCol + "=") && Files.isDirectory(p)) {
-        val b = n.stripPrefix(dirCol + "=").toInt
+        val v = n.stripPrefix(dirCol + "=")
+        // a null partition key writes `<dirCol>=__HIVE_DEFAULT_PARTITION__`
+        // — name the cause instead of a bare NumberFormatException; a
+        // null bucket key means the writer's key derivation is broken
+        // (every bucket expression here is pmod over a non-null hash)
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"ManifestStore: segment $seg has a non-integer $dirCol " +
+            s"partition '$n' — null or non-integer bucket keys cannot " +
+            "be published (null rows must be filtered or keyed before " +
+            "the bucketed write)")
+        val b = v.toInt
         val target = p.resolveSibling(s"${dirCol}_$b")
         Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
         Some(b -> store.relativize(target).toString)
@@ -389,40 +428,34 @@ object ManifestStore {
     manifestFiles(store)
       .filter(_.getFileName.toString != s"manifest_$keepStamp")
       .foreach(Files.deleteIfExists(_))
+    // vanished-mid-race manifests contribute no references — their
+    // segments are either the other gc's problem (it holds the newer
+    // manifest set) or genuinely superseded
     val referenced: Set[String] =
-      manifestFiles(store).flatMap(parse(_).entries.map(_.rel)).toSet
+      manifestFiles(store).flatMap(parseIfPresent)
+        .flatMap(_.entries.map(_.rel)).toSet
     // a crashed writer's temp manifest is dead weight too
-    if (Files.isDirectory(store)) {
-      val l = Files.list(store)
-      try l.iterator().asScala.toVector.foreach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith(".manifest_tmp_") && !stageLive(p))
-          Files.deleteIfExists(p)
-      } finally l.close()
+    listDir(store).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(".manifest_tmp_") && !stageLive(p))
+        Files.deleteIfExists(p)
     }
-    val segsDir = store.resolve("segs")
-    if (Files.isDirectory(segsDir)) {
-      val segs = {
-        val l = Files.list(segsDir)
-        try l.iterator().asScala.toVector finally l.close()
-      }
-      segs.foreach { seg =>
-        val name = seg.getFileName.toString
-        if (name.startsWith(".stage_")) {
-          if (!stageLive(seg)) Q.deleteRecursively(seg)
-        } else {
-          val kids = {
-            val l = Files.list(seg)
-            try l.iterator().asScala.toVector finally l.close()
-          }
-          val (dirs, files) = kids.partition(Files.isDirectory(_))
-          val (kept, dead) =
-            dirs.partition(d => referenced.contains(store.relativize(d).toString))
-          dead.foreach(Q.deleteRecursively)
-          if (kept.isEmpty) { // only loose files (_SUCCESS) remain
-            files.foreach(Files.deleteIfExists(_))
-            Q.deleteRecursively(seg)
-          }
+    listDir(store.resolve("segs")).foreach { seg =>
+      val name = seg.getFileName.toString
+      if (name.startsWith(".stage_")) {
+        if (!stageLive(seg)) Q.deleteRecursively(seg)
+      } else {
+        // a concurrent gc may delete this seg between the listing and
+        // here — an empty child list then keeps `kept` empty and the
+        // recursive delete below is a no-op on the vanished dir
+        val kids = listDir(seg)
+        val (dirs, files) = kids.partition(Files.isDirectory(_))
+        val (kept, dead) =
+          dirs.partition(d => referenced.contains(store.relativize(d).toString))
+        dead.foreach(Q.deleteRecursively)
+        if (kept.isEmpty) { // only loose files (_SUCCESS) remain
+          files.foreach(Files.deleteIfExists(_))
+          Q.deleteRecursively(seg)
         }
       }
     }
@@ -548,13 +581,25 @@ object ManifestStore {
                       dirCol: String = "bucket"): Seq[Entry] = {
     import org.apache.spark.sql.functions._
     if (kids.isEmpty) return Seq.empty
+    // anchored to the file's PARENT directory segment: the unanchored
+    // pattern matched the first '<dirCol>_<digits>/' ANYWHERE in the
+    // URI (a tmpdir containing such a segment mis-attributed every
+    // file), and a no-match returned "" whose toInt threw a bare
+    // NumberFormatException (r18 review finding)
     val counts = s.read
       .parquet(kids.map(k => store.resolve(k._2).toString): _*)
       .groupBy(regexp_extract(input_file_name(),
-        java.util.regex.Pattern.quote(dirCol + "_") + "([0-9]+)/", 1).as("b"))
+        "/" + java.util.regex.Pattern.quote(dirCol + "_") +
+          "([0-9]+)/[^/]+$", 1).as("b"))
       .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0).toInt -> r.getLong(1)).toMap
-    kids.map { case (b, rel) => Entry(kind, b, rel, counts.getOrElse(b, 0L)) }
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(!counts.contains(""),
+      s"ManifestStore: could not attribute some files under " +
+        s"${kids.map(_._2).mkString(", ")} to a ${dirCol}_<n> parent — " +
+        "the published layout must keep data files directly inside " +
+        "their bucket dir")
+    val byBucket = counts.map { case (k, v) => k.toInt -> v }
+    kids.map { case (b, rel) => Entry(kind, b, rel, byBucket.getOrElse(b, 0L)) }
   }
 
   /** Schema-pinned multi-root read of one `kind`'s referenced
@@ -588,17 +633,11 @@ object ManifestStore {
     val paths = rels.groupBy(r => r.substring(0, r.lastIndexOf('/')))
       .toSeq.flatMap { case (parentRel, rs) =>
         val seg = store.resolve(parentRel)
-        val onDisk: Set[String] =
-          if (!Files.isDirectory(seg)) Set.empty
-          else {
-            val l = Files.list(seg)
-            try l.iterator().asScala
-              .filter(p => Files.isDirectory(p) &&
-                !p.getFileName.toString.startsWith("_") &&
-                !p.getFileName.toString.startsWith("."))
-              .map(p => store.relativize(p).toString).toSet
-            finally l.close()
-          }
+        val onDisk: Set[String] = listDir(seg)
+          .filter(p => Files.isDirectory(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith("."))
+          .map(p => store.relativize(p).toString).toSet
         if (onDisk.nonEmpty && onDisk == rs.toSet) Seq(seg.toString)
         else rs.map(r => store.resolve(r).toString)
       }.sorted

@@ -85,9 +85,13 @@ object NeardupPairsIndex {
 
   /** Threshold is part of the layout, and v2 marks the pairs+cover
    * two-part layout (the v1 single-parquet dirs must not be picked up
-   * as incremental bases — they carry no cover). */
+   * as incremental bases — they carry no cover). ROUNDED, not
+   * truncated: (0.58 * 100).toInt is 57 (the product is
+   * 57.999...), which both mislabeled the dir and collided 0.58
+   * onto 0.57's artifact — the wrong pair set served silently (r18
+   * review finding). */
   private def prefix(threshold: Double) =
-    s"graft_neardup_pairs_v2_t${(threshold * 100).toInt}_"
+    s"graft_neardup_pairs_v2_t${math.round(threshold * 100)}_"
 
   /** v1 single-parquet layout, swept on sight (the stamp-sweep of the
    * old prefix never fires again once no caller addresses it). */
@@ -140,43 +144,54 @@ object NeardupPairsIndex {
     ManifestStore.sweepLegacyPrefixes(LEGACY)
     val stamp = Q.contentStamp(dir, "documents")
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    // cover is written LAST, so its marker is the completeness marker
-    val idx = Q.ensureStampedIncr(prefix(threshold) + tag + "_", stamp,
-      marker = "cover/_SUCCESS") { (staging, baseOpt) =>
-      val sigs = MinHashSigIndex.sigs(s, dir) // itself incremental
-      val curCover = sigs.select("doc_id", "text_hash")
-      baseOpt match {
-        case Some(base) =>
-          val oldCover = s.read.schema(coverSchema)
-            .parquet(base.resolve("cover").toString)
-          val oldPairs = s.read.schema(schema)
-            .parquet(base.resolve("pairs").toString)
-          // both delta keys and removed ids are delta-sized 16-byte
-          // frames; every join below is graph- or delta-sized except
-          // the cross band join, whose corpus side is the persisted
-          // signature scan
-          val deltaKeys = curCover.join(oldCover,
-            Seq("doc_id", "text_hash"), "left_anti")
-          val removed = oldCover.join(curCover,
+    // serialize same-artifact builders within the JVM (the lock
+    // MinHashSigIndex's refresh already takes): ensureStampedIncr is
+    // CORRECT under a concurrent duplicate (the loser's rename fails
+    // benignly) but both pay the corpus-scale candidates+verify job;
+    // keyed by prefix+tag, not stamp, so refreshes across corpus
+    // states serialize too instead of racing the base sweep (r18
+    // review finding)
+    val idx = ManifestStore.lockFor(java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), prefix(threshold) + tag))
+      .synchronized {
+      // cover is written LAST, so its marker is the completeness marker
+      Q.ensureStampedIncr(prefix(threshold) + tag + "_", stamp,
+        marker = "cover/_SUCCESS") { (staging, baseOpt) =>
+        val sigs = MinHashSigIndex.sigs(s, dir) // itself incremental
+        val curCover = sigs.select("doc_id", "text_hash")
+        baseOpt match {
+          case Some(base) =>
+            val oldCover = s.read.schema(coverSchema)
+              .parquet(base.resolve("cover").toString)
+            val oldPairs = s.read.schema(schema)
+              .parquet(base.resolve("pairs").toString)
+            // both delta keys and removed ids are delta-sized 16-byte
+            // frames; every join below is graph- or delta-sized except
+            // the cross band join, whose corpus side is the persisted
+            // signature scan
+            val deltaKeys = curCover.join(oldCover,
               Seq("doc_id", "text_hash"), "left_anti")
-            .select(col("doc_id").as("rid"))
-          val carried = oldPairs
-            .join(removed, oldPairs("a_id") === removed("rid"), "left_anti")
-            .join(removed, oldPairs("b_id") === removed("rid"), "left_anti")
-          val deltaSigs = sigs.join(deltaKeys,
-            Seq("doc_id", "text_hash"), "left_semi")
-          graft.queries.LlmOps.neardupPairsCross(
-            s, dir, threshold, deltaSigs, sigs) { fresh =>
-            writeParts(carried.unionByName(fresh), curCover, staging)
-          }
-        case None =>
-          // two-phase verified fast path (round 13: PairProfile put
-          // 80% of the full build in the string-array verify; the
-          // hashed prefilter + candidate-restricted string pass is
-          // output-identical — the spec pins this artifact against
-          // buildPlan's single-stage reference on every run)
-          graft.queries.LlmOps.neardupPairsBuild(s, dir, threshold,
-            sigs) { fresh => writeParts(fresh, curCover, staging) }
+            val removed = oldCover.join(curCover,
+                Seq("doc_id", "text_hash"), "left_anti")
+              .select(col("doc_id").as("rid"))
+            val carried = oldPairs
+              .join(removed, oldPairs("a_id") === removed("rid"), "left_anti")
+              .join(removed, oldPairs("b_id") === removed("rid"), "left_anti")
+            val deltaSigs = sigs.join(deltaKeys,
+              Seq("doc_id", "text_hash"), "left_semi")
+            graft.queries.LlmOps.neardupPairsCross(
+              s, dir, threshold, deltaSigs, sigs) { fresh =>
+              writeParts(carried.unionByName(fresh), curCover, staging)
+            }
+          case None =>
+            // two-phase verified fast path (round 13: PairProfile put
+            // 80% of the full build in the string-array verify; the
+            // hashed prefilter + candidate-restricted string pass is
+            // output-identical — the spec pins this artifact against
+            // buildPlan's single-stage reference on every run)
+            graft.queries.LlmOps.neardupPairsBuild(s, dir, threshold,
+              sigs) { fresh => writeParts(fresh, curCover, staging) }
+        }
       }
     }
     ManifestStore.memoFrame[DataFrame](s, idx, stamp) {

@@ -55,6 +55,56 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally graft.queries.Q.deleteRecursively(store)
   }
 
+  test("bucketChildren rejects a null-key partition dir loudly by name") {
+    // a null bucket key writes `bucket=__HIVE_DEFAULT_PARTITION__`;
+    // publishing it would crash later consumers with a bare
+    // NumberFormatException (or worse, mis-serve) — the reject must
+    // name the dir and the cause (r18 review finding)
+    val store = freshStore()
+    try {
+      val staging = ManifestStore.newSegStaging(store)
+      val d = staging.resolve("bucket=__HIVE_DEFAULT_PARTITION__")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("part-0.parquet"), "null-key")
+      val seg = ManifestStore.finalizeSeg(staging)
+      val ex = intercept[IllegalArgumentException] {
+        ManifestStore.bucketChildren(store, seg)
+      }
+      assert(ex.getMessage.contains("non-integer") &&
+        ex.getMessage.contains("__HIVE_DEFAULT_PARTITION__"))
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
+  test("staging names are unique beyond PID: a recycled pid's leftover cannot collide") {
+    // PID + restart-at-1 counter alone collides with a crashed
+    // predecessor's finalized seg under a recycled pid; the per-JVM
+    // token makes the name unique to this JVM instance (r18 review
+    // finding). Simulate the leftover: a seg named with our pid and a
+    // counter we are ABOUT to use, minus the token.
+    val store = freshStore()
+    try {
+      val staging = ManifestStore.newSegStaging(store)
+      val name = staging.getFileName.toString
+      val parts = name.stripPrefix(".stage_").split('_')
+      assert(parts.length == 3,
+        s"staging name must be .stage_<pid>_<jvmToken>_<n>, got $name")
+      val Array(pid, tok, n) = parts
+      assert(pid.forall(_.isDigit), s"pid segment must be numeric: $name")
+      // the old (collision-prone) name shape, pretending a crashed
+      // predecessor under the same pid already published it
+      val leftover = store.resolve("segs").resolve(s"seg_${pid}_$n")
+      Files.createDirectories(leftover)
+      Files.writeString(leftover.resolve("part-0.parquet"), "old")
+      // finalize must land beside it without touching it
+      Files.createDirectories(staging)
+      Files.writeString(staging.resolve("_SUCCESS"), "")
+      val seg = ManifestStore.finalizeSeg(staging)
+      assert(seg.getFileName.toString == s"seg_${pid}_${tok}_$n")
+      assert(Files.exists(leftover.resolve("part-0.parquet")),
+        "the predecessor's segment must be untouched")
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
   test("a manifest referencing a vanished dir self-heals to absent") {
     val store = freshStore()
     try {

@@ -58,6 +58,20 @@ class NeardupPairsIndexSpec extends AnyFunSuite {
       graft.sources.MinHashSigIndex.store(dir))
   }
 
+  test("threshold labels round instead of truncating (0.58 is t58, not t57)") {
+    // (0.58 * 100).toInt is 57 — truncation both mislabeled the
+    // artifact dir and collided 0.58 onto 0.57's published pairs,
+    // silently serving the wrong threshold's pair set (r18 review
+    // finding)
+    def label(t: Double) = NeardupPairsIndex.artifactDir("x", t)
+      .getFileName.toString
+    assert(label(0.58).contains("_t58_"), label(0.58))
+    assert(label(0.57).contains("_t57_"), label(0.57))
+    assert(label(0.5).contains("_t50_"), label(0.5))
+    assert(label(0.58) != label(0.57),
+      "distinct thresholds must never share an artifact")
+  }
+
   test("persisted pairs equal the build plan; reuse is stamped, zero file churn") {
     val got = NeardupPairsIndex.pairs(spark, sf)
       .collect().map(row).sortBy(p => (p._1, p._2)).toSeq
