@@ -125,22 +125,41 @@ object Q {
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
-    // a CONCURRENT deleter (cross-process gc) can vanish the tree
+    // a CONCURRENT deleter (cross-process gc) can vanish entries
     // between the exists probe and any step of the walk — both the
     // bare NoSuchFileException (from walk open) and Files.walk's
-    // traversal-time UncheckedIOException wrapper mean "someone else
-    // already deleted it", which is this method's success condition
-    try {
+    // traversal-time UncheckedIOException wrapper. But a vanish can
+    // also be a single CHILD going away with the rest of the tree
+    // still present — swallowing that unconditionally would report
+    // success on a partial delete (r18 second-pass finding: a
+    // half-deleted target dir then costs the caller a full build that
+    // fails at publish). So: tolerate the vanish, RE-CHECK the root,
+    // and retry; only a root that is actually gone (or a clean walk)
+    // is success. Persistent failure after retries propagates loudly.
+    def attempt(): Unit =
       if (Files.exists(p)) {
         val walk = Files.walk(p)
         try walk.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.deleteIfExists(_))
         finally walk.close()
       }
-    } catch {
-      case _: java.nio.file.NoSuchFileException => ()
-      case e: java.io.UncheckedIOException
-          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+    def isVanish(t: Throwable): Boolean = t match {
+      case _: java.nio.file.NoSuchFileException => true
+      case e: java.io.UncheckedIOException =>
+        e.getCause.isInstanceOf[java.nio.file.NoSuchFileException]
+      case _ => false
+    }
+    var done = false
+    var tries = 0
+    while (!done) {
+      tries += 1
+      try { attempt(); done = true }
+      catch {
+        case t if isVanish(t) =>
+          if (!Files.exists(p)) done = true // root gone: success
+          else if (tries >= 3) throw t // persistent partial: loud
+        // else: a child vanished under a live root — walk again
+      }
     }
   }
 

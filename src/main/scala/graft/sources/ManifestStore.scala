@@ -93,6 +93,12 @@ object ManifestStore {
       try l.iterator().asScala.toVector finally l.close()
     } catch {
       case _: java.nio.file.NoSuchFileException => Vector.empty
+      // Files.list wraps IO errors DURING iteration (the dir vanishing
+      // mid-listing) in UncheckedIOException — same reading as the
+      // bare form (the Q.deleteRecursively precedent)
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+        Vector.empty
     }
   }
 
@@ -203,8 +209,13 @@ object ManifestStore {
         // a null partition key writes `<dirCol>=__HIVE_DEFAULT_PARTITION__`
         // — name the cause instead of a bare NumberFormatException; a
         // null bucket key means the writer's key derivation is broken
-        // (every bucket expression here is pmod over a non-null hash)
-        require(v.nonEmpty && v.forall(_.isDigit),
+        // (every bucket expression here is pmod over a non-null hash).
+        // ASCII digits only and length-bounded: Char.isDigit admits
+        // Unicode digits toInt rejects, and an all-digit value past
+        // Int.MaxValue would still throw the bare exception this
+        // require replaces (r18 second-pass finding)
+        require(v.nonEmpty && v.length <= 9 &&
+            v.forall(c => c >= '0' && c <= '9'),
           s"ManifestStore: segment $seg has a non-integer $dirCol " +
             s"partition '$n' — null or non-integer bucket keys cannot " +
             "be published (null rows must be filtered or keyed before " +
@@ -475,12 +486,10 @@ object ManifestStore {
     val todo = prefixes.filter(sweptLegacy.add)
     if (todo.isEmpty) return
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
-    if (!Files.isDirectory(tmp)) return
-    val l = Files.list(tmp)
-    try l.iterator().asScala.toVector.foreach { p =>
+    listDir(tmp).foreach { p =>
       val n = p.getFileName.toString
       if (todo.exists(n.startsWith)) Q.deleteRecursively(p)
-    } finally l.close()
+    }
   }
 
   /** Per-JVM memo for constructed serve DataFrames, keyed by (session,
@@ -654,10 +663,21 @@ object ManifestStore {
       val p = store.resolve(e.rel)
       if (!Files.isDirectory(p)) 0L
       else {
-        val w = Files.walk(p)
-        try w.iterator().asScala
-          .filter(Files.isRegularFile(_)).map(Files.size).sum
-        finally w.close()
+        // an observability hook: a segment vanishing mid-walk (a
+        // concurrent gc sweeping a superseded entry set) reads as
+        // 0 bytes for that entry, never a crash (r18 second-pass
+        // finding — the same skip-and-heal posture as listDir)
+        try {
+          val w = Files.walk(p)
+          try w.iterator().asScala
+            .filter(Files.isRegularFile(_)).map(Files.size).sum
+          finally w.close()
+        } catch {
+          case _: java.nio.file.NoSuchFileException => 0L
+          case ex: java.io.UncheckedIOException
+              if ex.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+            0L
+        }
       }
     }.sum
 }

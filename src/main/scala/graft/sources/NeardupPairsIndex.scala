@@ -83,19 +83,26 @@ object NeardupPairsIndex {
     StructField("doc_id", LongType),
     StructField("text_hash", LongType)))
 
-  /** Threshold is part of the layout, and v2 marks the pairs+cover
-   * two-part layout (the v1 single-parquet dirs must not be picked up
-   * as incremental bases — they carry no cover). ROUNDED, not
-   * truncated: (0.58 * 100).toInt is 57 (the product is
-   * 57.999...), which both mislabeled the dir and collided 0.58
-   * onto 0.57's artifact — the wrong pair set served silently (r18
-   * review finding). */
+  /** Threshold is part of the layout; the label is the threshold's
+   * LOSSLESS decimal string ('.'→'p', '-'→'m'), so no two distinct
+   * thresholds can ever share an artifact. The r18 review killed two
+   * generations of integer labels here: `(t * 100).toInt` truncated
+   * (0.58 → t57, colliding onto 0.57's artifact — the wrong pair set
+   * served silently), and the rounded replacement still collided past
+   * two decimals (0.585 → t58) AND made post-fix 0.57 resolve to a
+   * PRE-fix 0.58 artifact published under the truncated t57 — hence
+   * the v3 layout bump with v2 swept as legacy. */
   private def prefix(threshold: Double) =
-    s"graft_neardup_pairs_v2_t${math.round(threshold * 100)}_"
+    s"graft_neardup_pairs_v3_t${java.lang.Double.toString(threshold)
+      .replace(".", "p").replace("-", "m")}_"
 
-  /** v1 single-parquet layout, swept on sight (the stamp-sweep of the
-   * old prefix never fires again once no caller addresses it). */
-  private val LEGACY = Seq("graft_neardup_pairs_t")
+  /** Superseded layouts, swept on sight (their stamp-sweeps never fire
+   * again once no caller addresses them): v1 single-parquet dirs (no
+   * cover), and v2's integer-truncated threshold labels whose dirs
+   * must not be resolvable by (or leak behind) the lossless v3
+   * labels. */
+  private val LEGACY =
+    Seq("graft_neardup_pairs_t", "graft_neardup_pairs_v2_")
 
   /** The full candidates+verify build plan (unpersisted) — exposed for
    * the equivalence spec pin. Signatures come from the persisted
@@ -144,8 +151,11 @@ object NeardupPairsIndex {
     ManifestStore.sweepLegacyPrefixes(LEGACY)
     val stamp = Q.contentStamp(dir, "documents")
     val tag = java.lang.Integer.toHexString(dir.hashCode)
-    // serialize same-artifact builders within the JVM (the lock
-    // MinHashSigIndex's refresh already takes): ensureStampedIncr is
+    // serialize same-artifact builders within the JVM (the same
+    // lockFor REGISTRY MinHashSigIndex's refresh uses, keyed by THIS
+    // artifact's store path — a distinct monitor from the sig store's;
+    // no mutual exclusion with sig refreshes exists or is needed, the
+    // build takes the sig lock through sigs()): ensureStampedIncr is
     // CORRECT under a concurrent duplicate (the loser's rename fails
     // benignly) but both pay the corpus-scale candidates+verify job;
     // keyed by prefix+tag, not stamp, so refreshes across corpus

@@ -58,18 +58,20 @@ class NeardupPairsIndexSpec extends AnyFunSuite {
       graft.sources.MinHashSigIndex.store(dir))
   }
 
-  test("threshold labels round instead of truncating (0.58 is t58, not t57)") {
-    // (0.58 * 100).toInt is 57 — truncation both mislabeled the
-    // artifact dir and collided 0.58 onto 0.57's published pairs,
-    // silently serving the wrong threshold's pair set (r18 review
-    // finding)
+  test("threshold labels are lossless: distinct thresholds never share an artifact") {
+    // two generations of integer labels collided thresholds onto one
+    // artifact ((0.58*100).toInt = 57 truncation; round still merged
+    // 0.585 with 0.58) — the wrong pair set served silently; and a
+    // rounded v2 label would have let post-fix 0.57 resolve a PRE-fix
+    // 0.58 artifact published under the truncated t57, hence the v3
+    // bump with v2 in the legacy sweep (r18 review, both passes)
     def label(t: Double) = NeardupPairsIndex.artifactDir("x", t)
       .getFileName.toString
-    assert(label(0.58).contains("_t58_"), label(0.58))
-    assert(label(0.57).contains("_t57_"), label(0.57))
-    assert(label(0.5).contains("_t50_"), label(0.5))
-    assert(label(0.58) != label(0.57),
-      "distinct thresholds must never share an artifact")
+    assert(label(0.5).contains("_v3_t0p5_"), label(0.5))
+    assert(label(0.58).contains("_t0p58_"), label(0.58))
+    val all = Seq(0.5, 0.57, 0.58, 0.585, 0.5849).map(label)
+    assert(all.distinct.size == all.size,
+      s"distinct thresholds must never share an artifact: $all")
   }
 
   test("persisted pairs equal the build plan; reuse is stamped, zero file churn") {
