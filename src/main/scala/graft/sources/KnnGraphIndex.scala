@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.Path
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -69,16 +69,17 @@ object KnnGraphIndex {
     StructField("vec_hash", LongType)))
 
   /** KMAX is part of the layout: a width change must address a fresh
-   * store, or a serve would silently return old-width neighbors. */
-  private val PREFIX = s"graft_knn_store_k${KMAX}_v2_"
+   * store, or a serve would silently return old-width neighbors. v3
+   * switches the dir tag to the collision-safe
+   * [[ManifestStore.dirTag]]. */
+  private val PREFIX = s"graft_knn_store_k${KMAX}_v3_"
 
   /** Superseded layouts swept on sight (ADVICE r9: pre-manifest
    * per-stamp dirs leaked across prefix bumps). */
-  private val LEGACY = Seq("graft_knn_edges_")
+  private val LEGACY = Seq("graft_knn_edges_", s"graft_knn_store_k${KMAX}_v2_")
 
   private[graft] def store(dir: String): Path =
-    ManifestStore.storeDir(PREFIX,
-      java.lang.Integer.toHexString(dir.hashCode))
+    ManifestStore.storeDir(PREFIX, ManifestStore.dirTag(dir))
 
   /** 16-way LSH sign bucket from the first 4 embedding components —
    * the blocking key (same definition as LlmOps's pairwise family, and
@@ -97,6 +98,17 @@ object KnnGraphIndex {
    * append-only assumption. */
   private def corpusVecs(s: SparkSession, dir: String): DataFrame =
     Q.rd(s, dir, "embeddings")
+      // null and <4-dim embeddings are UNINDEXABLE: the sign-bucket
+      // blocking key is undefined (element_at past the end is null →
+      // bucket null), so such a row could publish the
+      // __HIVE_DEFAULT_PARTITION__ dir bucketChildren rejects — or,
+      // pre-r18, NPE the refresh's changed-bucket collect. No cosine
+      // consumer can ever return them (cosine with null is null), so
+      // filtering at the source is the coherent contract — the same
+      // no-null-mass posture as HotColdFreq and the sig index;
+      // dimension QA beyond this belongs to ingest, not the index.
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) >= 4)
       .select(col("vec_id"), col("embedding"),
         signBucket("embedding").as("bucket"),
         xxhash64(col("embedding")).as("vec_hash"))
@@ -160,9 +172,16 @@ object KnnGraphIndex {
    * hot bucket's share spreads over sub-bucket tasks (see
    * [[SPLIT_ROWS]]); the per-vector cut is the TopKPerKey map-side
    * prune (a bare window would sort each bucket's full pair set in one
-   * partition — every a_id's candidates sit in one (bucket, sub)
-   * partition, so the partial prune still sees each key whole); the rn
-   * label is then a window over ≤ KMAX rows per vector.
+   * partition). Under the 1D split an a_id's candidates sit whole in
+   * one (bucket, sub) partition, so the partial prune alone bounds the
+   * key; once the 2D salt engages (buckets past MAX_SUB×SPLIT_ROWS)
+   * an a-row replicates across b-chunk cells and its candidates SPAN
+   * partitions — the partial prune then bounds each cell at KMAX and
+   * TopKPerKey's final per-key pass after the a_id exchange restores
+   * the global top-K (up to KMAX×nb rows per key cross that exchange —
+   * the bounded cost of not sorting a hot bucket in one task; stale
+   * pre-r13 wording fixed in the r18 review). The rn label is then a
+   * window over ≤ KMAX rows per vector.
    */
   private def edgesFor(e: DataFrame,
                        sizesIn: Option[DataFrame] = None): DataFrame =

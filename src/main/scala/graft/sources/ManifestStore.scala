@@ -78,6 +78,18 @@ object ManifestStore {
     d
   }
 
+  /** Collision-safe store tag for a corpus dir: md5 prefix, NOT the
+   * 32-bit String.hashCode the indexes originally used — two distinct
+   * dirs colliding on hashCode shared one store, and each serve's gc
+   * deleted the other's manifest out from under its memoized frame
+   * (r18 review; latent at 2^-32 per pair, but silent cross-deletion
+   * is the worst failure class this protocol has). One definition so
+   * every index addresses stores identically. */
+  def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+
   private def manifestFile(store: Path, stamp: String): Path =
     store.resolve(s"manifest_$stamp")
 

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.Path
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -71,15 +71,22 @@ object MinHashSigIndex {
   private def bucketOf(c: org.apache.spark.sql.Column) =
     pmod(c, lit(NBUCKETS.toLong)).cast("int")
 
-  private val PREFIX = "graft_minhash_store_v5_"
+  /** NBUCKETS is part of the layout (the r18 review's KMAX-precedent
+   * hole): published segment dirs and manifest entries carry bucket
+   * ids computed under it, and a width change against an existing
+   * store would make compaction's slice filter (`bucketOf(doc_id)
+   * isin old-ids`) silently EMPTY — the bucket's live rows dropped at
+   * the next compaction. Encoding the width here forces a fresh store
+   * instead. v6 also switches the dir tag to the collision-safe
+   * [[ManifestStore.dirTag]]. */
+  private val PREFIX = s"graft_minhash_store_v6_b${NBUCKETS}_"
 
   /** Superseded layouts this store sweeps on sight (ADVICE r9: the old
    * per-stamp dirs leaked in tmp across prefix bumps). */
-  private val LEGACY = Seq("graft_minhash_sigs_")
+  private val LEGACY = Seq("graft_minhash_sigs_", "graft_minhash_store_v5_")
 
   private[graft] def store(dir: String): Path =
-    ManifestStore.storeDir(PREFIX,
-      java.lang.Integer.toHexString(dir.hashCode))
+    ManifestStore.storeDir(PREFIX, ManifestStore.dirTag(dir))
 
   /** The full-corpus signature-build plan (unpersisted) — exposed for
    * spec pins. */
@@ -137,7 +144,13 @@ object MinHashSigIndex {
 
   private def refresh(s: SparkSession, st: Path, dir: String,
                       stamp: String): ManifestStore.Manifest = {
+    // null doc_id rows are UNINDEXABLE here (the bucket key is
+    // pmod(doc_id, N) — a null bucket would publish the
+    // __HIVE_DEFAULT_PARTITION__ dir bucketChildren rejects, and no
+    // keyed consumer could ever address the row): filtered at the
+    // source, the same no-null-mass contract as HotColdFreq's builders
     val docs = Q.rd(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), col("text"),
         xxhash64(col("text")).as("text_hash"))
     val entries = ManifestStore.newestOtherManifest(st, stamp) match {
@@ -150,22 +163,30 @@ object MinHashSigIndex {
         // back against the corpus scan, AQE broadcasts it when the
         // delta is small.
         val segKeys = ManifestStore.readEntries(s, st, base.entries, "data", keySchema)
-        val dh = docs.select("doc_id", "text_hash")
-        val freshKeys = dh.join(segKeys,
-          Seq("doc_id", "text_hash"), "left_anti")
-        val fresh = docs.join(freshKeys,
-          Seq("doc_id", "text_hash"), "left_semi")
-        val dataEntries = base.entries.filter(_.kind == "data") ++
-          writeSeg(st, graft.queries.LlmOps.sigsPlanFor(
-            fresh.select("doc_id", "text")), "data")
-        // complete tombstone set, rewritten each refresh (tiny: keys
-        // ever written minus keys still in the corpus; compaction
-        // resets it) — a key re-added to the corpus leaves the set
-        // here, un-masking its surviving row
-        val tombEntries = writeSeg(st,
-          segKeys.join(dh, Seq("doc_id", "text_hash"), "left_anti"),
-          "tomb")
-        maybeCompact(s, st, dataEntries ++ tombEntries)
+        // CACHED: dh's lineage is the full corpus text scan + rehash,
+        // and it feeds BOTH delta directions (freshKeys below and the
+        // tombstone anti-join) — uncached, each write re-paid a corpus
+        // text pass, tripling the refresh's widest-column I/O (r18
+        // review; the 16-byte/row cache is the same pattern as
+        // KnnGraphIndex's curMeta)
+        val dh = docs.select("doc_id", "text_hash").cache()
+        try {
+          val freshKeys = dh.join(segKeys,
+            Seq("doc_id", "text_hash"), "left_anti")
+          val fresh = docs.join(freshKeys,
+            Seq("doc_id", "text_hash"), "left_semi")
+          val dataEntries = base.entries.filter(_.kind == "data") ++
+            writeSeg(st, graft.queries.LlmOps.sigsPlanFor(
+              fresh.select("doc_id", "text")), "data")
+          // complete tombstone set, rewritten each refresh (tiny: keys
+          // ever written minus keys still in the corpus; compaction
+          // resets it) — a key re-added to the corpus leaves the set
+          // here, un-masking its surviving row
+          val tombEntries = writeSeg(st,
+            segKeys.join(dh, Seq("doc_id", "text_hash"), "left_anti"),
+            "tomb")
+          maybeCompact(s, st, dataEntries ++ tombEntries)
+        } finally dh.unpersist()
       case None =>
         writeSeg(st, graft.queries.LlmOps.sigsPlanFor(
           docs.select("doc_id", "text")), "data")

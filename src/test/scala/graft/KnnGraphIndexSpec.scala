@@ -177,6 +177,44 @@ class KnnGraphIndexSpec extends AnyFunSuite {
     graft.queries.Q.deleteRecursively(Paths.get(dir))
   }
 
+  test("null and <4-dim embeddings are unindexable: filtered, never a crash") {
+    // a null (or too-short) embedding has no sign bucket — pre-r18 the
+    // full build published the __HIVE_DEFAULT_PARTITION__ dir
+    // bucketChildren rejects, and a refresh NPE'd collecting the
+    // changed-bucket set; the contract is the no-null-mass posture:
+    // such rows appear in no edge and break nothing (r18 review)
+    val dir = Files.createTempDirectory("graft_knnidx_null").toString
+    val vecPath = s"$dir/embeddings.parquet"
+    def good(n: Long, off: Long = 0) = spark.range(off, off + n).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), i -> CAST(sin(id * 131 + i) AS FLOAT)) AS embedding",
+      "CAST(id % 10 AS INT) AS label")
+    val bad = spark.sql(
+      """SELECT * FROM VALUES
+        |  (9001L, CAST(NULL AS ARRAY<FLOAT>), 0),
+        |  (9002L, ARRAY(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 0),
+        |  (CAST(NULL AS LONG), ARRAY(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT),
+        |     CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)), 0)
+        |AS t(vec_id, embedding, label)""".stripMargin)
+    good(40).unionByName(bad)
+      .write.mode("overwrite").parquet(vecPath)
+    val built = KnnGraphIndex.edges(spark, dir, KnnGraphIndex.KMAX)
+    assert(built.count() > 0)
+    assert(built.filter(col("a_id") >= 9001L || col("b_id") >= 9001L ||
+        col("a_id").isNull || col("b_id").isNull).count() == 0,
+      "unindexable rows must appear in no edge")
+    // the refresh path (changed-bucket collect) with the bad rows
+    // still present in the corpus: append good vectors, refresh
+    good(20, off = 100).write.mode("append").parquet(vecPath)
+    val refreshed = KnnGraphIndex.edges(spark, dir, KnnGraphIndex.KMAX)
+      .collect().map(_.toString).sorted.toSeq
+    val want = KnnGraphIndex.buildPlan(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(refreshed == want && refreshed.nonEmpty,
+      "refresh over a corpus containing unindexable rows diverged")
+    graft.queries.Q.deleteRecursively(Paths.get(dir))
+  }
+
   test("a different corpus content gets its own index; empty stays typed") {
     import org.apache.spark.sql.types._
     // an empty embeddings table in a fresh dir = different content stamp
