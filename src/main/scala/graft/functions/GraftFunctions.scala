@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions.udaf
  */
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
+    // every module with a register(spark): the doc's "whole kit"
+    // promise was false for six of them until the r18 review
     VectorFunctions.register(spark)
     MinHashSig.register(spark)
     SubstrHash.register(spark)
+    Shingles.register(spark)
+    HashArray.register(spark)
+    BigramHashes.register(spark)
+    TokenMaxRun.register(spark)
+    SortedIntersect.register(spark)
+    BloomFunctions.register(spark)
     // functionExists guards keep repeat registration silent (see
     // VectorFunctions.register doc)
     def absent(name: String): Boolean =

@@ -35,7 +35,12 @@ class HeavyHittersAgg(capacity: Int)
   override def zero: HHState = HHState(Map.empty, 0L)
 
   override def reduce(s: HHState, key: String): HHState =
-    s.counts.get(key) match {
+    // a null key carries no frequency mass AND cannot live in the
+    // state: Catalyst map keys are non-nullable, so storing it would
+    // crash the buffer encoder at the first shuffle (r18 review) —
+    // the same no-null-mass contract as HotColdFreq's builders
+    if (key == null) s
+    else s.counts.get(key) match {
       case Some(n) => HHState(s.counts.updated(key, n + 1), s.floor)
       case None if s.counts.size < capacity =>
         HHState(s.counts.updated(key, s.floor + 1), s.floor)

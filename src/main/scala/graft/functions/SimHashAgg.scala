@@ -27,8 +27,14 @@ class SimHashAgg extends Aggregator[String, Array[Int], Long] {
   override def zero: Array[Int] = new Array[Int](32)
 
   override def reduce(buf: Array[Int], md5Hex: String): Array[Int] = {
+    // null contributes no votes (md5(NULL) is NULL — the expression
+    // formulation this replaces skipped it too), and a short string
+    // votes only the nibbles it has instead of throwing out of the
+    // aggregation (r18 review finding)
+    if (md5Hex == null) return buf
+    val m = math.min(32, md5Hex.length)
     var b = 0
-    while (b < 32) {
+    while (b < m) {
       val c = md5Hex.charAt(b)
       val nib = if (c >= 'a') c - 'a' + 10 else c - '0'
       buf(b) += (if (nib >= 8) 1 else -1)

@@ -270,8 +270,19 @@ case class Int8CoarseCos(first: Expression, second: Expression,
     i = 0
     while (i < n) {
       if (qp.isNullAt(i)) return null
-      val q = java.math.BigDecimal.valueOf(a.getFloat(i).toDouble * scale)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      // non-finite products quantize to 0: BigDecimal.valueOf REJECTS
+      // NaN/Infinity with a NumberFormatException (unlike Spark's
+      // round, which passes them through — but an int8 lattice has no
+      // NaN to pass). A corrupt vector (NaN element, or an Inf that
+      // zeroes the scale) coarse-scores 0 here and the exact rerank
+      // stage, which sees the raw floats, decides its fate. (r18
+      // review finding)
+      val x = a.getFloat(i).toDouble * scale
+      val q =
+        if (java.lang.Double.isFinite(x))
+          java.math.BigDecimal.valueOf(x)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        else 0L
       qq += q * q
       sab += q * qp.getLong(i)
       i += 1
@@ -290,6 +301,7 @@ case class Int8CoarseCos(first: Expression, second: Expression,
       val qq = ctx.freshName("qq")
       val sab = ctx.freshName("sab")
       val q = ctx.freshName("q")
+      val x = ctx.freshName("x")
       s"""
          |int $n = $a.numElements();
          |if ($n != $qp.numElements()) {
@@ -306,9 +318,11 @@ case class Int8CoarseCos(first: Expression, second: Expression,
          |    long $qq = 0L; long $sab = 0L;
          |    for (int $i = 0; $i < $n; $i++) {
          |      if ($qp.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |      long $q = java.math.BigDecimal
-         |        .valueOf(((double) $a.getFloat($i)) * $scale)
-         |        .setScale(0, java.math.RoundingMode.HALF_UP).longValue();
+         |      double $x = ((double) $a.getFloat($i)) * $scale;
+         |      long $q = java.lang.Double.isFinite($x)
+         |        ? java.math.BigDecimal.valueOf($x)
+         |          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+         |        : 0L;
          |      $qq += $q * $q;
          |      $sab += $q * $qp.getLong($i);
          |    }

@@ -49,4 +49,42 @@ class MinHashAggSpec extends AnyFunSuite {
     assert(r.length == 20)
     assert(r.forall(_.getSeq[Long](1).length == 32))
   }
+
+  test("registerAll exposes the WHOLE kit, as its doc promises") {
+    // six modules with a register(spark) were missing until the r18
+    // review — a pure-SQL user got 'Undefined function' for functions
+    // the scaladoc promised
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  size(word_shingles(array('a','b','c','d'), 3)) AS sh,
+        |  size(xxhash64_array(array('x','y'))) AS xa,
+        |  size(word_bigram_hashes(array('a','b','c'))) AS bg,
+        |  token_max_run(array('a', 'a', 'b')) AS tr,
+        |  sorted_long_intersect(array(1L,2L,3L), array(2L,3L,9L))
+        |    AS si""".stripMargin).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getInt(2) == 2 &&
+      r.getLong(3) == 2L && r.getInt(4) == 2, r.toString)
+  }
+
+  test("null inputs carry no mass through the aggregators (no crash)") {
+    // pre-r18: a null key crashed HeavyHittersAgg's buffer encoder
+    // (Catalyst map keys are non-nullable) and simhash32 NPE'd on
+    // md5(NULL); both now skip null like the expressions they replace
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT simhash32(md5(tok)) AS sh
+        |FROM VALUES ('a'), (CAST(NULL AS STRING)), ('a') AS t(tok)"""
+        .stripMargin).head()
+    val ref = spark.sql(
+      "SELECT simhash32(md5(tok)) FROM VALUES ('a'), ('a') AS t(tok)").head()
+    assert(r.getLong(0) == ref.getLong(0),
+      "null must contribute no simhash votes")
+    import spark.implicits._
+    val hh = Seq(Some("x"), None, Some("x"), Some("y")).toDF("tok")
+      .select(graft.functions.HeavyHittersAgg.heavyHitters(4)(col("tok"))
+        .as("m")).head().getMap[String, Long](0)
+    assert(hh == Map("x" -> 2L, "y" -> 1L),
+      s"null must carry no heavy-hitter mass, got $hh")
+  }
 }

@@ -140,6 +140,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.last.getDouble(0) == 0.0)
   }
 
+  test("int8_coarse_cos: non-finite elements score 0.0, never a crash") {
+    // BigDecimal.valueOf rejects NaN/Infinity with NumberFormatException
+    // — one corrupt embedding row would have killed the whole coarse
+    // scan stage (r18 review). A NaN element skips the maxAbs compare
+    // and quantizes to 0 — the row still coarse-scores on its FINITE
+    // components; an Inf element zeroes the scale so the whole vector
+    // quantizes to 0s → qq == 0 → the 0.0 guard. Either way the exact
+    // rerank stage sees the raw floats and decides the row's fate.
+    val rows = spark.sql(
+      """SELECT CAST(array(1.0, CAST('NaN' AS FLOAT), 3.0) AS ARRAY<FLOAT>)
+        |         AS embedding
+        |UNION ALL
+        |SELECT CAST(array(1.0, CAST('Infinity' AS FLOAT), 3.0)
+        |            AS ARRAY<FLOAT>)
+        |UNION ALL
+        |SELECT CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>)""".stripMargin)
+      .withColumn("qp", expr("CAST(array(42, 85, 127) AS ARRAY<BIGINT>)"))
+      .withColumn("pqq", expr("CAST(25118 AS BIGINT)"))
+    val r = rows.select(
+      VectorFunctions.int8CoarseCos(col("embedding"), col("qp"), col("pqq"))
+        .as("k")).collect().map(_.getDouble(0))
+    assert(java.lang.Double.isFinite(r(0)),
+      s"a NaN element must score on the finite components, got ${r(0)}")
+    assert(r(1) == 0.0,
+      s"an Inf element zeroes the scale → coarse score 0.0, got ${r(1)}")
+    assert(r(2) > 0.9, s"the clean vector must score normally, got ${r(2)}")
+  }
+
   test("vector kernels compile under CODEGEN_ONLY (no silent fallback)") {
     // a doGenCode bug would otherwise silently drop the whole stage to
     // the interpreted path and only show up as a perf regression
