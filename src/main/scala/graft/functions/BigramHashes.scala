@@ -89,13 +89,11 @@ object BigramHashes {
     new GenericArrayData(out)
   }
 
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration ([[GraftFunctions.ensureTemp]]
+   * carries the shared per-name guard). */
   def register(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("word_bigram_hashes")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "word_bigram_hashes", exprs => WordBigramHashesExpr(exprs(0)),
-        "scala_udf")
+    GraftFunctions.ensureTemp(spark, "word_bigram_hashes")(
+      exprs => WordBigramHashesExpr(exprs(0)))
 
   /** Hashed bigrams of a token-array column — requires [[register]]. */
   def of(toks: Column): Column = call_function("word_bigram_hashes", toks)

@@ -25,20 +25,12 @@ import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
  */
 object BloomFunctions {
 
-  /** Idempotent per-session registration (temp functions live in the
-   * session's FunctionRegistry; functionExists guard keeps repeat
-   * registration silent — see VectorFunctions.register doc). */
+  /** Idempotent per-session registration ([[GraftFunctions.ensureTemp]]
+   * carries the shared per-name guard). */
   def register(spark: SparkSession): Unit = {
-    // per-name guards (the ADVICE r13 HashArray lesson — a shared
-    // guard on bloom_agg would skip bloom_contains in a session
-    // already carrying the aggregate)
-    val reg = spark.sessionState.functionRegistry
-    def ensure(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-    ensure("bloom_agg")(
+    GraftFunctions.ensureTemp(spark, "bloom_agg")(
       exprs => BloomFilterAggregate(exprs(0), exprs(1), exprs(2), 0, 0))
-    ensure("bloom_contains")(
+    GraftFunctions.ensureTemp(spark, "bloom_contains")(
       exprs => BloomFilterMightContain(exprs(0), exprs(1)))
   }
 

@@ -149,17 +149,15 @@ object HashArray {
   }
 
   /** Idempotent per-session registration. Each name carries its OWN
-   * functionExists guard: keying both on `xxhash64_array` would skip
-   * the hi32 registration in a session where only the base function
-   * pre-exists, and the verify prefilter would then fail at analysis
-   * with an unresolved function. */
+   * guard via [[GraftFunctions.ensureTemp]] (ADVICE r13: keying both
+   * on `xxhash64_array` would skip the hi32 registration in a session
+   * where only the base function pre-exists, and the verify prefilter
+   * would then fail at analysis with an unresolved function). */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    def ensure(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-    ensure("xxhash64_array")(exprs => XxHash64ArrayExpr(exprs(0)))
-    ensure("xxhash64_array_hi32")(exprs => XxHash64ArrayHi32Expr(exprs(0)))
+    GraftFunctions.ensureTemp(spark, "xxhash64_array")(
+      exprs => XxHash64ArrayExpr(exprs(0)))
+    GraftFunctions.ensureTemp(spark, "xxhash64_array_hi32")(
+      exprs => XxHash64ArrayHi32Expr(exprs(0)))
   }
 
   /** Elementwise xxhash64 of a string-array column — requires

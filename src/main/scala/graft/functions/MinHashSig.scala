@@ -112,13 +112,11 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression {
 }
 
 object MinHashSig {
-  /** Idempotent per-session registration (functionExists guard keeps
-   * repeat registration silent — see VectorFunctions.register doc). */
+  /** Idempotent per-session registration ([[GraftFunctions.ensureTemp]]
+   * carries the shared per-name guard). */
   def register(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "minhash_sig", exprs => MinHashSigExpr(exprs(0)), "scala_udf")
+    GraftFunctions.ensureTemp(spark, "minhash_sig")(
+      exprs => MinHashSigExpr(exprs(0)))
 
   /** 32-long MinHash signature of an array<bigint> column — requires
    * [[register]]. */

@@ -100,17 +100,16 @@ object Shingles {
     new GenericArrayData(out)
   }
 
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration ([[GraftFunctions.ensureTemp]]
+   * carries the shared per-name guard). */
   def register(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "word_shingles", exprs => WordShinglesExpr(exprs(0),
-          exprs(1) match {
-            case Literal(v: Int, IntegerType) => v
-            case other => throw new IllegalArgumentException(
-              s"word_shingles: n must be an integer literal, got $other")
-          }), "scala_udf")
+    GraftFunctions.ensureTemp(spark, "word_shingles")(
+      exprs => WordShinglesExpr(exprs(0),
+        exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles: n must be an integer literal, got $other")
+        }))
 
   /** Distinct n-gram shingles of a token-array column — requires
    * [[register]]. */

@@ -36,8 +36,18 @@ class SimHashAgg extends Aggregator[String, Array[Int], Long] {
     var b = 0
     while (b < m) {
       val c = md5Hex.charAt(b)
-      val nib = if (c >= 'a') c - 'a' + 10 else c - '0'
-      buf(b) += (if (nib >= 8) 1 else -1)
+      // only lowercase hex carries a vote (r18 ADVICE): the contract is
+      // md5()'s lowercase-hex output, and the old decode let any char
+      // contribute a garbage vote ('A' read as c-'0' = 17, voting +1).
+      // Out-of-alphabet chars are SKIPPED — the gate path never
+      // produces one (md5 is lowercase hex by definition), so this
+      // only decides what a caller feeding garbage gets: no mass,
+      // matching the null/short-string posture above
+      val nib =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else -1
+      if (nib >= 0) buf(b) += (if (nib >= 8) 1 else -1)
       b += 1
     }
     buf

@@ -142,14 +142,11 @@ object SortedIntersect {
     c
   }
 
-  /** Idempotent per-session registration (functionExists guard — see
-   * VectorFunctions.register doc). */
+  /** Idempotent per-session registration ([[GraftFunctions.ensureTemp]]
+   * carries the shared per-name guard). */
   def register(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_long_intersect")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "sorted_long_intersect",
-        exprs => SortedLongIntersectExpr(exprs(0), exprs(1)), "scala_udf")
+    GraftFunctions.ensureTemp(spark, "sorted_long_intersect")(
+      exprs => SortedLongIntersectExpr(exprs(0), exprs(1)))
 
   /** Distinct-intersection count of two sorted array<long> columns —
    * requires [[register]] on the columns' session. */

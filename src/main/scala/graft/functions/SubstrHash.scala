@@ -138,8 +138,9 @@ object SubstrHash {
   /** All k-char window hashes of `s` (empty if `s` has < k chars).
    * Static entry point shared by interpreted eval and generated code
    * (top-level Scala objects emit static forwarders, so Janino can
-   * call this directly). One O(n) pass: char-boundary offsets, prefix
-   * hashes and B-powers together, then each window is
+   * call this directly). One O(n) pass for char-boundary offsets and
+   * prefix hashes, a window-span-sized B-power table (≤ 4k entries,
+   * NOT doc-sized), then each window is
    * `P[w+k] − P[w]·B^(byteLen of window)`. */
   def hashWindows(s: UTF8String, k: Int): Array[Long] = {
     val bytes = s.getBytes
@@ -155,21 +156,35 @@ object SubstrHash {
     }
     off(nChars) = m // clamps a truncated trailing multi-byte char to the end
     if (nChars < k) return new Array[Long](0)
-    // prefix hashes at char boundaries and B-powers over raw byte counts
+    // prefix hashes at char boundaries
     val pref = new Array[Long](nChars + 1)
-    val pow = new Array[Long](m + 1)
-    pow(0) = 1L
     var h = 0L
     var c = 1
     var j = 0
     while (j < m) {
       h = h * B + bytes(j)
-      pow(j + 1) = pow(j) * B
       if (c <= nChars && j + 1 == off(c)) { pref(c) = h; c += 1 }
       j += 1
     }
-    val out = new Array[Long](nChars - k + 1)
+    // B-powers only up to the longest WINDOW byte span (≤ 4k bytes for
+    // k UTF-8 chars), not the document length: only pow(bytes(window))
+    // is ever read, and the old m+1-sized table allocated and filled
+    // 8·m bytes per ROW — 8 MB of dead longs on a 1 MB doc (r18 review
+    // backlog, sanctioned r19; fuzz pins are the behavior gate)
+    val nWin = nChars - k + 1
+    var maxWin = 0
     var w = 0
+    while (w < nWin) {
+      val span = off(w + k) - off(w)
+      if (span > maxWin) maxWin = span
+      w += 1
+    }
+    val pow = new Array[Long](maxWin + 1)
+    pow(0) = 1L
+    var p = 0
+    while (p < maxWin) { pow(p + 1) = pow(p) * B; p += 1 }
+    val out = new Array[Long](nWin)
+    w = 0
     while (w < out.length) {
       out(w) = fmix64(pref(w + k) - pref(w) * pow(off(w + k) - off(w)))
       w += 1
@@ -216,26 +231,20 @@ object SubstrHash {
     new GenericArrayData(out)
   }
 
-  /** Idempotent per-session registration. Each name guards itself
-   * (ADVICE r13 on HashArray: a shared guard silently skips the
-   * second function in a session already carrying the first). */
+  /** Idempotent per-session registration ([[GraftFunctions.ensureTemp]]
+   * carries the shared per-name guard). */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
     def kLit(e: Expression, fn: String): Int = e match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(
         s"$fn: k must be an integer literal, got $other")
     }
-    if (!reg.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("substr_hash_windows")))
-      reg.createOrReplaceTempFunction(
-        "substr_hash_windows", exprs => SubstrHashWindowsExpr(exprs(0),
-          kLit(exprs(1), "substr_hash_windows")), "scala_udf")
-    if (!reg.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("substr_hash_windows_rle")))
-      reg.createOrReplaceTempFunction(
-        "substr_hash_windows_rle", exprs => SubstrHashWindowsRleExpr(exprs(0),
-          kLit(exprs(1), "substr_hash_windows_rle")), "scala_udf")
+    GraftFunctions.ensureTemp(spark, "substr_hash_windows")(
+      exprs => SubstrHashWindowsExpr(exprs(0),
+        kLit(exprs(1), "substr_hash_windows")))
+    GraftFunctions.ensureTemp(spark, "substr_hash_windows_rle")(
+      exprs => SubstrHashWindowsRleExpr(exprs(0),
+        kLit(exprs(1), "substr_hash_windows_rle")))
   }
 
   /** All k-char window hashes of a string column — requires [[register]]. */

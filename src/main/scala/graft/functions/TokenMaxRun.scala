@@ -96,15 +96,11 @@ object TokenMaxRun {
     best
   }
 
-  /** Idempotent per-session registration (per-name guard; see
-   * SubstrHash.register on why each name guards itself). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("token_max_run")))
-      reg.createOrReplaceTempFunction(
-        "token_max_run", exprs => TokenMaxRunExpr(exprs(0)), "scala_udf")
-  }
+  /** Idempotent per-session registration ([[GraftFunctions.ensureTemp]]
+   * carries the shared per-name guard). */
+  def register(spark: SparkSession): Unit =
+    GraftFunctions.ensureTemp(spark, "token_max_run")(
+      exprs => TokenMaxRunExpr(exprs(0)))
 
   /** Most-repeated-element count of a string-array column — requires
    * [[register]]. */

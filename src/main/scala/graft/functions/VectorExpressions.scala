@@ -91,22 +91,14 @@ case class FloatVecDot(left: Expression, right: Expression)
 /** Registration + Column-level API for the graft vector kernels. */
 object VectorFunctions {
 
-  /** Idempotent per-session registration (temp functions live in the
-   * session's FunctionRegistry). Guarded by functionExists: re-running
-   * createOrReplace per query invocation worked, but spammed every
-   * Bench/Verify log with SimpleFunctionRegistry "replaced a previously
-   * registered function" warnings that buried real ones. */
+  /** Idempotent per-session registration ([[GraftFunctions.ensureTemp]]
+   * carries the shared per-name guard and its rationale). */
   def register(spark: SparkSession): Unit = {
-    // each name guards itself (the ADVICE r13 HashArray lesson): a
-    // single guard on vec_dot would silently skip the siblings in a
-    // session that already carries the base name
-    val reg = spark.sessionState.functionRegistry
-    def ensure(name: String)(builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-    ensure("vec_dot")(exprs => FloatVecDot(exprs(0), exprs(1)))
-    ensure("vec_cosine")(exprs => FloatVecCosine(exprs(0), exprs(1)))
-    ensure("int8_coarse_cos")(
+    GraftFunctions.ensureTemp(spark, "vec_dot")(
+      exprs => FloatVecDot(exprs(0), exprs(1)))
+    GraftFunctions.ensureTemp(spark, "vec_cosine")(
+      exprs => FloatVecCosine(exprs(0), exprs(1)))
+    GraftFunctions.ensureTemp(spark, "int8_coarse_cos")(
       exprs => Int8CoarseCos(exprs(0), exprs(1), exprs(2)))
   }
 

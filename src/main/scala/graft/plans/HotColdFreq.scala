@@ -349,6 +349,21 @@ object HotColdFreq {
    *    only a re-run delayed past the history horizon is not. With an
    *    empty token this last window is the caller's to manage.
    *
+   * ON A TRANSACTIONAL CATALOG (Iceberg/Delta), this whole protocol
+   * collapses: the write→DROP→RENAME swap becomes ONE atomic
+   * `replaceTransaction`/`REPLACE TABLE AS SELECT` commit (no crash
+   * window between drop and rename, so the orphan-staging recovery
+   * and post-swap sweep become dead code), and the lost-update CAS
+   * below becomes the catalog's native optimistic-concurrency
+   * conflict detection (the commit fails if the base snapshot moved,
+   * exactly the staleness this code detects by token-history
+   * comparison). The token HISTORY itself stays useful — snapshot
+   * properties carry it — but only for the delayed-re-run dedup, not
+   * for crash recovery. This implementation is the ceiling of what a
+   * non-transactional catalog (Spark's built-in session catalog /
+   * plain Hive metastore) can guarantee; port the swap to one atomic
+   * commit if this library ever grows a transactional-catalog sink.
+   *
    * CONCURRENCY: refreshes of one table are SINGLE-WRITER — run them
    * sequentially (one outstanding batch at a time), which any
    * manifest-driven refresh loop does naturally. The shape defends
@@ -529,6 +544,24 @@ object HotColdFreq {
     }
     spark.sql(s"DROP TABLE $target")
     spark.sql(s"ALTER TABLE $staging RENAME TO $target")
+    // post-swap orphan sweep (r18 ADVICE): a refresh that crashed AFTER
+    // its CTAS registered but BEFORE the DROP left its token-derived
+    // staging behind while the target lived on — invisible to the
+    // recovery scan above (which only runs when the target is missing),
+    // and a LATER genuine DROP→RENAME crash would then find TWO
+    // stagings and trip the MULTIPLE-orphans hard failure where the old
+    // fixed-name layout self-recovered. After a successful swap every
+    // staging still matching the prefix is such an orphan (our own was
+    // just renamed away; under the single-writer discipline none can be
+    // live), so sweep them here.
+    val sweepDb = ident.database.getOrElse(cat.getCurrentDatabase)
+    val sweepPrefixLc = stagingPrefix(ident.table).toLowerCase(
+      java.util.Locale.ROOT)
+    cat.listTables(sweepDb, stagingPrefix(ident.table) + "*",
+        includeLocalTempViews = false)
+      .filter(_.table.toLowerCase(java.util.Locale.ROOT)
+        .startsWith(sweepPrefixLc))
+      .foreach(o => spark.sql(s"DROP TABLE IF EXISTS ${sqlName(o)}"))
     spark.table(target)
   }
 

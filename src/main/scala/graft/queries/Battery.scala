@@ -819,7 +819,9 @@ object Battery {
     // every bench rep).
     QueryDef("q_bucketed_join",
       (s, dir) => {
-        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        // md5 dirTag, not dir.hashCode (r18 ADVICE): table names must
+        // key the corpus collision-free like the tmp artifacts do
+        val tag = graft.sources.ManifestStore.dirTag(dir)
         val ot = s"graft_bkt_orders_${tag}_${Q.contentStamp(dir, "orders")}"
         val ct = s"graft_bkt_customer_${tag}_${Q.contentStamp(dir, "customer")}"
         if (!s.catalog.tableExists(ot))
@@ -1633,15 +1635,21 @@ object Battery {
     // double cast would let decimal errors below ~1e-12 slip through).
     QueryDef("q_decimal_agg",
       (s, dir) => {
-        val out = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          s"graft_decfix_${java.lang.Integer.toHexString(dir.hashCode)}_" +
-            Q.contentStamp(dir, "orders"))
-        if (!java.nio.file.Files.exists(out))
+        // decfix2 = the md5-dirTag layout bump (r18 ADVICE — hashCode
+        // tags cross-wire colliding corpora); the move to ensureStamped
+        // also retires this site's bare exists(dir) guard, which would
+        // have served a crashed half-write forever (the protocol's
+        // marker probe + atomic publish close that)
+        graft.sources.ManifestStore.sweepLegacyPrefixes(
+          Seq("graft_decfix_"))
+        val out = Q.ensureStamped(
+          s"graft_decfix2_${graft.sources.ManifestStore.dirTag(dir)}_",
+          Q.contentStamp(dir, "orders")) { staging =>
           rd(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderstatus"),
               col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
-            .write.mode("overwrite").parquet(out.toString)
+            .write.mode("overwrite").parquet(staging.toString)
+        }
         s.read.parquet(out.toString)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_orders"),

@@ -769,8 +769,14 @@ object LlmOps {
     QueryDef("q_incr_sigs",
       (s, dir) => {
         import java.nio.file.{Files, Paths}
-        val tag = java.lang.Integer.toHexString(dir.hashCode)
-        val prefix = s"graft_incrscn_${tag}_"
+        // md5 dirTag, not dir.hashCode (r18 ADVICE): a 32-bit tag
+        // collision shared this prefix between two corpora, so one's
+        // sweepStaleSiblings deleted the other's scenario. incrscn2 =
+        // the tag-layout bump; the old generation sweeps once per JVM.
+        graft.sources.ManifestStore.sweepLegacyPrefixes(
+          Seq("graft_incrscn_"))
+        val tag = graft.sources.ManifestStore.dirTag(dir)
+        val prefix = s"graft_incrscn2_${tag}_"
         val scn = Paths.get(System.getProperty("java.io.tmpdir"),
           prefix + Q.contentStamp(dir, "documents"))
         val ready = scn.resolve("_READY")

@@ -34,10 +34,15 @@ object SourceOps {
    * old key was `dir.hashCode` alone). */
   private def roundTripDir(fmt: String, dir: String,
                            table: String): java.nio.file.Path = {
+    // md5 dirTag, not dir.hashCode (r18 ADVICE): the 32-bit tag let two
+    // colliding corpus dirs share an export name when stamps also
+    // matched. src2 = the tag-layout bump; old-generation dirs are
+    // swept once per JVM (they were never swept per-stamp anyway).
+    graft.sources.ManifestStore.sweepLegacyPrefixes(Seq("graft_src_"))
     val stamp = Q.contentStamp(dir, table)
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tag = graft.sources.ManifestStore.dirTag(dir)
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_src_${fmt}_${tag}_$stamp")
+      s"graft_src2_${fmt}_${tag}_$stamp")
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -751,13 +751,19 @@ object StreamingOps {
         // streams join a precomputed read-only index, they do not
         // re-shingle the corpus per batch. Content-stamped like
         // SourceOps.roundTripDir so a testdata regen rebuilds it.
-        val tag = java.lang.Integer.toHexString(dir.hashCode)
+        // md5 dirTag, not dir.hashCode (r18 ADVICE): a 32-bit tag
+        // collision shared this prefix between two corpora, so one's
+        // post-publish sweep deleted the other's index. incr_idx2 =
+        // the tag-layout bump; old generation swept once per JVM.
+        graft.sources.ManifestStore.sweepLegacyPrefixes(
+          Seq("graft_incr_idx_"))
+        val tag = graft.sources.ManifestStore.dirTag(dir)
         // shared stamped-artifact protocol (round 8): the two-part index
         // (bands + shingles) publishes in ONE atomic rename — the old
         // bare exists(idx) check could serve a half-built index forever
         // if a build died between the two writes. Marker = the
         // LAST-written component's _SUCCESS.
-        val idx = Q.ensureStamped(s"graft_incr_idx_${tag}_",
+        val idx = Q.ensureStamped(s"graft_incr_idx2_${tag}_",
           Q.contentStamp(dir, "documents"),
           marker = "sh/_SUCCESS") { staging =>
           val corpus = shingles(

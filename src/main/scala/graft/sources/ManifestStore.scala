@@ -96,22 +96,41 @@ object ManifestStore {
   /** List a directory's children, tolerating the dir itself vanishing
    * (or never existing): a CONCURRENT process's gc deleting state
    * mid-listing is within this protocol's threat model, and the right
-   * reading is always "nothing here", never a crash out of the
-   * caller's build (r18 review findings). */
+   * reading for a VANISHED dir is "nothing here", never a crash out of
+   * the caller's build (r18 review findings). A vanish with the root
+   * still present is different (r18 ADVICE): a CHILD vanished
+   * mid-iteration, and returning empty would DISCARD entries already
+   * read — in [[gcTo]] an empty manifest listing with a live segs
+   * listing sweeps the kept manifest's live segments (self-healing via
+   * valid()+rebuild, but at full-corpus rebuild cost). So on a vanish,
+   * RE-CHECK the root like [[graft.queries.QueryDef.deleteRecursively]]
+   * does: empty only if the dir is actually gone, retry while it
+   * lives, propagate a persistent partial loudly. */
   private def listDir(p: Path): Vector[Path] = {
-    if (!Files.isDirectory(p)) return Vector.empty
-    try {
-      val l = Files.list(p)
-      try l.iterator().asScala.toVector finally l.close()
-    } catch {
-      case _: java.nio.file.NoSuchFileException => Vector.empty
-      // Files.list wraps IO errors DURING iteration (the dir vanishing
+    def isVanish(t: Throwable): Boolean = t match {
+      case _: java.nio.file.NoSuchFileException => true
+      // Files.list wraps IO errors DURING iteration (an entry vanishing
       // mid-listing) in UncheckedIOException — same reading as the
       // bare form (the Q.deleteRecursively precedent)
-      case e: java.io.UncheckedIOException
-          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
-        Vector.empty
+      case e: java.io.UncheckedIOException =>
+        e.getCause.isInstanceOf[java.nio.file.NoSuchFileException]
+      case _ => false
     }
+    var tries = 0
+    while (true) {
+      tries += 1
+      if (!Files.isDirectory(p)) return Vector.empty
+      try {
+        val l = Files.list(p)
+        try return l.iterator().asScala.toVector finally l.close()
+      } catch {
+        case t if isVanish(t) =>
+          if (!Files.isDirectory(p)) return Vector.empty // root gone
+          else if (tries >= 3) throw t // persistent partial: loud
+        // else: a child vanished under a live root — list again
+      }
+    }
+    Vector.empty // unreachable
   }
 
   /** All published manifest files in the store. */

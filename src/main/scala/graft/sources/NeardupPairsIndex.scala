@@ -91,18 +91,25 @@ object NeardupPairsIndex {
    * served silently), and the rounded replacement still collided past
    * two decimals (0.585 → t58) AND made post-fix 0.57 resolve to a
    * PRE-fix 0.58 artifact published under the truncated t57 — hence
-   * the v3 layout bump with v2 swept as legacy. */
+   * the v3 layout bump with v2 swept as legacy. The v4 bump moves the
+   * corpus tag from 32-bit `dir.hashCode` to [[ManifestStore.dirTag]]
+   * (r18 ADVICE): under the old tag, two corpus dirs colliding on
+   * hashCode shared a prefix, so `ensureStampedIncr` could adopt the
+   * OTHER corpus's pair table as its incremental base and silently
+   * carry its pairs — the same silent cross-wiring class the sig/knn
+   * stores already closed with their own layout bumps. */
   private def prefix(threshold: Double) =
-    s"graft_neardup_pairs_v3_t${java.lang.Double.toString(threshold)
+    s"graft_neardup_pairs_v4_t${java.lang.Double.toString(threshold)
       .replace(".", "p").replace("-", "m")}_"
 
   /** Superseded layouts, swept on sight (their stamp-sweeps never fire
    * again once no caller addresses them): v1 single-parquet dirs (no
-   * cover), and v2's integer-truncated threshold labels whose dirs
-   * must not be resolvable by (or leak behind) the lossless v3
-   * labels. */
+   * cover), v2's integer-truncated threshold labels whose dirs
+   * must not be resolvable by (or leak behind) the lossless labels,
+   * and v3's hashCode-tagged dirs superseded by the md5 dirTag. */
   private val LEGACY =
-    Seq("graft_neardup_pairs_t", "graft_neardup_pairs_v2_")
+    Seq("graft_neardup_pairs_t", "graft_neardup_pairs_v2_",
+      "graft_neardup_pairs_v3_")
 
   /** The full candidates+verify build plan (unpersisted) — exposed for
    * the equivalence spec pin. Signatures come from the persisted
@@ -123,7 +130,7 @@ object NeardupPairsIndex {
    * for the spec's tamper probe. */
   private[graft] def artifactDir(dir: String, threshold: Double = 0.5): Path =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      prefix(threshold) + java.lang.Integer.toHexString(dir.hashCode) +
+      prefix(threshold) + ManifestStore.dirTag(dir) +
         "_" + Q.contentStamp(dir, "documents"))
 
   /** Graph-sized single-file write: one file, one listing at every
@@ -150,7 +157,7 @@ object NeardupPairsIndex {
             threshold: Double = 0.5): DataFrame = {
     ManifestStore.sweepLegacyPrefixes(LEGACY)
     val stamp = Q.contentStamp(dir, "documents")
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tag = ManifestStore.dirTag(dir)
     // serialize same-artifact builders within the JVM (the same
     // lockFor REGISTRY MinHashSigIndex's refresh uses, keyed by THIS
     // artifact's store path — a distinct monitor from the sig store's;

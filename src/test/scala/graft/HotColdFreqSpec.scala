@@ -471,6 +471,38 @@ class HotColdFreqSpec extends AnyFunSuite {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("post-swap sweep: a pre-DROP crash's orphan staging is cleaned by the next successful refresh") {
+    import spark.implicits._
+    // crash window the missing-target recovery scan cannot see: the
+    // crashed batch's CTAS registered its staging but the process died
+    // BEFORE `DROP TABLE target`, so the target lives on. Before the
+    // r18 ADVICE sweep that staging survived forever, and a LATER
+    // genuine mid-swap crash then found TWO stagings and tripped the
+    // MULTIPLE-orphans hard failure where the old fixed-name layout
+    // self-recovered. A successful swap must sweep such siblings (none
+    // can be live under the single-writer discipline).
+    val tbl = "graft_freqsweep_spec"
+    def stagingOf(token: String) = HotColdFreq.stagingName(tbl, token)
+    val names = Seq(tbl, stagingOf("dead"), stagingOf("live"))
+    try {
+      names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      HotColdFreq.freqTable(Seq((1L, 7L), (2L, 8L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), tbl)
+      // the dead batch's staging: a complete merge that never swapped
+      HotColdFreq.freqTable(Seq((1L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), stagingOf("dead"))
+      assert(spark.catalog.tableExists(stagingOf("dead")))
+      HotColdFreq.freqTableRefresh(Seq((9L, 7L)).toDF("doc_id", "h"),
+        "h", "g", lit(1L), tbl, refreshToken = "live")
+      assert(!spark.catalog.tableExists(stagingOf("dead")),
+        "a successful swap must sweep sibling orphan stagings")
+      val freqs = spark.table(tbl).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(freqs == Map(7L -> 2L, 8L -> 1L),
+        s"the sweep must not disturb the merge, got $freqs")
+    } finally names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("zero-net keys are absent in EVERY sourcing (withFreq ≡ freqTable)") {
     import spark.implicits._
     // retraction-style weights netting to 0 for key 8: the in-memory

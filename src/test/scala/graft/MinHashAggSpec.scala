@@ -87,4 +87,29 @@ class MinHashAggSpec extends AnyFunSuite {
     assert(hh == Map("x" -> 2L, "y" -> 1L),
       s"null must carry no heavy-hitter mass, got $hh")
   }
+
+  test("simhash: out-of-alphabet chars carry no votes (md5-lowercase-hex contract)") {
+    // pre-r19 the nibble decode accepted ANY char ('A' read via c-'0'
+    // = 17, a garbage +1 vote); the contract is md5()'s lowercase hex,
+    // so anything outside [0-9a-f] must carry no mass — the same
+    // posture as null/short input (r18 ADVICE)
+    val agg = new graft.functions.SimHashAgg
+    // 'a' (nib 10 → +1) votes bit 0; uppercase 'A' at position 1 must
+    // NOT vote (old decode set bit 1)
+    assert(agg.finish(agg.reduce(agg.zero, "aA")) == 1L,
+      "uppercase hex must be skipped, not decoded as garbage")
+    // an all-garbage string contributes nothing at all
+    assert(agg.finish(agg.reduce(agg.zero, "G!Z@ XYZT")) == 0L,
+      "non-hex chars must carry no votes")
+    // and garbage mixed into a real digest leaves the valid nibbles'
+    // votes exactly as a clean reduce of those nibbles produces
+    val clean = agg.finish(agg.reduce(agg.zero, "0f3b"))
+    val dirty = agg.finish(
+      Seq("0Q3Q", "Qf3b", "0fQb", "QQQb", "0f3Q")
+        .foldLeft(agg.zero)(agg.reduce))
+    // per-position vote totals: each position's lowercase-hex votes
+    // across the dirty batch sum to >0 iff the clean single digest's
+    // did (each valid nibble appears an odd positive count per slot)
+    assert(dirty == clean, s"garbage perturbed valid votes: $dirty vs $clean")
+  }
 }

@@ -45,12 +45,12 @@ class NeardupPairsIndexSpec extends AnyFunSuite {
   }
 
   private def sweep(dir: String): Unit = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tag = graft.sources.ManifestStore.dirTag(dir)
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     val l = Files.list(tmp)
     try l.iterator().asScala.toVector
       .filter(_.getFileName.toString
-        .startsWith(s"graft_neardup_pairs_v2_t50_${tag}_"))
+        .startsWith(s"graft_neardup_pairs_v4_t0p5_${tag}_"))
       .foreach(graft.queries.Q.deleteRecursively)
     finally l.close()
     // the scenario corpus also built a signature store; sweep it
@@ -64,10 +64,11 @@ class NeardupPairsIndexSpec extends AnyFunSuite {
     // 0.585 with 0.58) — the wrong pair set served silently; and a
     // rounded v2 label would have let post-fix 0.57 resolve a PRE-fix
     // 0.58 artifact published under the truncated t57, hence the v3
-    // bump with v2 in the legacy sweep (r18 review, both passes)
+    // bump with v2 in the legacy sweep (r18 review, both passes); v4
+    // moved the corpus tag to the md5 dirTag (r18 ADVICE)
     def label(t: Double) = NeardupPairsIndex.artifactDir("x", t)
       .getFileName.toString
-    assert(label(0.5).contains("_v3_t0p5_"), label(0.5))
+    assert(label(0.5).contains("_v4_t0p5_"), label(0.5))
     assert(label(0.58).contains("_t0p58_"), label(0.58))
     val all = Seq(0.5, 0.57, 0.58, 0.585, 0.5849).map(label)
     assert(all.distinct.size == all.size,

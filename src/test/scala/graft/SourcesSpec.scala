@@ -59,9 +59,9 @@ class SourcesSpec extends AnyFunSuite {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     // match this sf-dir's export specifically (other sf exports may
     // coexist in tmp); the dir name embeds the sf-dir hash tag
-    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val tag = graft.sources.ManifestStore.dirTag(sf)
     val exportDirs = new java.io.File(System.getProperty("java.io.tmpdir"))
-      .listFiles().filter(_.getName.startsWith(s"graft_src_hivepart_$tag"))
+      .listFiles().filter(_.getName.startsWith(s"graft_src2_hivepart_$tag"))
     assert(exportDirs.nonEmpty, "export dir missing")
     val pruned = spark.read.parquet(exportDirs.head.toString)
       .filter(col("o_orderstatus") === "F")
@@ -83,10 +83,10 @@ class SourcesSpec extends AnyFunSuite {
     // materialize both generations of the q_compact_files round-trip dirs
     SparkEntry.queries("q_compact_files")(spark, sf).count()
     val tmpdir = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val tag = graft.sources.ManifestStore.dirTag(sf)
     def partFiles(prefix: String): Int = {
       val d = tmpdir.listFiles()
-        .filter(_.getName.startsWith(s"graft_src_${prefix}_$tag"))
+        .filter(_.getName.startsWith(s"graft_src2_${prefix}_$tag"))
       assert(d.nonEmpty, s"$prefix dir missing")
       d.head.listFiles().count(_.getName.endsWith(".parquet"))
     }
@@ -95,7 +95,7 @@ class SourcesSpec extends AnyFunSuite {
     // the compaction plan itself must be shuffle-free (coalesce, not
     // repartition): each output task concatenates input splits
     val frag = tmpdir.listFiles()
-      .filter(_.getName.startsWith(s"graft_src_frag_$tag")).head
+      .filter(_.getName.startsWith(s"graft_src2_frag_$tag")).head
     val plan = spark.read.parquet(frag.toString).coalesce(4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"compaction shuffled:\n$plan")
@@ -104,9 +104,9 @@ class SourcesSpec extends AnyFunSuite {
   test("mergeSchema read surfaces the pre-evolution files' column as null") {
     SparkEntry.queries("q_schema_evolution")(spark, sf).count()
     val tmpdir = new java.io.File(System.getProperty("java.io.tmpdir"))
-    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val tag = graft.sources.ManifestStore.dirTag(sf)
     val evo = tmpdir.listFiles()
-      .filter(_.getName.startsWith(s"graft_src_evo_$tag")).head
+      .filter(_.getName.startsWith(s"graft_src2_evo_$tag")).head
     val merged = spark.read.option("mergeSchema", "true").parquet(evo.toString)
     assert(merged.schema.fieldNames.contains("o_orderstatus"))
     // generation 1 (even keys) predates the column: all null there, none
