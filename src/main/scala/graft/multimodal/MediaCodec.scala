@@ -177,8 +177,16 @@ object MediaCodec {
       else if (t.startsWith("C")) require(t == "C420", "only C420 supported")
     }
     require(w > 0 && h > 0, "missing W/H parameters")
+    // bound dimensions BEFORE the plane-size arithmetic, like decodeBmp
+    // (r19 review): the 7-digit parse admits W/H up to 9999999, whose
+    // product overflows the int plane size — a wrapped small-positive m
+    // would mis-slice frames of the wrong size instead of failing the
+    // declared contract. The plane size stays Long until a frame is
+    // actually present, so a header-only (zero-frame) stream with huge
+    // but well-formed dimensions still decodes to zero frames.
+    require(w <= (1 << 20) && h <= (1 << 20), "implausible dimensions")
     require(w % 2 == 0 && h % 2 == 0, "C420 needs even dimensions")
-    val m = w * h * 3 / 2
+    val mL = w.toLong * h * 3 / 2
     val frames = Vector.newBuilder[Array[Byte]]
     var off = nl + 1
     while (off < bytes.length) {
@@ -186,7 +194,8 @@ object MediaCodec {
       require(fnl > 0 &&
         new String(bytes, off, 5.min(fnl - off), "US-ASCII") == "FRAME",
         "missing FRAME marker")
-      require(fnl + 1 + m <= bytes.length, "truncated frame")
+      require(fnl + 1 + mL <= bytes.length, "truncated frame")
+      val m = mL.toInt // exact: mL ≤ bytes.length ≤ Int.MaxValue here
       frames += java.util.Arrays.copyOfRange(bytes, fnl + 1, fnl + 1 + m)
       off = fnl + 1 + m
     }

@@ -83,7 +83,11 @@ object ZOrder {
       val r = df.agg(
         min(col(colA)).cast("double"), max(col(colA)).cast("double"),
         min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // an empty (or all-null-key) input has null extrema: degenerate
+      // bounds write the empty/degenerate layout instead of NPE-ing the
+      // job out of getDouble (r19 review)
+      if (r.isNullAt(0) || r.isNullAt(2)) (0.0, 0.0, 0.0, 0.0)
+      else (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     }
     val scale = ((1L << bits) - 1).toDouble
     def norm(c: Column, lo: Double, hi: Double): Column =

@@ -31,7 +31,12 @@ object SnapshotStore {
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(versionDir(tableDir, v), "_SUCCESS"))
 
-  /** Every `v=N` directory number, committed or not. */
+  /** Every `v=N` directory number, committed or not. Only PURE-integer
+   * suffixes parse: [[writeVersionWithManifest]] stages in a sibling
+   * named `v=N.stage_<pid>_<seq>` inside the table dir, and a crashed
+   * or concurrent writer's staging must read as debris to skip — the
+   * old bare `toInt` threw NumberFormatException on it, making the
+   * WHOLE table unlistable after one mid-write crash (r19 review). */
   private def dirNumbers(tableDir: String): Seq[Int] = {
     val base = java.nio.file.Paths.get(tableDir)
     if (!java.nio.file.Files.isDirectory(base)) Seq.empty
@@ -41,7 +46,8 @@ object SnapshotStore {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
           .map(_.getFileName.toString)
-          .collect { case n if n.startsWith("v=") => n.drop(2).toInt }
+          .collect { case n if n.startsWith("v=") &&
+            n.length > 2 && n.drop(2).forall(_.isDigit) => n.drop(2).toInt }
           .toVector.sorted
       } finally s.close()
     }
@@ -141,20 +147,37 @@ object SnapshotStore {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tableDir))
     val target = java.nio.file.Paths.get(versionDir(tableDir, next))
     val staging = graft.queries.Q.stagingFor(target)
-    df.write.mode("overwrite").parquet(staging.toString)
-    val spark = df.sparkSession
-    val aggs = count(lit(1)).as("n_rows") +:
-      statsCols.flatMap(c => Seq(
-        min(col(c)).cast("double").as(s"min_$c"),
-        max(col(c)).cast("double").as(s"max_$c")))
-    spark.read.parquet(staging.toString)
-      .withColumn("file",
-        regexp_extract(input_file_name(), "[^/]+$", 0))
-      .groupBy("file")
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(staging.resolve("_manifest").toString)
-    graft.queries.Q.publishDirAtomic(staging, target)
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      val spark = df.sparkSession
+      val aggs = count(lit(1)).as("n_rows") +:
+        statsCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c")))
+      spark.read.parquet(staging.toString)
+        .withColumn("file",
+          regexp_extract(input_file_name(), "[^/]+$", 0))
+        .groupBy("file")
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("_manifest").toString)
+      // NOT publishDirAtomic: that helper treats a lost rename race as
+      // success because content-stamped artifacts are identical by
+      // construction — but two snapshot writers racing to the same
+      // number stage DIFFERENT dataframes, and the loser returning
+      // `next` would silently drop its rows behind the winner's (r19
+      // review; the same loud-loser posture as writeVersion's
+      // errorifexists). The loser's data is intact in `df` — re-run to
+      // write the next number.
+      java.nio.file.Files.move(staging, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      graft.queries.Q.deleteRecursively(staging)
+      throw new IllegalStateException(
+        s"writeVersionWithManifest: publishing version $next of " +
+          s"$tableDir failed (concurrent writer or IO error) — no " +
+          "version was written for this call's data; re-run", e)
+    }
     require(committed(tableDir, next),
       s"version $next of $tableDir failed to publish (concurrent writer?)")
     next

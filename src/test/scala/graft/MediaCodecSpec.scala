@@ -140,5 +140,17 @@ class MediaCodecSpec extends AnyFunSuite {
       MediaCodec.decodeY4m("YUV4MPEG2 W4x H4 C420\nFRAME\n".getBytes))
     intercept[IllegalArgumentException](
       MediaCodec.decodeY4m("YUV4MPEG2 W3 H4 C420\nFRAME\n".getBytes))
+    // huge Y4M dimensions whose plane size overflows int must fail the
+    // contract, not wrap to a small positive m and mis-slice frames
+    // (r19 review — the decodeBmp bound, applied to Y4M)
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeY4m("YUV4MPEG2 W9999998 H9999998 C420\nFRAME\nxx".getBytes))
+    // a plausible-but-large header with ZERO frames still decodes (the
+    // plane size is only enforced when a frame is present)
+    val (zw, zh, zf) = MediaCodec.decodeY4m("YUV4MPEG2 W1048576 H1048576 C420\n".getBytes)
+    assert(zw == 1048576 && zh == 1048576 && zf.isEmpty)
+    // and a present frame against that header is truncated by definition
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeY4m("YUV4MPEG2 W1048576 H1048576 C420\nFRAME\nxx".getBytes))
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.SnapshotStore
+import scala.jdk.CollectionConverters._
 
 /**
  * Pins the three properties the snapshot convention claims (see the
@@ -53,6 +54,54 @@ class SnapshotReadSpec extends AnyFunSuite {
     assert(SnapshotStore.writeVersion(Seq((2L, "b")).toDF("k", "s"), tbl) == 3)
     assert(SnapshotStore.versions(tbl) == Seq(1, 3))
     assert(SnapshotStore.readLatest(spark, tbl).count() == 1)
+  }
+
+  test("a crashed manifest writer's staging dir never breaks the table") {
+    // writeVersionWithManifest stages at `v=N.stage_<pid>_<seq>` INSIDE
+    // the table dir; the old dirNumbers parsed every `v=`-prefixed name
+    // with a bare toInt and threw NumberFormatException on the staging
+    // suffix — one mid-write crash made versions()/writeVersion()/
+    // readLatest() unusable forever (r19 review)
+    val tbl = freshTable()
+    SnapshotStore.writeVersion(Seq((1L, "a")).toDF("k", "s"), tbl)
+    val debris = java.nio.file.Paths.get(tbl, "v=2.stage_12345_7")
+    java.nio.file.Files.createDirectory(debris)
+    java.nio.file.Files.writeString(debris.resolve("part-zzz.parquet"), "junk")
+    assert(SnapshotStore.versions(tbl) == Seq(1))
+    assert(SnapshotStore.writeVersion(Seq((2L, "b")).toDF("k", "s"), tbl) == 2)
+    assert(SnapshotStore.readLatest(spark, tbl).count() == 1)
+  }
+
+  test("a manifest writer losing the version-number race fails loudly, never silently drops its rows") {
+    // two concurrent writers stage DIFFERENT dataframes for the same
+    // next number; the loser must throw (its data was not published),
+    // not return the winner's version as its own (r19 review — the
+    // publishDirAtomic lost-race-is-success contract is only right for
+    // content-stamped identical artifacts). Deterministic interleaving:
+    // the loser's dataframe plants the winner's committed v=2 as an
+    // evaluation-time side effect, so the winner lands exactly between
+    // the loser's number pick and its publish move.
+    val tbl = freshTable()
+    SnapshotStore.writeVersion(Seq((1L, "a")).toDF("k", "s"), tbl)
+    val loser = spark.range(1).map { _ =>
+      val w = java.nio.file.Paths.get(tbl, "v=2")
+      java.nio.file.Files.createDirectories(w)
+      java.nio.file.Files.writeString(w.resolve("_SUCCESS"), "")
+      7L
+    }.toDF("k")
+    val ex = intercept[IllegalStateException] {
+      SnapshotStore.writeVersionWithManifest(loser, tbl, Seq("k"))
+    }
+    assert(ex.getMessage.contains("no version was written"), ex.getMessage)
+    // the loser's staging is cleaned up, not leaked into the table dir
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(tbl))
+    try assert(!leftovers.iterator().asScala.exists(
+        _.getFileName.toString.contains(".stage_")),
+      "the failed publish leaked its staging dir")
+    finally leftovers.close()
+    // the committed surface is the winner's v=2; the next writer skips to 3
+    assert(SnapshotStore.versions(tbl) == Seq(1, 2))
+    assert(SnapshotStore.writeVersion(Seq((3L, "c")).toDF("k", "s"), tbl) == 3)
   }
 
   test("manifest-pruned as-of read: fewer files, same rows, inside v=N") {

@@ -96,4 +96,14 @@ class ZOrderSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.cbo.enabled", "false")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("an empty input writes an empty layout, not an NPE") {
+    // the min/max normalization aggregate returns null extrema on an
+    // empty frame; the old getDouble crashed the write job (r19 review)
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-zempty").toString
+    val empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    ZOrder.writeZOrdered(empty, "a", "b", dir, numFiles = 2)
+    assert(spark.read.parquet(dir).count() == 0)
+  }
 }
