@@ -154,12 +154,22 @@ object ManifestStore {
 
   /** [[parse]] tolerating the manifest file vanishing between the
    * listing and the read — a concurrent gc deleting a superseded
-   * manifest mid-race. A vanished manifest reads exactly like an
-   * invalid one: skipped, never a crash (the same posture
-   * [[valid]] takes for vanished SEGMENTS). */
+   * manifest mid-race — AND a corrupt one (truncated or garbled line:
+   * fs-level damage only, the publish itself is atomic). Both read
+   * exactly like an invalid manifest: skipped, never a crash (the same
+   * posture [[valid]] takes for vanished SEGMENTS). Without the
+   * malformed-content arm (r19 review), a corrupt manifest threw
+   * NumberFormatException/MatchError out of every serve — and even
+   * skipped, it could never heal: the EEXIST-protected publish cannot
+   * replace an existing file, so [[currentManifest]] must also DELETE
+   * an unparseable manifest like it deletes a broken one. */
   private def parseIfPresent(file: Path): Option[Manifest] =
     try Some(parse(file))
-    catch { case _: java.nio.file.NoSuchFileException => None }
+    catch {
+      case _: java.nio.file.NoSuchFileException => None
+      case _: NumberFormatException => None
+      case _: MatchError => None
+    }
 
   /** Last-modified millis, with a vanished file sorting oldest. */
   private def mtimeOrZero(p: Path): Long =
@@ -172,13 +182,26 @@ object ManifestStore {
     m.entries.forall(e => Files.isDirectory(store.resolve(e.rel)))
 
   /** The published manifest for `stamp`, if present AND intact.
-   * A broken manifest is deleted here so the caller's rebuild can
-   * publish a fresh one under the same name. */
+   * A broken (dangling-reference) or corrupt (unparseable) manifest is
+   * deleted here so the caller's rebuild can publish a fresh one under
+   * the same name — without the delete, the EEXIST-protected publish
+   * loses to the corrupt file forever and every serve re-pays the
+   * build (r19 review). */
   def currentManifest(store: Path, stamp: String): Option[Manifest] = {
     val f = manifestFile(store, stamp)
-    parseIfPresent(f).flatMap { m =>
-      if (valid(store, m)) Some(m)
-      else { Files.deleteIfExists(f); None }
+    parseIfPresent(f) match {
+      case Some(m) if valid(store, m) => Some(m)
+      case Some(_) =>
+        Files.deleteIfExists(f) // dangling references: heal to absent
+        None
+      case None if Files.exists(f) =>
+        Files.deleteIfExists(f) // corrupt content: heal to absent
+        None
+      case None =>
+        // VANISHED: no delete — a concurrent winner may have just
+        // republished this exact path, and deleting here would kill its
+        // fresh manifest (the same race discipline publish() keeps)
+        None
     }
   }
 

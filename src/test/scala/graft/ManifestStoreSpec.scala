@@ -120,6 +120,35 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally graft.queries.Q.deleteRecursively(store)
   }
 
+  test("a CORRUPT manifest self-heals to absent like a broken one") {
+    // fs-level damage (publish is atomic, so only truncation/garbling
+    // can produce this): pre-r19 a garbled line threw
+    // NumberFormatException/MatchError out of every serve, and even a
+    // skip could never heal — the EEXIST-protected publish cannot
+    // replace an existing file, so the corrupt manifest pinned the
+    // stamp to a rebuild-every-serve loop (r19 review)
+    val store = freshStore()
+    try {
+      val seg = mkSeg(store, Seq(1))
+      val kids = ManifestStore.bucketChildren(store, seg)
+      // garbled bucket number (non-numeric)
+      Files.writeString(store.resolve("manifest_s1"),
+        s"data\tNOT_A_NUMBER\t${kids.head._2}\t5\n")
+      assert(ManifestStore.currentManifest(store, "s1").isEmpty,
+        "a corrupt manifest must never be served (or crash the serve)")
+      assert(!Files.exists(store.resolve("manifest_s1")),
+        "the corrupt manifest file must be deleted so a rebuild can publish")
+      // wrong arity (truncated line) heals the same way
+      Files.writeString(store.resolve("manifest_s2"), "data\t1\n")
+      assert(ManifestStore.currentManifest(store, "s2").isEmpty)
+      assert(!Files.exists(store.resolve("manifest_s2")))
+      // and a rebuild can now publish + serve under the healed stamp
+      val m = Manifest("s1", kids.map { case (b, rel) => Entry("data", b, rel) })
+      ManifestStore.publish(store, m)
+      assert(ManifestStore.currentManifest(store, "s1").contains(m))
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
   test("GC: superseded manifests drop; referenced partitions survive inside partially-dead segments") {
     val store = freshStore()
     try {
