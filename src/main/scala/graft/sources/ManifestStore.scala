@@ -152,23 +152,48 @@ object ManifestStore {
     Manifest(stamp, entries)
   }
 
+  /** Outcome of reading one manifest file, classified BY EXCEPTION
+   * TYPE at the point of failure — not by re-probing the filesystem
+   * afterwards. [[currentManifest]] needs vanish vs corrupt to pick
+   * delete-or-leave, and a post-hoc `Files.exists` probe is a TOCTOU:
+   * a file that vanished during the parse can be REPUBLISHED by a
+   * concurrent winner before the probe, and the probe would then
+   * classify the winner's fresh, valid manifest as corrupt and delete
+   * it (r19 ADVICE). The exception already carries the answer. */
+  private sealed trait ParseResult
+  private case object Vanished extends ParseResult
+  private case object Corrupt extends ParseResult
+  private final case class Parsed(m: Manifest) extends ParseResult
+
   /** [[parse]] tolerating the manifest file vanishing between the
    * listing and the read — a concurrent gc deleting a superseded
-   * manifest mid-race — AND a corrupt one (truncated or garbled line:
-   * fs-level damage only, the publish itself is atomic). Both read
-   * exactly like an invalid manifest: skipped, never a crash (the same
-   * posture [[valid]] takes for vanished SEGMENTS). Without the
-   * malformed-content arm (r19 review), a corrupt manifest threw
+   * manifest mid-race — AND a corrupt one (truncated, garbled, or
+   * binary-damaged content: fs-level damage only, the publish itself
+   * is atomic). Both read like an invalid manifest: never a crash (the
+   * same posture [[valid]] takes for vanished SEGMENTS). Without the
+   * malformed-content arms (r19 review), a corrupt manifest threw
    * NumberFormatException/MatchError out of every serve — and even
    * skipped, it could never heal: the EEXIST-protected publish cannot
    * replace an existing file, so [[currentManifest]] must also DELETE
-   * an unparseable manifest like it deletes a broken one. */
-  private def parseIfPresent(file: Path): Option[Manifest] =
-    try Some(parse(file))
+   * an unparseable manifest like it deletes a broken one. The
+   * charset arm (r19 ADVICE): readAllLines decodes UTF-8 strictly and
+   * throws MalformedInputException on non-UTF-8 bytes — exactly the
+   * garbled-content damage the other arms handle — so it must read as
+   * Corrupt too, or such a manifest throws out of every serve and
+   * never reaches the self-heal delete. */
+  private def parseResult(file: Path): ParseResult =
+    try Parsed(parse(file))
     catch {
-      case _: java.nio.file.NoSuchFileException => None
-      case _: NumberFormatException => None
-      case _: MatchError => None
+      case _: java.nio.file.NoSuchFileException => Vanished
+      case _: java.nio.charset.CharacterCodingException => Corrupt
+      case _: NumberFormatException => Corrupt
+      case _: MatchError => Corrupt
+    }
+
+  private def parseIfPresent(file: Path): Option[Manifest] =
+    parseResult(file) match {
+      case Parsed(m) => Some(m)
+      case _ => None
     }
 
   /** Last-modified millis, with a vanished file sorting oldest. */
@@ -189,18 +214,20 @@ object ManifestStore {
    * build (r19 review). */
   def currentManifest(store: Path, stamp: String): Option[Manifest] = {
     val f = manifestFile(store, stamp)
-    parseIfPresent(f) match {
-      case Some(m) if valid(store, m) => Some(m)
-      case Some(_) =>
+    parseResult(f) match {
+      case Parsed(m) if valid(store, m) => Some(m)
+      case Parsed(_) =>
         Files.deleteIfExists(f) // dangling references: heal to absent
         None
-      case None if Files.exists(f) =>
+      case Corrupt =>
         Files.deleteIfExists(f) // corrupt content: heal to absent
         None
-      case None =>
-        // VANISHED: no delete — a concurrent winner may have just
-        // republished this exact path, and deleting here would kill its
-        // fresh manifest (the same race discipline publish() keeps)
+      case Vanished =>
+        // VANISHED (classified by exception type at parse time, never
+        // by a post-hoc exists probe — see [[parseResult]]): no delete —
+        // a concurrent winner may have just republished this exact
+        // path, and deleting here would kill its fresh manifest (the
+        // same race discipline publish() keeps)
         None
     }
   }

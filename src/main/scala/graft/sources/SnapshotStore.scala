@@ -31,12 +31,17 @@ object SnapshotStore {
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(versionDir(tableDir, v), "_SUCCESS"))
 
-  /** Every `v=N` directory number, committed or not. Only PURE-integer
-   * suffixes parse: [[writeVersionWithManifest]] stages in a sibling
-   * named `v=N.stage_<pid>_<seq>` inside the table dir, and a crashed
-   * or concurrent writer's staging must read as debris to skip — the
-   * old bare `toInt` threw NumberFormatException on it, making the
-   * WHOLE table unlistable after one mid-write crash (r19 review). */
+  /** Every `v=N` directory number, committed or not. Only BOUNDED
+   * pure-ASCII-integer suffixes parse: [[writeVersionWithManifest]]
+   * stages in a sibling named `v=N.stage_<pid>_<seq>` inside the table
+   * dir, and a crashed or concurrent writer's staging must read as
+   * debris to skip — the old bare `toInt` threw NumberFormatException
+   * on it, making the WHOLE table unlistable after one mid-write crash
+   * (r19 review). The bound (r19 ADVICE): Char.isDigit alone accepts
+   * all-digit names whose VALUE overflows Int (`v=99999999999`) and
+   * non-ASCII Unicode digits — both still threw out of `toInt`, the
+   * same unlistable-table failure the filter was meant to close. ≤9
+   * ASCII digits always fits in Int (max 999,999,999). */
   private def dirNumbers(tableDir: String): Seq[Int] = {
     val base = java.nio.file.Paths.get(tableDir)
     if (!java.nio.file.Files.isDirectory(base)) Seq.empty
@@ -46,8 +51,9 @@ object SnapshotStore {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
           .map(_.getFileName.toString)
-          .collect { case n if n.startsWith("v=") &&
-            n.length > 2 && n.drop(2).forall(_.isDigit) => n.drop(2).toInt }
+          .collect { case n if n.startsWith("v=") => n.drop(2) }
+          .collect { case d if d.nonEmpty && d.length <= 9 &&
+            d.forall(c => c >= '0' && c <= '9') => d.toInt }
           .toVector.sorted
       } finally s.close()
     }
@@ -171,12 +177,18 @@ object SnapshotStore {
       // write the next number.
       java.nio.file.Files.move(staging, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } catch { case e: Throwable =>
-      graft.queries.Q.deleteRecursively(staging)
-      throw new IllegalStateException(
-        s"writeVersionWithManifest: publishing version $next of " +
-          s"$tableDir failed (concurrent writer or IO error) — no " +
-          "version was written for this call's data; re-run", e)
+    } catch {
+      // NonFatal only (r19 ADVICE): a fatal throwable (OutOfMemoryError,
+      // InterruptedException) must propagate with its own class, not be
+      // masked as an IllegalStateException after a recursive delete runs
+      // on the way out. Staging left behind by a fatal crash is exactly
+      // what the debris filter in [[dirNumbers]] tolerates.
+      case scala.util.control.NonFatal(e) =>
+        graft.queries.Q.deleteRecursively(staging)
+        throw new IllegalStateException(
+          s"writeVersionWithManifest: publishing version $next of " +
+            s"$tableDir failed (concurrent writer or IO error) — no " +
+            "version was written for this call's data; re-run", e)
     }
     require(committed(tableDir, next),
       s"version $next of $tableDir failed to publish (concurrent writer?)")

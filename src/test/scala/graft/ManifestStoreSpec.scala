@@ -149,6 +149,34 @@ class ManifestStoreSpec extends AnyFunSuite {
     } finally graft.queries.Q.deleteRecursively(store)
   }
 
+  test("a BINARY-garbled (non-UTF-8) manifest self-heals like a corrupt one") {
+    // Files.readAllLines decodes UTF-8 strictly and throws
+    // MalformedInputException on non-UTF-8 bytes — exactly the fs-level
+    // garbling the r19 corrupt arm claims to handle, but its catch only
+    // covered NumberFormatException/MatchError, so a binary-damaged
+    // manifest still threw out of every serve and never reached the
+    // self-heal delete (r19 ADVICE: catch CharacterCodingException).
+    val store = freshStore()
+    try {
+      val seg = mkSeg(store, Seq(1))
+      val kids = ManifestStore.bucketChildren(store, seg)
+      Files.write(store.resolve("manifest_s1"),
+        Array[Byte](0xC3.toByte, 0x28, 0xA0.toByte, 0xFF.toByte, '\n'))
+      assert(ManifestStore.currentManifest(store, "s1").isEmpty,
+        "a binary-garbled manifest must never be served (or crash the serve)")
+      assert(!Files.exists(store.resolve("manifest_s1")),
+        "the garbled manifest file must be deleted so a rebuild can publish")
+      // the incremental-base scan skips (without deleting) it the same way
+      Files.write(store.resolve("manifest_s2"),
+        Array[Byte](0xC3.toByte, 0x28))
+      assert(ManifestStore.newestOtherManifest(store, "zzz").isEmpty)
+      // and a rebuild can now publish + serve under the healed stamp
+      val m = Manifest("s1", kids.map { case (b, rel) => Entry("data", b, rel) })
+      ManifestStore.publish(store, m)
+      assert(ManifestStore.currentManifest(store, "s1").contains(m))
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
   test("GC: superseded manifests drop; referenced partitions survive inside partially-dead segments") {
     val store = freshStore()
     try {

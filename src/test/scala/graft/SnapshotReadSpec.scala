@@ -72,6 +72,26 @@ class SnapshotReadSpec extends AnyFunSuite {
     assert(SnapshotStore.readLatest(spark, tbl).count() == 1)
   }
 
+  test("all-digit debris beyond Int range never breaks the table") {
+    // the r19 debris filter used Char.isDigit with no value bound:
+    // `v=99999999999` (all digits, value > Int.MaxValue) still threw
+    // NumberFormatException out of toInt — the same unlistable-table
+    // failure the filter was meant to close (r19 ADVICE). Same class:
+    // non-ASCII Unicode digits (isDigit true, toInt throws) — not
+    // creatable on this container's fs charset, but the ASCII-range
+    // check in the bounded parse excludes them by construction. The
+    // bounded ≤9-ASCII-digit parse skips all of these as debris.
+    val tbl = freshTable()
+    SnapshotStore.writeVersion(Seq((1L, "a")).toDF("k", "s"), tbl)
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(tbl, "v=99999999999"))
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(tbl, "v=2147483648")) // Int.MaxValue + 1
+    assert(SnapshotStore.versions(tbl) == Seq(1))
+    assert(SnapshotStore.writeVersion(Seq((2L, "b")).toDF("k", "s"), tbl) == 2)
+    assert(SnapshotStore.readLatest(spark, tbl).count() == 1)
+  }
+
   test("a manifest writer losing the version-number race fails loudly, never silently drops its rows") {
     // two concurrent writers stage DIFFERENT dataframes for the same
     // next number; the loser must throw (its data was not published),

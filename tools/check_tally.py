@@ -68,16 +68,25 @@ def main(survey_path, bench_path):
 
 def default_bench():
     """Prefer the newest committed per-round local snapshot
-    (bench_local_rN.json — VERDICT r7 item 3: the driver's own run
-    overwrites bench_out.json, orphaning the claims this gate checks),
-    falling back to bench_out.json for mid-round iteration."""
+    (bench_local_rN.json or a lettered window bench_local_rN_x.json —
+    VERDICT r7 item 3: the driver's own run overwrites bench_out.json,
+    orphaning the claims this gate checks), falling back to
+    bench_out.json for mid-round iteration.
+
+    The round number must parse from EVERY snapshot shape: since r15
+    the rounds commit lettered windows (bench_local_r15_a.json ...)
+    that the original rN-only regex scored -1, so a no-arg run
+    silently compared SURVEY claims against whatever unlettered file
+    max() happened to keep — bench_local_r14.json, five rounds stale
+    (r20 instrument review). Ties inside a round break by filename so
+    the pick is deterministic (the last window, e.g. r19_h)."""
     import glob
     snaps = glob.glob("bench_local_r*.json")
     if snaps:
-        def rnum(p):
-            m = re.search(r"bench_local_r(\d+)\.json$", p)
-            return int(m.group(1)) if m else -1
-        return max(snaps, key=rnum)
+        def key(p):
+            m = re.search(r"bench_local_r(\d+)[_a-z0-9]*\.json$", p)
+            return (int(m.group(1)) if m else -1, p)
+        return max(snaps, key=key)
     return "bench_out.json"
 
 
