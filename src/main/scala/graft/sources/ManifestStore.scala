@@ -217,10 +217,10 @@ object ManifestStore {
     parseResult(f) match {
       case Parsed(m) if valid(store, m) => Some(m)
       case Parsed(_) =>
-        Files.deleteIfExists(f) // dangling references: heal to absent
+        healUnservable(store, stamp) // dangling references: heal to absent
         None
       case Corrupt =>
-        Files.deleteIfExists(f) // corrupt content: heal to absent
+        healUnservable(store, stamp) // corrupt content: heal to absent
         None
       case Vanished =>
         // VANISHED (classified by exception type at parse time, never
@@ -229,6 +229,44 @@ object ManifestStore {
         // path, and deleting here would kill its fresh manifest (the
         // same race discipline publish() keeps)
         None
+    }
+  }
+
+  /** Heal a manifest this serve has judged unservable (corrupt
+   * content, or intact content with dangling segment references) by
+   * removing it — but never delete blind: the judgment was made on a
+   * read that is already stale, and the gap between it and a bare
+   * delete can span a concurrent healer's own delete + rebuild +
+   * republish of the SAME path, so an unconditional delete could kill
+   * that winner's fresh, VALID manifest (r20 review — the narrower
+   * sibling of the vanish-vs-corrupt TOCTOU closed in [[parseResult]];
+   * a deleted live manifest un-references the winner's segments, and
+   * the next gc sweeps them under the winner's serve — the silent
+   * cross-deletion class). Protocol: atomically MOVE the file to a
+   * process-owned `.heal_<pid>_<seq>` quarantine name — taking
+   * exclusive ownership of exactly the bytes on disk NOW — then
+   * re-judge the owned copy. Unservable → delete it (the common
+   * path). Servable → we raced a winner and quarantined its fresh
+   * manifest: republish its entries under the stamp through
+   * [[publish]]'s create-if-absent discipline (never replacing a
+   * third publisher's file), then drop the quarantine copy. A crash
+   * between the move and the resolution leaves a `.heal_` file that
+   * [[gc]] reclaims under the dead-owner rule like a crashed temp
+   * manifest; the absent manifest path is then an ordinary rebuild. */
+  private[graft] def healUnservable(store: Path, stamp: String): Unit = {
+    val f = manifestFile(store, stamp)
+    val q = store.resolve(
+      s".heal_${ProcessHandle.current().pid()}_${segSeq.incrementAndGet()}")
+    try Files.move(f, q, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.NoSuchFileException => return } // healed already
+    parseResult(q) match {
+      case Parsed(m) if valid(store, m) =>
+        // the quarantined copy's stamp field derives from the
+        // quarantine FILENAME — republish under the real stamp
+        publish(store, Manifest(stamp, m.entries))
+        Files.deleteIfExists(q)
+      case _ =>
+        Files.deleteIfExists(q)
     }
   }
 
@@ -526,10 +564,14 @@ object ManifestStore {
     val referenced: Set[String] =
       manifestFiles(store).flatMap(parseIfPresent)
         .flatMap(_.entries.map(_.rel)).toSet
-    // a crashed writer's temp manifest is dead weight too
+    // a crashed writer's temp manifest is dead weight, and so is a
+    // crashed healer's quarantine file (healUnservable moved the
+    // unservable manifest out but died before resolving it — the
+    // manifest path is absent either way, so the next serve rebuilds)
     listDir(store).foreach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith(".manifest_tmp_") && !stageLive(p))
+      if ((n.startsWith(".manifest_tmp_") || n.startsWith(".heal_")) &&
+          !stageLive(p))
         Files.deleteIfExists(p)
     }
     listDir(store.resolve("segs")).foreach { seg =>

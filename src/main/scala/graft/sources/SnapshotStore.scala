@@ -40,8 +40,12 @@ object SnapshotStore {
    * (r19 review). The bound (r19 ADVICE): Char.isDigit alone accepts
    * all-digit names whose VALUE overflows Int (`v=99999999999`) and
    * non-ASCII Unicode digits — both still threw out of `toInt`, the
-   * same unlistable-table failure the filter was meant to close. ≤9
-   * ASCII digits always fits in Int (max 999,999,999). */
+   * same unlistable-table failure the filter was meant to close. The
+   * bound is Int's exact range, not a digit-count guess (r20 review:
+   * a ≤9-digit cap silently hid committed versions ≥ 1,000,000,000 —
+   * readers would serve v=999999999 forever and writers would wedge
+   * on the collision): ≤10 ASCII digits parse via toLong, then the
+   * value itself must fit Int, matching the API's Int version type. */
   private def dirNumbers(tableDir: String): Seq[Int] = {
     val base = java.nio.file.Paths.get(tableDir)
     if (!java.nio.file.Files.isDirectory(base)) Seq.empty
@@ -52,8 +56,9 @@ object SnapshotStore {
         s.iterator().asScala
           .map(_.getFileName.toString)
           .collect { case n if n.startsWith("v=") => n.drop(2) }
-          .collect { case d if d.nonEmpty && d.length <= 9 &&
-            d.forall(c => c >= '0' && c <= '9') => d.toInt }
+          .collect { case d if d.nonEmpty && d.length <= 10 &&
+            d.forall(c => c >= '0' && c <= '9') => d.toLong }
+          .collect { case v if v <= Int.MaxValue => v.toInt }
           .toVector.sorted
       } finally s.close()
     }

@@ -174,6 +174,66 @@ class ManifestStoreSpec extends AnyFunSuite {
       val m = Manifest("s1", kids.map { case (b, rel) => Entry("data", b, rel) })
       ManifestStore.publish(store, m)
       assert(ManifestStore.currentManifest(store, "s1").contains(m))
+      // the heal path resolved its quarantine file — no .heal_ debris
+      val leftovers = Files.list(store)
+      try assert(!leftovers.iterator().asScala.exists(
+          _.getFileName.toString.startsWith(".heal_")),
+        "healUnservable leaked its quarantine file")
+      finally leftovers.close()
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
+  test("healUnservable never destroys a VALID manifest (delete-the-winner race)") {
+    // the heal path's judgment is made on a stale read: between
+    // classifying a manifest corrupt and removing it, a concurrent
+    // healer can delete + rebuild + republish a fresh VALID manifest
+    // at the same path — a blind delete would kill it, un-reference
+    // its segments, and let gc sweep them under the winner's serve
+    // (r20 review). healUnservable therefore quarantines atomically
+    // and re-judges what it actually owns: calling it directly on a
+    // valid manifest (the worst-case interleaving, where the winner
+    // republished just before our remove) must leave the stamp
+    // servable with identical entries, never absent.
+    val store = freshStore()
+    try {
+      val seg = mkSeg(store, Seq(1, 2))
+      val kids = ManifestStore.bucketChildren(store, seg)
+      val m = Manifest("s1", kids.map { case (b, rel) => Entry("data", b, rel) })
+      ManifestStore.publish(store, m)
+      ManifestStore.healUnservable(store, "s1")
+      assert(ManifestStore.currentManifest(store, "s1").contains(m),
+        "a valid manifest must survive a raced heal with identical entries")
+      val leftovers = Files.list(store)
+      try assert(!leftovers.iterator().asScala.exists(
+          _.getFileName.toString.startsWith(".heal_")),
+        "the raced heal leaked its quarantine file")
+      finally leftovers.close()
+      // and on a genuinely ABSENT manifest it is a clean no-op
+      ManifestStore.healUnservable(store, "never_published")
+      assert(ManifestStore.currentManifest(store, "never_published").isEmpty)
+    } finally graft.queries.Q.deleteRecursively(store)
+  }
+
+  test("gc reclaims a crashed healer's quarantine file (dead owner only)") {
+    val store = freshStore()
+    try {
+      val seg = mkSeg(store, Seq(1))
+      val kids = ManifestStore.bucketChildren(store, seg)
+      val m = Manifest("s1", kids.map { case (b, rel) => Entry("data", b, rel) })
+      ManifestStore.publish(store, m)
+      // a dead pid's crash-left quarantine: swept like a temp manifest
+      val dead = store.resolve(".heal_999999999_1")
+      Files.writeString(dead, "data\t1\tsegs/whatever/bucket_1\t5\n")
+      // a LIVE process's in-flight quarantine survives the same gc
+      val live = store.resolve(
+        s".heal_${ProcessHandle.current().pid()}_777")
+      Files.writeString(live, "data\t1\tsegs/whatever/bucket_1\t5\n")
+      ManifestStore.gc(store, "s1")
+      assert(!Files.exists(dead), "dead-owner quarantine must be reclaimed")
+      assert(Files.exists(live), "live-owner quarantine must survive gc")
+      assert(ManifestStore.currentManifest(store, "s1").contains(m),
+        "gc must not disturb the kept manifest")
+      Files.deleteIfExists(live)
     } finally graft.queries.Q.deleteRecursively(store)
   }
 

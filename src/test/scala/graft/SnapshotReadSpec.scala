@@ -72,7 +72,7 @@ class SnapshotReadSpec extends AnyFunSuite {
     assert(SnapshotStore.readLatest(spark, tbl).count() == 1)
   }
 
-  test("all-digit debris beyond Int range never breaks the table") {
+  test("all-digit debris beyond Int range never breaks the table; valid 10-digit versions still list") {
     // the r19 debris filter used Char.isDigit with no value bound:
     // `v=99999999999` (all digits, value > Int.MaxValue) still threw
     // NumberFormatException out of toInt — the same unlistable-table
@@ -80,7 +80,9 @@ class SnapshotReadSpec extends AnyFunSuite {
     // non-ASCII Unicode digits (isDigit true, toInt throws) — not
     // creatable on this container's fs charset, but the ASCII-range
     // check in the bounded parse excludes them by construction. The
-    // bounded ≤9-ASCII-digit parse skips all of these as debris.
+    // bound must be Int's exact RANGE, not a digit count (r20 review:
+    // a ≤9-digit cap silently hid committed versions ≥ 1e9 — readers
+    // would serve the prior version forever and writers would wedge).
     val tbl = freshTable()
     SnapshotStore.writeVersion(Seq((1L, "a")).toDF("k", "s"), tbl)
     java.nio.file.Files.createDirectory(
@@ -90,6 +92,13 @@ class SnapshotReadSpec extends AnyFunSuite {
     assert(SnapshotStore.versions(tbl) == Seq(1))
     assert(SnapshotStore.writeVersion(Seq((2L, "b")).toDF("k", "s"), tbl) == 2)
     assert(SnapshotStore.readLatest(spark, tbl).count() == 1)
+    // a COMMITTED 10-digit version inside Int range is real, not debris
+    val big = java.nio.file.Paths.get(tbl, "v=1000000000")
+    java.nio.file.Files.createDirectory(big)
+    java.nio.file.Files.writeString(big.resolve("_SUCCESS"), "")
+    assert(SnapshotStore.versions(tbl) == Seq(1, 2, 1000000000),
+      "a committed version >= 1e9 must stay visible to readers")
+    assert(SnapshotStore.latestVersion(tbl).contains(1000000000))
   }
 
   test("a manifest writer losing the version-number race fails loudly, never silently drops its rows") {

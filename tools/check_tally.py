@@ -26,8 +26,22 @@ NAME_RE = re.compile(r"`((?:q|s)_[a-z0-9_]+)`")
 SECS_RE = re.compile(r"(\d+(?:\.\d+)?)\s*s\b")
 
 
+def load_mins(bench_paths):
+    """Element-wise min across one or more bench windows. The enforced
+    zone's claims are pinned to the MIN across a round's windows (the
+    round protocol's bench-noise discipline: single-window co-tenant
+    variance measured ~2x), so grading them against one window risks a
+    false STALE from one noisy window — the gate must read the same
+    statistic the claims are written from (r20 instrument review)."""
+    if isinstance(bench_paths, str):
+        bench_paths = [bench_paths]
+    maps = [json.load(open(p))["queries"] for p in bench_paths]
+    keys = set().union(*(set(m) for m in maps))
+    return {k: min(m[k] for m in maps if k in m) for k in keys}
+
+
 def main(survey_path, bench_path):
-    mins = json.load(open(bench_path))["queries"]
+    mins = load_mins(bench_path)
     enforced_zone = False
     stale = []
     for lineno, line in enumerate(open(survey_path), 1):
@@ -78,16 +92,22 @@ def default_bench():
     that the original rN-only regex scored -1, so a no-arg run
     silently compared SURVEY claims against whatever unlettered file
     max() happened to keep — bench_local_r14.json, five rounds stale
-    (r20 instrument review). Ties inside a round break by filename so
-    the pick is deterministic (the last window, e.g. r19_h)."""
+    (r20 instrument review). Returns ALL of the newest round's windows
+    (sorted, for determinism) so load_mins grades claims against the
+    element-wise min — the statistic the claims are pinned to — rather
+    than one arbitrary window's co-tenant noise."""
     import glob
     snaps = glob.glob("bench_local_r*.json")
-    if snaps:
-        def key(p):
-            m = re.search(r"bench_local_r(\d+)[_a-z0-9]*\.json$", p)
-            return (int(m.group(1)) if m else -1, p)
-        return max(snaps, key=key)
-    return "bench_out.json"
+    if not snaps:
+        return "bench_out.json"
+
+    def rnum(p):
+        m = re.search(r"bench_local_r(\d+)[_a-z0-9]*\.json$", p)
+        return int(m.group(1)) if m else -1
+    best = max(rnum(p) for p in snaps)
+    if best < 0:
+        return "bench_out.json"
+    return sorted(p for p in snaps if rnum(p) == best)
 
 
 if __name__ == "__main__":
