@@ -75,9 +75,13 @@ object ConnectedComponents {
     // per iteration covers both persistence and the convergence check
     // (a localCheckpoint would cost a second action per iteration;
     // lineage depth is bounded by maxIter, which planning absorbs).
+    // sum over an EMPTY label set is SQL null — coalesce to zero so an
+    // empty edge input converges to the empty result like runStar and
+    // runGraphX do, instead of NPE-ing out of compareTo (r20 review;
+    // empty pairs is a real input: a corpus with no near-duplicates)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0

@@ -30,4 +30,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gx == df)
   }
+
+  test("all three variants return empty labels on an empty edge set") {
+    // a corpus with no near-duplicates yields an EMPTY pair table — a
+    // real pipeline input, not a degenerate one. runStar and runGraphX
+    // always handled it; run()'s decimal label-sum convergence read the
+    // empty aggregate's SQL null into compareTo and NPE'd (r20 review).
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.run(empty).count() == 0)
+    assert(ConnectedComponents.runStar(empty).count() == 0)
+    assert(ConnectedComponents.runGraphX(empty).count() == 0)
+  }
 }
