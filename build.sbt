@@ -43,3 +43,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the 128 GiB host and still env-overridable.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Ad-hoc forked-JVM flags for matched A/B measurement (e.g. GC choice:
+// SPARK_GRAFT_JVM_EXTRA="-XX:+UseParallelGC"). Unset (the default, and
+// what the driver runs) adds nothing — the bench JVM is unchanged.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

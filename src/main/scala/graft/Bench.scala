@@ -21,6 +21,20 @@ object Bench {
       // executor memory. Measured ~15% off the LSH dedup path at 11×
       // gate scale (tools/ScaleSmoke A/B).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // r21: let AQE re-plan (coalesce) exchanges INSIDE cached plans.
+      // Off by default upstream only to keep a cached plan's output
+      // partitioning stable for consumers that depend on it; results
+      // are unchanged (full oracle gate re-run under this conf). The
+      // gate's cached graph/iteration frames (q_triangles, q_graph_bfs,
+      // q_power_iter edge/embedding caches) otherwise materialize at
+      // the static shuffle width with AQE disabled in the cached
+      // subtree — 32 near-empty blocks per consumer stage here, and at
+      // any scale a partition count pinned at conf-time rather than
+      // sized to the cached bytes. Interleaved 16-query A/B
+      // (tools/ConfAB, 4 reps, element-wise min): 15.84 → 13.85 s,
+      // q_triangles −0.90, q_graph_bfs −0.52, worst regression −0.06
+      // (noise floor).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen/parquet-reader bring-up is session cost,

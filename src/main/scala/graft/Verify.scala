@@ -22,6 +22,9 @@ object Verify {
       // hash-path ObjectHashAggregate (same setting + rationale as
       // Bench): results are conf-independent, only execution changes
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // AQE may re-plan inside cached plans (same setting + rationale
+      // as Bench): results are conf-independent, only execution changes
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

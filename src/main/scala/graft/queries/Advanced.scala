@@ -961,7 +961,22 @@ object Advanced {
         // the r10 claim outright: 2 real scans + 2 ReusedExchange —
         // AQE already shares the basket shuffle across branches.
         // Shape stands by both measurements.
+        // r21: hash-repartition the projected pair stream by l_orderkey
+        // BEFORE the basket aggregation. The bench input is a single
+        // row-group file (tools/PartProbe), so the scan stage — and with
+        // it the partial collect_set over 600k rows — ran as ONE task;
+        // the explicit exchange moves the basket build behind a cheap
+        // 16-byte-row shuffle and onto every core (guide §2.5, one huge
+        // unsplittable file → repartition after the read). This is also
+        // the right plan at scale: partial collect_set over near-unique
+        // orderkeys reduces almost nothing (avg basket ≈ 4), so the
+        // map-side partial pass saved no shuffle bytes — it only
+        // serialized the build. Interleaved 5-rep A/B
+        // (tools/ScanFanoutAB): min 1.909 → 1.173 s, every rep pair
+        // agreeing, checksums equal; oracle re-pinned at sf0.01/sf0.001.
         val baskets = rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+          .repartition(col("l_orderkey"))
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
         val items = baskets.select(explode(col("parts")).as("pk"))
