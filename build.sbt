@@ -46,5 +46,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Ad-hoc forked-JVM flags for matched A/B measurement (e.g. GC choice:
 // SPARK_GRAFT_JVM_EXTRA="-XX:+UseParallelGC"). Unset (the default, and
 // what the driver runs) adds nothing — the bench JVM is unchanged.
+// Split on whitespace: one flag per token, so a single flag containing
+// spaces (e.g. -Xlog with a quoted path) is NOT representable here.
 javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
   .flatMap(_.split("\\s+").filter(_.nonEmpty))

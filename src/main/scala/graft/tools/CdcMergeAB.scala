@@ -47,7 +47,7 @@ object CdcMergeAB {
     }
     val schema = spark.read.parquet(feedDir.toString).schema
 
-    def run(single: Boolean): (Double, Int) = {
+    def run(single: Boolean): (Double, String) = {
       val base = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "graft_cdcab")
       val stream = spark.readStream.schema(schema)
@@ -77,25 +77,26 @@ object CdcMergeAB {
         try q.processAllAvailable() finally q.stop()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevConf)
       val dt = (System.nanoTime() - t0) / 1e9
+      // full canonical row dump, not a lossy Int hash — the per-rep
+      // assert below compares the complete final state (ADVICE r21)
       val sig = spark.read.parquet(cur.get)
         .filter(col("event_type") =!= "error")
         .orderBy("user_id")
-        .collect().map(_.toString).mkString("|").hashCode
+        .collect().map(_.toString).mkString("|")
       graft.queries.Q.deleteRecursively(base)
       require(batches == 4, s"expected 4 microbatches, got $batches")
       (dt, sig)
     }
 
     var cMin = Double.MaxValue; var sMin = Double.MaxValue
-    var cSig = 0; var sSig = 0
     for (rep <- 1 to reps) {
       val (dc, sc) = run(single = false)
       val (ds, ss) = run(single = true)
       cMin = math.min(cMin, dc); sMin = math.min(sMin, ds)
-      cSig = sc; sSig = ss
+      // assert EVERY rep's full final state equal, not just the last pair
+      assert(sc == ss, s"rep$rep result mismatch:\n$sc\nvs\n$ss")
       println(f"[cdc-ab] rep$rep nested=$dc%.3f single=$ds%.3f")
     }
-    assert(cSig == sSig, s"result mismatch: $cSig vs $sSig")
     println(f"[cdc-ab] RESULT min nested=$cMin%.3f single=$sMin%.3f " +
       f"delta=${cMin - sMin}%+.3f (sigs agree)")
     spark.stop()
